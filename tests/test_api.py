@@ -1,0 +1,143 @@
+"""API-surface tests: norms, padding, rfft packing, helpers, plans."""
+
+import numpy as np
+import pytest
+
+import tpufft
+from conftest import assert_spectrum_close
+
+
+@pytest.mark.parametrize("norm", [None, "backward", "ortho", "forward"])
+def test_norms_match_numpy(norm, rng):
+    x = rng.standard_normal((3, 24)).astype(np.float64).view()
+    xc = (x + 1j * rng.standard_normal((3, 24))).astype(np.complex128)
+    assert_spectrum_close(
+        tpufft.fft(xc, norm=norm), np.fft.fft(xc, norm=norm), np.complex128
+    )
+    assert_spectrum_close(
+        tpufft.ifft(xc, norm=norm), np.fft.ifft(xc, norm=norm), np.complex128
+    )
+
+
+def test_roundtrip(rng):
+    x = (rng.standard_normal((5, 60)) + 1j * rng.standard_normal((5, 60)))
+    got = tpufft.ifft(tpufft.fft(x.astype(np.complex128)))
+    assert_spectrum_close(got, x, np.complex128)
+
+
+@pytest.mark.parametrize("n,pad_to", [(16, 24), (24, 16), (30, 30)])
+def test_n_argument_pads_and_crops(n, pad_to, rng):
+    x = rng.standard_normal(n).astype(np.float64)
+    got = tpufft.fft(x.astype(np.complex128), n=pad_to)
+    assert got.shape == (pad_to,)
+    assert_spectrum_close(got, np.fft.fft(x, n=pad_to), np.complex128)
+
+
+def test_axis_argument(rng):
+    x = (rng.standard_normal((4, 12, 6))
+         + 1j * rng.standard_normal((4, 12, 6))).astype(np.complex128)
+    for axis in (0, 1, 2, -2):
+        assert_spectrum_close(
+            tpufft.fft(x, axis=axis), np.fft.fft(x, axis=axis), np.complex128
+        )
+
+
+def test_rfft_hermitian_packing(rng):
+    for n in (8, 16, 60, 93, 100):
+        x = rng.standard_normal(n).astype(np.float64)
+        got = tpufft.rfft(x)
+        assert got.shape == (n // 2 + 1,)
+        assert_spectrum_close(got, np.fft.rfft(x), np.complex128)
+
+
+@pytest.mark.parametrize("n", [8, 16, 60, 100, 93])
+def test_irfft_roundtrip(n, rng):
+    x = rng.standard_normal(n).astype(np.float64)
+    spec = np.fft.rfft(x)
+    got = tpufft.irfft(spec.astype(np.complex128), n=n)
+    assert got.shape == (n,)
+    assert got.dtype == np.float64
+    assert_spectrum_close(got, x, np.complex128)
+
+
+def test_irfft_default_even_length(rng):
+    spec = np.fft.rfft(rng.standard_normal(32))
+    got = tpufft.irfft(spec.astype(np.complex128))
+    assert got.shape == (32,)
+
+
+def test_hfft_ihfft(rng):
+    n = 20
+    x = rng.standard_normal(n).astype(np.float64)
+    assert_spectrum_close(tpufft.ihfft(x), np.fft.ihfft(x), np.complex128)
+    spec = np.fft.ihfft(x)
+    assert_spectrum_close(
+        tpufft.hfft(spec.astype(np.complex128), n=n),
+        np.fft.hfft(spec, n=n), np.complex128,
+    )
+
+
+def test_helpers_match_numpy():
+    for n in (8, 9, 10):
+        np.testing.assert_allclose(
+            np.asarray(tpufft.fftfreq(n, d=0.5, dtype=np.float64)),
+            np.fft.fftfreq(n, d=0.5), atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tpufft.rfftfreq(n, d=2.0, dtype=np.float64)),
+            np.fft.rfftfreq(n, d=2.0), atol=1e-12,
+        )
+    x = np.arange(24).reshape(4, 6)
+    np.testing.assert_array_equal(np.asarray(tpufft.fftshift(x)),
+                                  np.fft.fftshift(x))
+    np.testing.assert_array_equal(np.asarray(tpufft.ifftshift(x)),
+                                  np.fft.ifftshift(x))
+    np.testing.assert_array_equal(
+        np.asarray(tpufft.fftshift(x, axes=1)), np.fft.fftshift(x, axes=1)
+    )
+
+
+def test_plan_object(rng):
+    x = (rng.standard_normal((4, 32))
+         + 1j * rng.standard_normal((4, 32))).astype(np.complex64)
+    plan = tpufft.plan_fft((4, 32), np.complex64, axes=(-1,))
+    assert plan.out_shape == (4, 32)
+    got = plan(x)
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+    # plans are cached per static description
+    plan2 = tpufft.plan_fft((4, 32), np.complex64, axes=(-1,))
+    assert plan is plan2
+    with pytest.raises(ValueError):
+        plan(x[:2])
+
+
+def test_plan_custom_bases(rng):
+    x = (rng.standard_normal((2, 60))
+         + 1j * rng.standard_normal((2, 60))).astype(np.complex128)
+    plan = tpufft.plan_fft((2, 60), np.complex128, axes=(1,),
+                           bases=[(3, 4, 5)])
+    assert plan.bases == ((3, 4, 5),)
+    assert_spectrum_close(plan(x), np.fft.fft(x), np.complex128)
+
+
+def test_invalid_args(rng):
+    x = np.zeros((4, 8), np.complex64)
+    with pytest.raises(ValueError):
+        tpufft.fft(x, norm="bogus")
+    with pytest.raises(ValueError):
+        tpufft.fft(x, bases=[(3, 3)])   # 9 != 8
+    with pytest.raises(ValueError):
+        tpufft.fftn(x, axes=(0, 0))
+    with pytest.raises(ValueError):
+        tpufft.fftn(x, axes=(5,))
+    with pytest.raises(ValueError):
+        tpufft.PlanConfig(backend="cuda")
+
+
+def test_dtype_promotion():
+    x32 = np.zeros(8, np.float32)
+    assert tpufft.fft(x32).dtype == np.complex64
+    assert tpufft.rfft(x32).dtype == np.complex64
+    x64 = np.zeros(8, np.float64)
+    assert tpufft.fft(x64).dtype == np.complex128
+    assert tpufft.irfft(np.zeros(5, np.complex64)).dtype == np.float32

@@ -1,0 +1,92 @@
+"""ND transform tests, mirroring the reference's 2D/3D golden coverage
+(fft/tests.mojo:422-1071: 2D 6x4 and 3D 6x4x8 tensors, CPU+GPU) and
+extending to the 4D/5D shapes of the benchmark table."""
+
+import numpy as np
+import pytest
+
+import tpufft
+from conftest import assert_spectrum_close
+
+
+def _rand_complex(rng, shape, dtype=np.complex128):
+    return (rng.standard_normal(shape)
+            + 1j * rng.standard_normal(shape)).astype(dtype)
+
+
+def test_fft2_reference_shape_6x4(rng):
+    """Reference 2D test geometry: batch of 6x4 tensors (tests.mojo:422-458),
+    with integer-valued input like the golden corpus."""
+    x = rng.integers(-30, 30, size=(3, 6, 4)).astype(np.complex128)
+    got = tpufft.fft2(x)
+    assert_spectrum_close(got, np.fft.fft2(x), np.complex128)
+    back = tpufft.ifft2(got)
+    assert_spectrum_close(back, x, np.complex128)
+
+
+def test_fftn_reference_shape_6x4x8(rng):
+    """Reference 3D test geometry: 6x4x8 (tests.mojo:613-905)."""
+    x = rng.integers(-30, 30, size=(2, 6, 4, 8)).astype(np.complex128)
+    got = tpufft.fftn(x, axes=(1, 2, 3))
+    assert_spectrum_close(got, np.fft.fftn(x, axes=(1, 2, 3)), np.complex128)
+    back = tpufft.ifftn(got, axes=(1, 2, 3))
+    assert_spectrum_close(back, x, np.complex128)
+
+
+@pytest.mark.parametrize("shape,axes", [
+    ((8, 12), None),
+    ((4, 6, 10), (1, 2)),
+    ((3, 5, 7, 4), (1, 2, 3)),          # odd/prime dims
+    ((2, 4, 4, 4, 4), None),            # 5D, all axes
+    ((2, 6, 8), (2, 1)),                # axis order permuted
+])
+def test_fftn_random(shape, axes, rng):
+    x = _rand_complex(rng, shape)
+    assert_spectrum_close(
+        tpufft.fftn(x, axes=axes), np.fft.fftn(x, axes=axes), np.complex128
+    )
+
+
+def test_fftn_s_padding(rng):
+    x = _rand_complex(rng, (4, 6))
+    got = tpufft.fftn(x, s=(8, 4))
+    assert got.shape == (8, 4)
+    assert_spectrum_close(got, np.fft.fftn(x, s=(8, 4)), np.complex128)
+
+
+def test_rfftn_irfftn(rng):
+    x = rng.standard_normal((5, 6, 8)).astype(np.float64)
+    got = tpufft.rfftn(x, axes=(1, 2))
+    assert got.shape == (5, 6, 5)
+    assert_spectrum_close(got, np.fft.rfftn(x, axes=(1, 2)), np.complex128)
+    back = tpufft.irfftn(got, s=(6, 8), axes=(1, 2))
+    assert back.shape == x.shape
+    assert_spectrum_close(back, x, np.complex128)
+
+
+def test_rfft2(rng):
+    x = rng.standard_normal((2, 6, 4)).astype(np.float32)
+    got = tpufft.rfft2(x)
+    assert got.shape == (2, 6, 3)
+    assert_spectrum_close(
+        got, np.fft.rfft2(x.astype(np.float64)), np.complex64
+    )
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_fftn_norms(norm, rng):
+    x = _rand_complex(rng, (4, 6, 10))
+    assert_spectrum_close(
+        tpufft.fftn(x, norm=norm), np.fft.fftn(x, norm=norm), np.complex128
+    )
+    assert_spectrum_close(
+        tpufft.ifftn(x, norm=norm), np.fft.ifftn(x, norm=norm), np.complex128
+    )
+
+
+def test_large_prime_axis_nd(rng):
+    """ND with a prime-radix axis (the (batch, 93) flagship case, batched)."""
+    x = _rand_complex(rng, (2, 31, 6))
+    assert_spectrum_close(
+        tpufft.fftn(x, axes=(1, 2)), np.fft.fftn(x, axes=(1, 2)), np.complex128
+    )

@@ -1,0 +1,57 @@
+import math
+
+import pytest
+
+from tpufft.planner import (
+    default_bases,
+    factorize,
+    stage_schedule,
+    validate_bases,
+)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 12, 60, 93, 97, 128, 1024, 16384,
+                               100, 35, 48, 21, 1000000])
+def test_factorize_product(n):
+    fs = factorize(n)
+    assert math.prod(fs) == n
+    for f in fs:
+        # each factor is prime
+        assert all(f % d for d in range(2, int(f**0.5) + 1))
+
+
+@pytest.mark.parametrize("n", [2, 3, 8, 60, 93, 97, 128, 1024, 16384, 93 * 93])
+def test_default_bases(n):
+    bases = default_bases(n)
+    assert math.prod(bases) == n
+    assert list(bases) == sorted(bases, reverse=True)
+    # composite radices stay within the merge limit; large primes pass through
+    for b in bases:
+        assert b <= 16 or all(b % d for d in range(2, int(b**0.5) + 1))
+
+
+def test_default_bases_merges_twos():
+    assert math.prod(default_bases(1024)) == 1024
+    assert all(b in (16, 8, 4, 2) for b in default_bases(1024))
+    assert len(default_bases(1024)) <= 3
+
+
+def test_stage_schedule_invariants():
+    for n, bases in [(128, (16, 8)), (60, (5, 4, 3)), (93, (31, 3)),
+                     (97, (97,)), (1024, (16, 16, 4))]:
+        stages = stage_schedule(n, bases)
+        s = 1
+        for st, r in zip(stages, bases):
+            assert st.radix == r
+            assert st.s == s
+            assert st.radix * st.m * st.s == n
+            s *= r
+        assert s == n
+
+
+def test_validate_bases_errors():
+    with pytest.raises(ValueError):
+        validate_bases(8, (3, 3))
+    with pytest.raises(ValueError):
+        validate_bases(8, (8, 0))
+    assert validate_bases(8, (2, 4)) == (2, 4)

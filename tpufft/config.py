@@ -1,0 +1,52 @@
+"""Plan configuration.
+
+The reference exposes its knobs as compile-time plan parameters
+(``plan_fft[inverse, bases, runtime_twfs, max_cluster_size, _test]``,
+``fft/fft/fft.mojo:123-210``) plus the runtime ``cpu_workers``. Here they are
+an ordinary dataclass consumed at trace time; ``jax.jit`` specialization plays
+the role of Mojo comptime instantiation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["PlanConfig", "BACKENDS"]
+
+BACKENDS = ("auto", "pallas", "xla")
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanConfig:
+    """Tuning knobs for an FFT plan.
+
+    Attributes:
+      max_radix: largest synthesized radix for the default planner.
+      backend: "pallas" (fused VMEM kernel), "xla" (pure jnp), or "auto"
+        (pallas on TPU when the working set fits VMEM, else xla). The analog
+        of the reference's forced-residency test knob ``_GPUTest``
+        (fft/fft/_ndim_fft_gpu.mojo:453-459).
+      lane_block: number of batch lanes per Pallas kernel block (the minor
+        axis of the in-kernel (N, B) state). None = auto from the VMEM model.
+      interpret: run Pallas kernels in interpreter mode (CPU CI — the analog
+        of the reference testing GPU tiers without that hardware).
+      vmem_budget_bytes: VMEM the launch-config model may plan against; the
+        analog of the reference's shared-memory budget
+        (``_GPUExecConfig.use_shared_memory``, fft/fft/_ndim_fft_gpu.mojo:114-136).
+      min_radix_matmul: radices >= this use an MXU matmul butterfly; smaller
+        radices use unrolled VPU butterflies with constant-folded +-1/+-i
+        phasors (analog of _utils.mojo:291-372 phasor specialization).
+    """
+
+    max_radix: int = 16
+    backend: str = "auto"
+    lane_block: int | None = None
+    interpret: bool = False
+    vmem_budget_bytes: int = 12 * 1024 * 1024
+    min_radix_matmul: int = 8
+
+    def __post_init__(self):
+        if self.backend not in BACKENDS:
+            raise ValueError(
+                f"backend must be one of {BACKENDS}, got {self.backend!r}"
+            )
