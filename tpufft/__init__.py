@@ -9,6 +9,7 @@ pure-XLA fallback/oracle path.
 """
 
 from .config import PlanConfig
+from .core import SplitComplex
 from .planner import default_bases, factorize, stage_schedule
 from .api import (
     Plan, plan_fft,
@@ -22,7 +23,7 @@ from .api import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "PlanConfig", "Plan", "plan_fft",
+    "PlanConfig", "Plan", "SplitComplex", "plan_fft",
     "fft", "ifft", "rfft", "irfft",
     "fft2", "ifft2", "rfft2", "irfft2",
     "fftn", "ifftn", "rfftn", "irfftn",

@@ -7,6 +7,15 @@ jitted function cached per (shape, dtype, axes, direction, norm, backend),
 and validation happens in Python at plan time (the analog of the comptime
 layout contract ``_check_layout_conditions_nd``, fft.mojo:20-47).
 
+Complex data crosses this boundary in either of two forms:
+
+* ordinary complex (or real) arrays — convenience form; split into re/im
+  float planes on entry and recombined on exit (on-device where the backend
+  supports complex, on the host for the TPU backend, which has no complex
+  dtypes at all);
+* ``SplitComplex(re, im)`` float-plane pairs — the device-native form; stays
+  on device end-to-end and is the form to use inside jitted/sharded code.
+
 Unlike the reference — whose "rfft" reads real input but always emits the
 full-length spectrum (``do_rfft``, fft/fft/_fft.mojo:115-118) — this library
 offers both: ``fft(real_array)`` gives the full spectrum, while
@@ -26,12 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from .config import PlanConfig
-from .core import complex_dtype_for
+from .core import SplitComplex, backend_supports_complex, real_dtype_for
 from .planner import default_bases, validate_bases
 from . import execute as _execute
 
 __all__ = [
     "Plan",
+    "SplitComplex",
     "plan_fft",
     "fft", "ifft", "rfft", "irfft",
     "fft2", "ifft2", "rfft2", "irfft2",
@@ -71,6 +81,8 @@ def _canon_axes(ndim: int, axes) -> tuple[int, ...]:
 
 def _resize_axis(x, n: int, axis: int):
     """Crop or zero-pad ``x`` to length ``n`` along ``axis`` (scipy semantics)."""
+    if x is None:
+        return None
     cur = x.shape[axis]
     if cur == n:
         return x
@@ -108,15 +120,56 @@ class Plan:
 
     @functools.cached_property
     def _fn(self):
-        return jax.jit(functools.partial(_apply_plan, plan=self))
+        """Jitted split-plane executable: (re, im|None) -> (re, im|None)."""
+        return jax.jit(functools.partial(_apply_plan_split, plan=self))
 
     def __call__(self, x):
-        x = jnp.asarray(x)
-        if tuple(x.shape) != self.shape:
-            raise ValueError(
-                f"plan was built for shape {self.shape}, got {tuple(x.shape)}"
+        """Execute on a complex/real array (combined out) or SplitComplex
+        (device-native planes out; ``c2r`` returns the real plane)."""
+        split_io = isinstance(x, SplitComplex)
+        ar, ai = self._split_input(x)
+        rdt = real_dtype_for(self.dtype)
+        ar = ar.astype(rdt)
+        ai = None if ai is None else ai.astype(rdt)
+        outr, outi = self._fn(ar, ai)
+        if self.kind == "c2r":
+            return SplitComplex(outr, jnp.zeros_like(outr)) if split_io else outr
+        if split_io:
+            return SplitComplex(outr, outi)
+        if backend_supports_complex():
+            return jax.lax.complex(outr, outi)
+        out = SplitComplex(outr, outi).numpy()
+        return out
+
+    def _split_input(self, x):
+        if isinstance(x, SplitComplex):
+            if self.kind == "r2c":
+                raise TypeError("rfft requires real input, got SplitComplex")
+            ar, ai = x.re, x.im
+        elif isinstance(x, tuple):
+            raise TypeError(
+                "pass plane pairs as SplitComplex(re, im), not a bare tuple"
             )
-        return self._fn(x)
+        else:
+            is_np = not isinstance(x, jax.Array)
+            xn = np.asarray(x) if is_np else x
+            if np.issubdtype(np.dtype(xn.dtype), np.complexfloating):
+                if self.kind == "r2c":
+                    raise TypeError(
+                        f"rfft requires real input, got dtype {xn.dtype}"
+                    )
+                if is_np:
+                    ar = jnp.asarray(np.ascontiguousarray(xn.real))
+                    ai = jnp.asarray(np.ascontiguousarray(xn.imag))
+                else:
+                    ar, ai = xn.real, xn.imag
+            else:
+                ar, ai = jnp.asarray(xn), None
+        if tuple(ar.shape) != self.shape:
+            raise ValueError(
+                f"plan was built for shape {self.shape}, got {tuple(ar.shape)}"
+            )
+        return ar, ai
 
     @property
     def out_shape(self) -> tuple[int, ...]:
@@ -130,8 +183,8 @@ class Plan:
         return tuple(shape)
 
 
-def _apply_plan(x, *, plan: Plan):
-    """Trace-time body shared by every plan executable."""
+def _apply_plan_split(ar, ai, *, plan: Plan):
+    """Trace-time body shared by every plan executable (split planes)."""
     axes, lengths = plan.axes, plan.lengths
     n_total = math.prod(lengths)
     scale = _norm_scale(plan.norm, n_total, plan.inverse)
@@ -140,52 +193,59 @@ def _apply_plan(x, *, plan: Plan):
         # Resize the non-packed axes first, then Hermitian-unpack the last
         # transformed axis and run a plain inverse C2C.
         for a, n in zip(axes[:-1], lengths[:-1]):
-            x = _resize_axis(x, n, a)
-        x = _hermitian_extend(x, lengths[-1], axes[-1], other_axes=axes[:-1])
-
-    cdt = complex_dtype_for(x.dtype)
-    x = x.astype(cdt)
-    for a, n in zip(axes, lengths):
-        if plan.kind != "c2r":  # c2r already extended to full length
-            x = _resize_axis(x, n, a)
+            ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
+        ar, ai = _hermitian_extend(
+            ar, ai, lengths[-1], axes[-1], other_axes=axes[:-1]
+        )
+    else:
+        for a, n in zip(axes, lengths):
+            ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
 
     # Fuse the whole normalization into the last-executed axis's final stage.
     for i, (a, n) in enumerate(zip(axes, lengths)):
         axis_scale = scale if i == len(axes) - 1 else 1.0
-        x = _execute.fft_axis(
-            x, a, plan.bases[i], inverse=plan.inverse, scale=axis_scale,
+        ar, ai = _execute.fft_axis(
+            ar, ai, a, plan.bases[i], inverse=plan.inverse, scale=axis_scale,
             config=plan.config,
         )
 
     if plan.kind == "r2c":
-        sl = [slice(None)] * x.ndim
+        sl = [slice(None)] * ar.ndim
         sl[axes[-1]] = slice(0, lengths[-1] // 2 + 1)
-        x = x[tuple(sl)]
+        ar, ai = ar[tuple(sl)], ai[tuple(sl)]
     elif plan.kind == "c2r":
-        x = x.real
-    return x
+        return ar, None
+    return ar, ai
 
 
-def _hermitian_extend(x, n: int, axis: int, other_axes: tuple[int, ...] = ()):
+def _hermitian_extend(ar, ai, n: int, axis: int, other_axes: tuple[int, ...]):
     """Rebuild the full spectrum from N//2+1 Hermitian-packed coefficients.
 
     Multi-axis Hermitian symmetry is X[-k1, ..., -kd] = conj(X[k1, ..., kd]),
     so the mirrored half must be conjugate-*and*-index-negated along every
-    other transformed axis, not just flipped along the packed one.
+    other transformed axis, not just flipped along the packed one. Conjugation
+    in split planes is a sign flip on the imaginary plane.
     """
-    m = x.shape[axis]
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+    m = ar.shape[axis]
     expected = n // 2 + 1
     if m != expected:
-        x = _resize_axis(x, expected, axis)
-    idx = [slice(None)] * x.ndim
+        ar, ai = _resize_axis(ar, expected, axis), _resize_axis(ai, expected, axis)
+    idx = [slice(None)] * ar.ndim
     idx[axis] = slice(1, (n + 1) // 2)
-    mirrored = jnp.flip(jnp.conj(x[tuple(idx)]), axis=axis)
+    mir_r = jnp.flip(ar[tuple(idx)], axis=axis)
+    mir_i = -jnp.flip(ai[tuple(idx)], axis=axis)
     for a in other_axes:
         # index negation mod n_a: k -> (-k) % n_a  ==  roll(flip, 1)
-        mirrored = jnp.roll(jnp.flip(mirrored, axis=a), 1, axis=a)
-    head = [slice(None)] * x.ndim
+        mir_r = jnp.roll(jnp.flip(mir_r, axis=a), 1, axis=a)
+        mir_i = jnp.roll(jnp.flip(mir_i, axis=a), 1, axis=a)
+    head = [slice(None)] * ar.ndim
     head[axis] = slice(0, n // 2 + 1)
-    return jnp.concatenate([x[tuple(head)], mirrored], axis=axis)
+    return (
+        jnp.concatenate([ar[tuple(head)], mir_r], axis=axis),
+        jnp.concatenate([ai[tuple(head)], mir_i], axis=axis),
+    )
 
 
 def _resolve_bases(lengths, bases, cfg: PlanConfig):
@@ -227,8 +287,6 @@ def plan_fft(
     cfg = config or PlanConfig()
     shape = tuple(int(d) for d in shape)
     axes = _canon_axes(len(shape), axes)
-    if kind in ("r2c", "c2r") and axes is None:
-        axes = tuple(range(len(shape)))
     if s is None:
         lengths = tuple(shape[a] for a in axes)
         if kind == "c2r":
@@ -244,13 +302,22 @@ def plan_fft(
     )
 
 
+def _logical_dtype(x):
+    """The plan dtype for an input: its own dtype, or c64/c128 for planes."""
+    if isinstance(x, SplitComplex):
+        d = jnp.dtype(x.dtype)
+        return jnp.complex128 if d == jnp.dtype(jnp.float64) else jnp.complex64
+    xn = x if isinstance(x, jax.Array) else np.asarray(x)
+    return xn.dtype
+
+
 def _plan_for(x, axes, s, inverse, norm, kind, bases, config):
-    x = jnp.asarray(x)
+    shape = tuple(x.shape) if isinstance(x, SplitComplex) else np.shape(x)
     plan = plan_fft(
-        x.shape, x.dtype, axes=axes, s=s, inverse=inverse, norm=norm,
-        kind=kind, bases=bases, config=config,
+        shape, _logical_dtype(x), axes=axes, s=s, inverse=inverse,
+        norm=norm, kind=kind, bases=bases, config=config,
     )
-    return plan, x
+    return plan
 
 
 # ----------------------------------------------------------------------------
@@ -260,53 +327,45 @@ def _plan_for(x, axes, s, inverse, norm, kind, bases, config):
 def fft(x, n=None, axis=-1, norm=None, *, bases=None, config=None):
     """1D complex FFT (real input allowed; full spectrum out)."""
     s = None if n is None else (n,)
-    plan, x = _plan_for(x, (axis,), s, False, norm, "c2c", bases, config)
-    return plan(x)
+    return _plan_for(x, (axis,), s, False, norm, "c2c", bases, config)(x)
 
 
 def ifft(x, n=None, axis=-1, norm=None, *, bases=None, config=None):
     s = None if n is None else (n,)
-    plan, x = _plan_for(x, (axis,), s, True, norm, "c2c", bases, config)
-    return plan(x)
+    return _plan_for(x, (axis,), s, True, norm, "c2c", bases, config)(x)
 
 
 def rfft(x, n=None, axis=-1, norm=None, *, bases=None, config=None):
     s = None if n is None else (n,)
-    plan, x = _plan_for(x, (axis,), s, False, norm, "r2c", bases, config)
-    return plan(x)
+    return _plan_for(x, (axis,), s, False, norm, "r2c", bases, config)(x)
 
 
 def irfft(x, n=None, axis=-1, norm=None, *, bases=None, config=None):
     if n is None:
-        n = 2 * (jnp.asarray(x).shape[axis] - 1)
-    plan, x = _plan_for(x, (axis,), (n,), True, norm, "c2r", bases, config)
-    return plan(x)
+        n = 2 * (np.shape(x)[axis] - 1)
+    return _plan_for(x, (axis,), (n,), True, norm, "c2r", bases, config)(x)
 
 
 def fftn(x, s=None, axes=None, norm=None, *, bases=None, config=None):
-    plan, x = _plan_for(x, axes, s, False, norm, "c2c", bases, config)
-    return plan(x)
+    return _plan_for(x, axes, s, False, norm, "c2c", bases, config)(x)
 
 
 def ifftn(x, s=None, axes=None, norm=None, *, bases=None, config=None):
-    plan, x = _plan_for(x, axes, s, True, norm, "c2c", bases, config)
-    return plan(x)
+    return _plan_for(x, axes, s, True, norm, "c2c", bases, config)(x)
 
 
 def rfftn(x, s=None, axes=None, norm=None, *, bases=None, config=None):
-    plan, x = _plan_for(x, axes, s, False, norm, "r2c", bases, config)
-    return plan(x)
+    return _plan_for(x, axes, s, False, norm, "r2c", bases, config)(x)
 
 
 def irfftn(x, s=None, axes=None, norm=None, *, bases=None, config=None):
-    x = jnp.asarray(x)
-    axes_c = _canon_axes(x.ndim, axes)
+    shape = tuple(x.shape) if isinstance(x, SplitComplex) else np.shape(x)
+    axes_c = _canon_axes(len(shape), axes)
     if s is None:
-        s = tuple(x.shape[a] for a in axes_c[:-1]) + (
-            2 * (x.shape[axes_c[-1]] - 1),
+        s = tuple(shape[a] for a in axes_c[:-1]) + (
+            2 * (shape[axes_c[-1]] - 1),
         )
-    plan, x = _plan_for(x, axes_c, s, True, norm, "c2r", bases, config)
-    return plan(x)
+    return _plan_for(x, axes_c, s, True, norm, "c2r", bases, config)(x)
 
 
 def fft2(x, s=None, axes=(-2, -1), norm=None, **kw):
@@ -325,29 +384,41 @@ def irfft2(x, s=None, axes=(-2, -1), norm=None, **kw):
     return irfftn(x, s=s, axes=axes, norm=norm, **kw)
 
 
+def _conj_any(x):
+    if isinstance(x, SplitComplex):
+        return x.conj()
+    xn = x if isinstance(x, jax.Array) else np.asarray(x)
+    return np.conj(xn) if isinstance(xn, np.ndarray) else jnp.conj(xn)
+
+
 def hfft(x, n=None, axis=-1, norm=None, **kw):
     """FFT of Hermitian-symmetric input (real spectrum out).
 
     hfft(x, n) == irfft(conj(x), n) * n under backward norm; other norms
     follow from the forward/backward scale identity.
     """
-    x = jnp.asarray(x)
     if n is None:
-        n = 2 * (x.shape[axis] - 1)
-    res = irfft(jnp.conj(x), n=n, axis=axis, norm=None, **kw)
+        n = 2 * (np.shape(x)[axis] - 1)
+    res = irfft(_conj_any(x), n=n, axis=axis, norm=None, **kw)
     scale = {None: float(n), "backward": float(n),
              "ortho": math.sqrt(n), "forward": 1.0}[norm]
+    if isinstance(res, SplitComplex):
+        s = jnp.asarray(scale, res.dtype)
+        return SplitComplex(res.re * s, res.im * s)
     return res * jnp.asarray(scale, res.dtype)
 
 
 def ihfft(x, n=None, axis=-1, norm=None, **kw):
-    x = jnp.asarray(x)
     if n is None:
-        n = x.shape[axis]
+        n = np.shape(x)[axis]
     res = rfft(x, n=n, axis=axis, norm=None, **kw)
     scale = {None: 1.0 / n, "backward": 1.0 / n,
              "ortho": 1.0 / math.sqrt(n), "forward": 1.0}[norm]
-    return jnp.conj(res) * jnp.asarray(scale, res.dtype)
+    res = _conj_any(res)
+    if isinstance(res, SplitComplex):
+        s = jnp.asarray(scale, res.dtype)
+        return SplitComplex(res.re * s, res.im * s)
+    return res * scale
 
 
 # ----------------------------------------------------------------------------
@@ -368,19 +439,22 @@ def rfftfreq(n, d=1.0, *, dtype=None):
     return jnp.arange(0, n // 2 + 1, dtype=dtype) / (n * d)
 
 
-def fftshift(x, axes=None):
-    x = jnp.asarray(x)
+def _shift(x, axes, sign):
+    if isinstance(x, SplitComplex):
+        return SplitComplex(_shift(x.re, axes, sign), _shift(x.im, axes, sign))
+    # numpy in -> numpy out (complex numpy arrays can't live on the TPU)
+    xp = jnp if isinstance(x, jax.Array) else np
+    x = xp.asarray(x)
     if axes is None:
         axes = tuple(range(x.ndim))
     elif isinstance(axes, int):
         axes = (axes,)
-    return jnp.roll(x, [x.shape[a] // 2 for a in axes], axes)
+    return xp.roll(x, [sign * (x.shape[a] // 2) for a in axes], axes)
+
+
+def fftshift(x, axes=None):
+    return _shift(x, axes, 1)
 
 
 def ifftshift(x, axes=None):
-    x = jnp.asarray(x)
-    if axes is None:
-        axes = tuple(range(x.ndim))
-    elif isinstance(axes, int):
-        axes = (axes,)
-    return jnp.roll(x, [-(x.shape[a] // 2) for a in axes], axes)
+    return _shift(x, axes, -1)

@@ -1,4 +1,4 @@
-"""Backend dispatch and launch-config model.
+"""Backend dispatch and launch-config model (split-plane contract).
 
 The TPU-native counterpart of the reference's per-dim scheduling
 (``_run_gpu_nd_fft`` orchestration, fft/fft/_ndim_fft_gpu.mojo:462-642, and
@@ -10,14 +10,11 @@ decide between
   * the pure-XLA jnp path (the analog of its global-memory fallback).
 
 The decision is a VMEM-budget cost model instead of a shared-memory/occupancy
-model. Unlike the reference, ND transforms do NOT need explicit transposes
-between axes: the Pallas kernel transforms non-minor axes natively by keeping
-the batch dimension on the lane (minor) axis.
+model. All data moves through this layer as split real/imag float planes
+(see core.SplitComplex) because TPU has no complex arithmetic.
 """
 
 from __future__ import annotations
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -68,16 +65,17 @@ def pallas_supported(n: int, bases: tuple[int, ...], cfg: PlanConfig) -> bool:
 
 
 def fft_axis(
-    x: jnp.ndarray,
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
     axis: int,
     bases: tuple[int, ...],
     *,
     inverse: bool,
     scale: float,
     config: PlanConfig,
-) -> jnp.ndarray:
-    """Transform one axis, choosing the best backend."""
-    n = x.shape[axis]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Transform one axis of the split planes, choosing the best backend."""
+    n = ar.shape[axis]
     use_pallas = pallas_supported(n, bases, config) and config.backend in (
         "auto", "pallas",
     )
@@ -86,7 +84,8 @@ def fft_axis(
 
         try:
             return _stockham.fft_axis_pallas(
-                x, axis, bases, inverse=inverse, scale=scale, config=config
+                ar, ai, axis, bases, inverse=inverse, scale=scale,
+                config=config,
             )
         except NotImplementedError:
             if config.backend == "pallas":
@@ -98,5 +97,5 @@ def fft_axis(
             "backend='auto' for automatic fallback"
         )
     return core.fft_along_axis(
-        x, axis, bases, inverse=inverse, scale=scale
+        ar, ai, axis, bases, inverse=inverse, scale=scale
     )

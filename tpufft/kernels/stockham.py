@@ -1,4 +1,4 @@
-"""Fused batch-minor Stockham FFT kernel (Pallas TPU).
+"""Fused batch-minor Stockham FFT kernel (Pallas TPU), split re/im planes.
 
 Placeholder that signals fallback until the fused kernel lands; the XLA path
 in core.py executes the identical stage schedule.
@@ -12,12 +12,13 @@ from ..config import PlanConfig
 
 
 def fft_axis_pallas(
-    x: jnp.ndarray,
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
     axis: int,
     bases: tuple[int, ...],
     *,
     inverse: bool,
     scale: float,
     config: PlanConfig,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     raise NotImplementedError("pallas stockham kernel not yet implemented")
