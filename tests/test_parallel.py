@@ -1,0 +1,103 @@
+"""Multi-chip path tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed anything (SURVEY.md §2 checklist); these
+cover the TPU-native extension: batch sharding (DP) and the Bailey four-step
+distributed-axis FFT (SP) with its all_to_all exchanges.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from tpufft import SplitComplex
+from tpufft.parallel import fft_distributed, fft_batch_sharded, split_n
+from conftest import assert_spectrum_close
+
+
+def _mesh(shape, names):
+    devs = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(devs, names)
+
+
+def _split(x):
+    x = np.asarray(x, np.complex64)
+    return SplitComplex(jnp.asarray(x.real.copy()), jnp.asarray(x.imag.copy()))
+
+
+def test_split_n():
+    assert split_n(256, 8) == (16, 16)
+    a, b = split_n(1024, 8)
+    assert a * b == 1024 and a % 8 == 0 and b % 8 == 0
+    with pytest.raises(ValueError):
+        split_n(100, 8)  # 64 does not divide 100
+
+
+@pytest.mark.parametrize("n", [256, 1024, 576])  # 576 = 2^6 * 3^2
+def test_distributed_fft_natural(n, rng):
+    mesh = _mesh((8,), ("sp",))
+    x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n)))
+    out = fft_distributed(_split(x), mesh, axis_name="sp")
+    assert_spectrum_close(out.numpy(), np.fft.fft(x), np.complex64)
+
+
+def test_distributed_ifft_roundtrip(rng):
+    mesh = _mesh((8,), ("sp",))
+    x = (rng.standard_normal((2, 256)) + 1j * rng.standard_normal((2, 256)))
+    out = fft_distributed(_split(x), mesh, axis_name="sp")
+    back = fft_distributed(out, mesh, axis_name="sp", inverse=True,
+                           norm="backward")
+    assert_spectrum_close(back.numpy(), x, np.complex64)
+
+
+def test_distributed_permuted_pipeline(rng):
+    """permuted_out -> pointwise filter -> permuted_in inverse: 2 exchanges
+    per direction instead of 3, order-consistent end to end."""
+    mesh = _mesh((8,), ("sp",))
+    x = (rng.standard_normal((2, 256)) + 1j * rng.standard_normal((2, 256)))
+    spec = fft_distributed(_split(x), mesh, axis_name="sp", permuted_out=True)
+    # permuted order is (ka, kb)-major for N = A*B
+    A, B = split_n(256, 8)
+    ref = np.fft.fft(x).reshape(2, B, A).swapaxes(1, 2).reshape(2, 256)
+    assert_spectrum_close(spec.numpy(), ref, np.complex64)
+    half = SplitComplex(spec.re * 0.5, spec.im * 0.5)
+    back = fft_distributed(half, mesh, axis_name="sp", inverse=True,
+                           norm="backward", permuted_in=True)
+    assert_spectrum_close(back.numpy(), 0.5 * x, np.complex64)
+
+
+def test_distributed_dp_sp_mesh(rng):
+    """2D mesh: batch sharded over dp while the axis is distributed over sp."""
+    mesh = _mesh((2, 4), ("dp", "sp"))
+    x = (rng.standard_normal((8, 1024)) + 1j * rng.standard_normal((8, 1024)))
+    out = fft_distributed(_split(x), mesh, axis_name="sp",
+                          batch_axis_name="dp")
+    assert_spectrum_close(out.numpy(), np.fft.fft(x), np.complex64)
+
+
+def test_distributed_norm_ortho(rng):
+    mesh = _mesh((4,), ("sp",))
+    x = (rng.standard_normal((2, 64)) + 1j * rng.standard_normal((2, 64)))
+    out = fft_distributed(_split(x), mesh, axis_name="sp", norm="ortho")
+    assert_spectrum_close(out.numpy(), np.fft.fft(x, norm="ortho"),
+                          np.complex64)
+
+
+def test_batch_sharded_fftn(rng):
+    mesh = _mesh((8,), ("dp",))
+    x = (rng.standard_normal((8, 12, 16))
+         + 1j * rng.standard_normal((8, 12, 16)))
+    out = fft_batch_sharded(_split(x), mesh, batch_axis_name="dp",
+                            axes=(1, 2))
+    assert_spectrum_close(out.numpy(), np.fft.fftn(x, axes=(1, 2)),
+                          np.complex64)
+    assert "dp" in str(out.re.sharding)
+
+
+def test_batch_sharded_rejects_batch_axis():
+    mesh = _mesh((8,), ("dp",))
+    x = _split(np.zeros((8, 16)))
+    with pytest.raises(ValueError):
+        fft_batch_sharded(x, mesh, batch_axis_name="dp", axes=(0, 1))

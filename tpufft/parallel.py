@@ -1,0 +1,307 @@
+"""Multi-chip execution: sharded batches and distributed transforms.
+
+The reference is single-device (SURVEY.md §2 parallelism checklist: no
+DP/TP/PP/SP and no communication backend at all) — its only parallelism is
+threads within a chip. The TPU-native framework goes beyond parity the way
+the hardware wants to be used: a ``jax.sharding.Mesh`` over ICI with
+
+* **batch sharding** (the DP analog): leading batch axes sharded across a
+  mesh axis; every device runs the ordinary local plan — XLA inserts no
+  collectives;
+* **distributed transform axis** (the SP/TP analog): a 1D FFT along an axis
+  block-sharded over a mesh axis, via the Bailey/four-step factorization
+  N = A * B with the flat index n = a*B + b (a slow) and k = kb*A + ka:
+
+      X[kb*A + ka] = sum_b e^{-2pi i b kb/B}
+                       ( e^{-2pi i b ka/N}
+                         sum_a e^{-2pi i a ka/A} x[a*B + b] )
+
+  realized as: all_to_all (rows->columns), local length-A FFTs, sharded
+  twiddle multiply, all_to_all (columns->rows), local length-B FFTs, and —
+  only when natural output order is requested — a third all_to_all plus a
+  local transpose. ``permuted_out=True`` skips that last exchange and
+  returns the spectrum in (ka, kb)-major order (FFTW MPI's TRANSPOSED_OUT);
+  ``permuted_in=True`` consumes exactly that order, so an
+  fft->pointwise->ifft pipeline pays 2 exchanges per direction instead of 3.
+
+All exchanges are ``lax.all_to_all`` riding ICI. Everything moves as split
+re/im float planes (core.SplitComplex): TPU has no complex dtype, and two
+real planes keep the all_to_all payloads packed.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .core import SplitComplex, stockham_split_last_axis, fft_along_axis
+from .planner import default_bases, factorize
+
+__all__ = [
+    "split_n",
+    "fft_distributed",
+    "fft_batch_sharded",
+]
+
+
+def split_n(n: int, d: int) -> tuple[int, int]:
+    """Factor n = A * B with d | A and d | B, A as close to sqrt(n) as the
+    factorization allows.
+
+    The four-step decomposition needs the slow factor divisible by the
+    device count (row-block sharding of a) and the fast factor divisible too
+    (the all_to_all splits b into d blocks).
+    """
+    if n % (d * d) != 0:
+        raise ValueError(
+            f"distributed FFT needs d^2 | n (n={n}, d={d}); pad the axis or "
+            "use batch sharding instead"
+        )
+    a = d
+    for f in sorted(factorize(n // (d * d)), reverse=True):
+        if a * f <= math.isqrt(n):
+            a *= f
+    b = n // a
+    assert a % d == 0 and b % d == 0
+    return a, b
+
+
+@functools.lru_cache(maxsize=None)
+def _interfactor_twiddle(a: int, b: int, inverse: bool):
+    """Host-precomputed twiddle planes T[ka, b] = e^{-+2pi i b ka / (a*b)},
+    shape (a, b) float32."""
+    sign = 1.0 if inverse else -1.0
+    k = np.outer(np.arange(a, dtype=np.float64), np.arange(b, dtype=np.float64))
+    theta = (sign * 2.0 * np.pi / (a * b)) * k
+    return np.cos(theta).astype(np.float32), np.sin(theta).astype(np.float32)
+
+
+def _a2a(x, axis_name: str, split_axis: int, concat_axis: int):
+    return jax.lax.all_to_all(
+        x, axis_name, split_axis=split_axis, concat_axis=concat_axis
+    )
+
+
+def _twiddle_mul(ar, ai, twr, twi):
+    return ar * twr - ai * twi, ar * twi + ai * twr
+
+
+def _body_natural_in(
+    ar, ai, twr, twi, *, A, B, d, axis_name, inverse, scale,
+    bases_a, bases_b, natural_out,
+):
+    """Device-local pipeline for block-natural input along the last axis.
+
+    Local input: (..., N/d) = rows a in [my_block], all b.
+    """
+    pre = ar.shape[:-1]
+    k = len(pre)
+    rows, bloc = A // d, B // d
+
+    def e1(x):  # (rows, B) -> (A, bloc): gather a, scatter b
+        x = x.reshape(pre + (rows, d, bloc))
+        x = _a2a(x, axis_name, k + 1, k)
+        return x.reshape(pre + (A, bloc))
+
+    def e2(x):  # (A, bloc) -> (rows, B): scatter ka, gather b
+        x = x.reshape(pre + (d, rows, bloc))
+        x = _a2a(x, axis_name, k, k + 1)
+        return x.reshape(pre + (rows, B))
+
+    def e3(x):  # (rows, B) -> natural (bloc_k * A,): scatter kb, gather ka
+        x = x.reshape(pre + (rows, d, bloc))
+        x = _a2a(x, axis_name, k + 1, k)
+        x = x.reshape(pre + (A, bloc))
+        return jnp.swapaxes(x, -2, -1).reshape(pre + (bloc * A,))
+
+    ar = ar.reshape(pre + (A // d, B))
+    ai = ai.reshape(pre + (A // d, B))
+    ar, ai = e1(ar), e1(ai)
+    # FFT over a (length A) for every local b column.
+    ar, ai = fft_along_axis(ar, ai, ar.ndim - 2, bases_a, inverse=inverse)
+    ar, ai = _twiddle_mul(ar, ai, twr, twi)   # T[ka, b], b-sharded slice
+    ar, ai = e2(ar), e2(ai)
+    # FFT over b (length B) for every local ka row; fold the norm scale here.
+    ar, ai = stockham_split_last_axis(ar, ai, bases_b, inverse=inverse,
+                                      scale=scale)
+    if natural_out:
+        return e3(ar), e3(ai)
+    return ar.reshape(pre + (rows * B,)), ai.reshape(pre + (rows * B,))
+
+
+def _body_permuted_in(
+    ar, ai, twr, twi, *, A, B, d, axis_name, inverse, scale,
+    bases_a, bases_b,
+):
+    """Device-local pipeline for (ka, kb)-major ("transposed") input: the
+    exact mirror of ``_body_natural_in`` without the final exchange. Output
+    is always block-natural.
+
+    Local input: (..., N/d) viewed as (rows of ka in [my_block], all kb).
+    """
+    pre = ar.shape[:-1]
+    k = len(pre)
+    rows, bloc = A // d, B // d
+    ar = ar.reshape(pre + (rows, B))
+    ai = ai.reshape(pre + (rows, B))
+    # FFT over kb (length B, local fast axis).
+    ar, ai = stockham_split_last_axis(ar, ai, bases_b, inverse=inverse)
+    ar, ai = _twiddle_mul(ar, ai, twr, twi)   # T[ka, b], ka-sharded slice
+
+    def gather_a(x):  # (rows, B) -> (A, bloc)
+        x = x.reshape(pre + (rows, d, bloc))
+        x = _a2a(x, axis_name, k + 1, k)
+        return x.reshape(pre + (A, bloc))
+
+    ar, ai = gather_a(ar), gather_a(ai)
+    ar, ai = fft_along_axis(ar, ai, ar.ndim - 2, bases_a, inverse=inverse,
+                            scale=scale)
+
+    def scatter_a(x):  # (A, bloc) -> natural local block (rows_a * B,)
+        x = x.reshape(pre + (d, rows, bloc))
+        x = _a2a(x, axis_name, k, k + 1)
+        return x.reshape(pre + (rows * B,))
+
+    return scatter_a(ar), scatter_a(ai)
+
+
+def _norm_scale(norm, n_total: int, inverse: bool) -> float:
+    from .api import _norm_scale as _ns
+
+    return _ns(norm, n_total, inverse)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_distributed_fn(
+    mesh: Mesh, axis_name: str, axis: int, ndim: int, n: int,
+    inverse: bool, scale: float, batch_axis_name: str | None,
+    permuted_in: bool, permuted_out: bool,
+):
+    """Jitted (re, im, twr, twi) -> (re, im) four-step executable, cached per
+    static configuration (the plan-cache analog for the distributed path)."""
+    d = mesh.shape[axis_name]
+    A, B = split_n(n, d) if d > 1 else (1, n)
+    bases_a = default_bases(A) if A > 1 else (1,)
+    bases_b = default_bases(B)
+
+    def body(ar, ai, twr, twi):
+        ar = jnp.moveaxis(ar, axis, -1)
+        ai = jnp.moveaxis(ai, axis, -1)
+        if d == 1:
+            outr, outi = stockham_split_last_axis(
+                ar, ai, default_bases(n), inverse=inverse, scale=scale
+            )
+        elif permuted_in:
+            outr, outi = _body_permuted_in(
+                ar, ai, twr, twi, A=A, B=B, d=d, axis_name=axis_name,
+                inverse=inverse, scale=scale, bases_a=bases_a,
+                bases_b=bases_b,
+            )
+        else:
+            outr, outi = _body_natural_in(
+                ar, ai, twr, twi, A=A, B=B, d=d, axis_name=axis_name,
+                inverse=inverse, scale=scale, bases_a=bases_a,
+                bases_b=bases_b, natural_out=not permuted_out,
+            )
+        return jnp.moveaxis(outr, -1, axis), jnp.moveaxis(outi, -1, axis)
+
+    data_spec = [None] * ndim
+    data_spec[axis] = axis_name if d > 1 else None
+    if batch_axis_name is not None:
+        b_ax = 0 if axis != 0 else 1
+        data_spec[b_ax] = batch_axis_name
+    data_p = P(*data_spec)
+    # T[ka, b]: the natural-in body consumes it b-sharded, the permuted-in
+    # body ka-sharded.
+    tw_p = P(None, axis_name) if not permuted_in else P(axis_name, None)
+    if d == 1:
+        tw_p = P(None, None)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(data_p, data_p, tw_p, tw_p),
+        out_specs=(data_p, data_p),
+        check_rep=False,
+    )
+    return jax.jit(fn), A, B
+
+
+def fft_distributed(
+    x: SplitComplex,
+    mesh: Mesh,
+    *,
+    axis_name: str,
+    axis: int = -1,
+    inverse: bool = False,
+    norm: str | None = None,
+    batch_axis_name: str | None = None,
+    permuted_in: bool = False,
+    permuted_out: bool = False,
+) -> SplitComplex:
+    """1D FFT along ``axis`` block-sharded over mesh axis ``axis_name``.
+
+    ``x`` planes may be global arrays or already-sharded; the result is
+    block-sharded the same way. ``permuted_out`` returns the spectrum in
+    (ka, kb)-major order, saving one all_to_all; feed it back through
+    ``permuted_in=True`` (e.g. for the inverse of an fft->filter->ifft
+    pipeline). If ``batch_axis_name`` is given, the leading batch axis is
+    additionally sharded over it (DP x SP over one 2D mesh in one step).
+    """
+    if permuted_in and permuted_out:
+        raise ValueError("permuted_in and permuted_out are mutually exclusive")
+    ndim = x.re.ndim
+    axis = axis % ndim
+    n = x.re.shape[axis]
+    scale = _norm_scale(norm, n, inverse)
+    fn, A, B = _build_distributed_fn(
+        mesh, axis_name, axis, ndim, n, inverse, scale, batch_axis_name,
+        permuted_in, permuted_out,
+    )
+    twr_h, twi_h = _interfactor_twiddle(A, B, inverse)
+    outr, outi = fn(x.re, x.im, jnp.asarray(twr_h), jnp.asarray(twi_h))
+    return SplitComplex(outr, outi)
+
+
+def fft_batch_sharded(
+    x: SplitComplex,
+    mesh: Mesh,
+    *,
+    batch_axis_name: str,
+    axes=None,
+    inverse: bool = False,
+    norm: str | None = None,
+    batch_dim: int = 0,
+) -> SplitComplex:
+    """ND FFT with the batch dimension sharded across the mesh (DP analog).
+
+    Pure sharding annotation — every device runs the ordinary local plan on
+    its batch shard; XLA inserts no collectives. The transform axes must not
+    include ``batch_dim``.
+    """
+    from . import api as _api
+
+    ndim = x.re.ndim
+    axes_c = _api._canon_axes(ndim, axes) if axes is not None else tuple(
+        a for a in range(ndim) if a != batch_dim
+    )
+    if batch_dim in axes_c:
+        raise ValueError("batch_dim cannot be a transformed axis")
+    plan = _api.plan_fft(
+        tuple(x.re.shape), jnp.complex64 if x.re.dtype == jnp.float32
+        else jnp.complex128,
+        axes=axes_c, inverse=inverse, norm=norm,
+    )
+    spec = [None] * ndim
+    spec[batch_dim] = batch_axis_name
+    sh = NamedSharding(mesh, P(*spec))
+    re = jax.device_put(x.re, sh)
+    im = jax.device_put(x.im, sh)
+    return plan(SplitComplex(re, im))
