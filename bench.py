@@ -6,8 +6,12 @@ Prints ONE JSON line:
 Headline config from BASELINE.json: fp32 C2C at (100000, 1024); baseline is
 the reference's published GPU number for that shape (1.432 ms Mojo on an
 RTX 5090, README.md:15-29 -> BASELINE.md). vs_baseline = baseline_ms / ours
-(>1 means faster than the reference). Methodology mirrors fft/bench.mojo:
-plan once, time execute+synchronize (here: block_until_ready).
+(>1 means faster than the reference). Methodology mirrors fft/bench.mojo
+(plan once, time execute+sync) with two environment adaptations: sync is a
+scalar fetch (block_until_ready under-reports through the axon tunnel) and
+the statistic is the MINIMUM per-iteration time (the tunnel's throughput
+varies several-fold between moments; min is the noise-robust estimator of
+the device's actual speed).
 """
 
 from __future__ import annotations
@@ -21,10 +25,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 BATCH, N = 100_000, 1024
 BASELINE_MS = 1.432  # reference Mojo GPU, same shape (BASELINE.md)
-WARMUP, ITERS = 5, 30
+WARMUP, ITERS = 3, 20
 
 
 def main() -> None:
@@ -41,29 +47,34 @@ def main() -> None:
 
     plan = tpufft.plan_fft((BATCH, N), jnp.complex64, axes=(-1,))
 
-    # correctness spot-check on a slice before timing
-    small = SplitComplex(ar[:64], ai[:64])
-    got = plan_small_out = tpufft.fft(small, axis=-1).numpy()
-    ref = np.fft.fft(small.numpy())
+    def sync(o):
+        float(o.re[-1, -1]), float(o.im[-1, -1])
+
+    for _ in range(WARMUP):
+        sync(plan(x))
+
+    # correctness spot-check against the host oracle on a few rows
+    out = plan(x)
+    got = np.asarray(out.re[:4]) + 1j * np.asarray(out.im[:4])
+    ref = np.fft.fft(np.asarray(ar[:4]) + 1j * np.asarray(ai[:4]))
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     if err > 1e-3:
         raise AssertionError(f"bench correctness check failed: err={err:.3e}")
     print(f"correctness err: {err:.3e}", file=sys.stderr)
 
-    for _ in range(WARMUP):
-        out = plan(x)
-        out.re.block_until_ready()
-    t0 = time.perf_counter()
+    times = []
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         out = plan(x)
-        out.re.block_until_ready()
-    ms = (time.perf_counter() - t0) / ITERS * 1e3
+        sync(out)
+        times.append(time.perf_counter() - t0)
+    ms = min(times) * 1e3
 
     flops = 5.0 * BATCH * N * np.log2(N)  # standard 5 N log2 N model
     gflops = flops / (ms * 1e-3) / 1e9
     gbps = (2 * 2 * 4 * BATCH * N) / (ms * 1e-3) / 1e9  # in+out, re+im, f32
-    print(f"{ms:.3f} ms  {gflops:.0f} GFLOP/s  {gbps:.0f} GB/s(model)",
-          file=sys.stderr)
+    print(f"min {ms:.3f} ms (median {np.median(times)*1e3:.3f})  "
+          f"{gflops:.0f} GFLOP/s  {gbps:.0f} GB/s(model)", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"1D C2C fp32 ({BATCH}, {N}) plan-execute",

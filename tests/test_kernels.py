@@ -1,0 +1,91 @@
+"""Fused MXU kernel tests via Pallas interpret mode on CPU.
+
+Interpret mode is the fake-backend analog of the reference forcing GPU
+residency tiers without that hardware (_GPUTest, fft/fft/_ndim_fft_gpu.mojo:
+453-459): it runs the exact kernel dataflow on CPU so the Mosaic-facing
+logic (factor planning, Kronecker padding, layout reshapes, natural-order
+output) is covered in CI.
+"""
+
+import numpy as np
+import pytest
+
+import tpufft
+from tpufft import PlanConfig
+from tpufft.kernels.mxu_fft import kernel_factors
+from conftest import assert_spectrum_close
+
+CFG = PlanConfig(interpret=True, backend="pallas", lane_block=128)
+CFG_AUTO = PlanConfig(interpret=True, backend="auto", lane_block=128)
+
+
+def test_kernel_factors():
+    assert kernel_factors(64) == ("small", 64)
+    assert kernel_factors(93) == ("small", 93)
+    assert kernel_factors(1024) == ("four_step", 128, 8, 16)
+    kind, A, B, f = kernel_factors(576)   # 2^6 * 3^2
+    assert A * B == 576 and A <= 128 and B * f <= 128 and A % f == 0
+    assert kernel_factors(1) is None
+    assert kernel_factors(2 * 131) is None          # prime cofactor > 128
+    assert kernel_factors(131) is None              # prime > MXU depth
+
+
+@pytest.mark.parametrize("n", [8, 93, 128, 256, 960, 1024])
+def test_kernel_minor_axis(n, rng):
+    x = (rng.standard_normal((130, n))        # non-multiple of lane block
+         + 1j * rng.standard_normal((130, n))).astype(np.complex64)
+    got = tpufft.fft(x, config=CFG)
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+
+
+@pytest.mark.parametrize("n", [64, 256])
+def test_kernel_inverse_norm(n, rng):
+    x = (rng.standard_normal((16, n))
+         + 1j * rng.standard_normal((16, n))).astype(np.complex64)
+    back = tpufft.ifft(tpufft.fft(x, config=CFG), config=CFG)
+    assert_spectrum_close(back, x, np.complex64)
+    got = tpufft.fft(x, norm="ortho", config=CFG)
+    assert_spectrum_close(got, np.fft.fft(x, norm="ortho"), np.complex64)
+
+
+def test_kernel_inner_axis(rng):
+    """Transform along a non-minor axis: the transpose-free ND layout."""
+    x = (rng.standard_normal((3, 64, 256))
+         + 1j * rng.standard_normal((3, 64, 256))).astype(np.complex64)
+    got = tpufft.fftn(x, axes=(1,), config=CFG)
+    assert_spectrum_close(got, np.fft.fft(x, axis=1), np.complex64)
+
+
+def test_kernel_2d(rng):
+    x = (rng.standard_normal((2, 64, 128))
+         + 1j * rng.standard_normal((2, 64, 128))).astype(np.complex64)
+    got = tpufft.fft2(x, config=CFG)
+    assert_spectrum_close(got, np.fft.fft2(x), np.complex64)
+
+
+def test_kernel_real_input(rng):
+    x = rng.standard_normal((32, 256)).astype(np.float32)
+    got = tpufft.fft(x, config=CFG)
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+
+
+def test_auto_fallback_for_unsupported(rng):
+    """Prime > 128 falls back to the XLA path under backend='auto'."""
+    x = (rng.standard_normal((4, 262))        # 2 * 131
+         + 1j * rng.standard_normal((4, 262))).astype(np.complex64)
+    got = tpufft.fft(x, config=CFG_AUTO)
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+
+
+def test_pallas_backend_rejects_unsupported():
+    with pytest.raises(ValueError):
+        tpufft.fft(np.zeros((4, 262), np.complex64), config=CFG)
+
+
+def test_kernel_highest_precision(rng):
+    cfg = PlanConfig(interpret=True, backend="pallas", lane_block=128,
+                     precision="highest")
+    x = (rng.standard_normal((8, 1024))
+         + 1j * rng.standard_normal((8, 1024))).astype(np.complex64)
+    got = tpufft.fft(x, config=cfg)
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)

@@ -1,0 +1,61 @@
+"""Native C++ CPU engine tests (ctypes bindings over native/tpufft_cpu.cpp).
+
+Skipped when no C++ toolchain is available.
+"""
+
+import numpy as np
+import pytest
+
+from tpufft import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native engine unavailable (no g++)"
+)
+
+
+def test_1d_batched_f32(rng):
+    x = (rng.standard_normal((50, 96))
+         + 1j * rng.standard_normal((50, 96))).astype(np.complex64)
+    got = native.fft(x)
+    ref = np.fft.fft(x)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-3
+
+
+def test_1d_prime_f64(rng):
+    x = (rng.standard_normal((10, 93))
+         + 1j * rng.standard_normal((10, 93)))
+    got = native.fft(x, dtype=np.float64)
+    ref = np.fft.fft(x)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-12
+
+
+def test_roundtrip(rng):
+    x = (rng.standard_normal((20, 60))
+         + 1j * rng.standard_normal((20, 60))).astype(np.complex64)
+    back = native.ifft(native.fft(x))
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_nd(rng):
+    x = (rng.standard_normal((3, 6, 8, 10))
+         + 1j * rng.standard_normal((3, 6, 8, 10)))
+    got = native.fftn(x, dtype=np.float64)
+    ref = np.fft.fftn(x, axes=(1, 2, 3))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-12
+
+
+def test_nd_inverse_norm(rng):
+    x = (rng.standard_normal((2, 8, 12))
+         + 1j * rng.standard_normal((2, 8, 12))).astype(np.complex64)
+    back = native.ifftn(native.fftn(x))
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_matches_jax_path(rng):
+    """Native engine and the jnp oracle agree (same stage schedule family)."""
+    import tpufft
+    x = (rng.standard_normal((4, 48))
+         + 1j * rng.standard_normal((4, 48))).astype(np.complex64)
+    a = native.fft(x)
+    b = np.asarray(tpufft.fft(x))
+    assert np.max(np.abs(a - b)) / max(1.0, np.max(np.abs(b))) < 1e-3

@@ -33,9 +33,10 @@ class PlanConfig:
       vmem_budget_bytes: VMEM the launch-config model may plan against; the
         analog of the reference's shared-memory budget
         (``_GPUExecConfig.use_shared_memory``, fft/fft/_ndim_fft_gpu.mojo:114-136).
-      min_radix_matmul: radices >= this use an MXU matmul butterfly; smaller
-        radices use unrolled VPU butterflies with constant-folded +-1/+-i
-        phasors (analog of _utils.mojo:291-372 phasor specialization).
+      precision: MXU matmul precision for the fused kernel —
+        "bf16x3" (3-pass bf16 emulation, ~1e-6 rel err, fastest accurate
+        mode), "highest" (6-pass full f32), or "default" (1-pass bf16,
+        ~4e-3 rel err; for tolerance-insensitive pipelines only).
     """
 
     max_radix: int = 16
@@ -43,10 +44,15 @@ class PlanConfig:
     lane_block: int | None = None
     interpret: bool = False
     vmem_budget_bytes: int = 12 * 1024 * 1024
-    min_radix_matmul: int = 8
+    precision: str = "bf16x3"
 
     def __post_init__(self):
         if self.backend not in BACKENDS:
             raise ValueError(
                 f"backend must be one of {BACKENDS}, got {self.backend!r}"
+            )
+        if self.precision not in ("bf16x3", "highest", "default"):
+            raise ValueError(
+                f"precision must be bf16x3|highest|default, got "
+                f"{self.precision!r}"
             )

@@ -5,13 +5,13 @@ The TPU-native counterpart of the reference's per-dim scheduling
 the ``_GPUExecConfig`` occupancy model at :38-137): for each transformed axis
 decide between
 
-  * the fused Pallas kernel (all Stockham stages of that axis in VMEM —
-    the analog of the reference's shared-memory-resident kernel), and
-  * the pure-XLA jnp path (the analog of its global-memory fallback).
+  * the fused MXU Pallas kernel (the whole axis's transform as dense
+    DFT-matrix matmuls in VMEM — kernels/mxu_fft.py), and
+  * the pure-XLA jnp path (the analog of its global-memory fallback; also
+    the f64 and large/prime-length path).
 
-The decision is a VMEM-budget cost model instead of a shared-memory/occupancy
-model. All data moves through this layer as split real/imag float planes
-(see core.SplitComplex) because TPU has no complex arithmetic.
+All data moves through this layer as split real/imag float planes (see
+core.SplitComplex) because TPU has no complex arithmetic.
 """
 
 from __future__ import annotations
@@ -21,11 +21,11 @@ import jax.numpy as jnp
 
 from . import core
 from .config import PlanConfig
+from .kernels import mxu_fft
 
 __all__ = ["fft_axis", "pallas_supported", "choose_lane_block"]
 
-_LANE = 128          # TPU lane width
-_SUBLANE_F32 = 8     # f32 sublane tile
+choose_lane_block = mxu_fft.choose_lane_block
 
 
 def _is_tpu_backend() -> bool:
@@ -35,33 +35,13 @@ def _is_tpu_backend() -> bool:
         return False
 
 
-def choose_lane_block(n: int, cfg: PlanConfig) -> int:
-    """Pick B, the lane-axis width of the in-kernel (N, B) state block.
-
-    VMEM must hold: input block (N,B) re+im, output block re+im, plus one
-    ping-pong scratch pair and stage tables (~N*stages elements). Aim for
-    roughly cfg.vmem_budget_bytes over ~6 (N,B) f32 planes.
-    """
-    if cfg.lane_block is not None:
-        return cfg.lane_block
-    planes = 6
-    per_lane = n * 4 * planes
-    b = cfg.vmem_budget_bytes // max(per_lane, 1)
-    b = max(_LANE, min(2048, (b // _LANE) * _LANE))
-    return b
-
-
-def pallas_supported(n: int, bases: tuple[int, ...], cfg: PlanConfig) -> bool:
-    """Can this axis run in the fused-VMEM Pallas kernel?"""
+def pallas_supported(n: int, dtype, cfg: PlanConfig) -> bool:
+    """Can this axis run in the fused MXU kernel?"""
     if cfg.backend == "xla":
         return False
     if not (cfg.interpret or _is_tpu_backend()):
         return False
-    b = choose_lane_block(n, cfg)
-    working = 6 * n * b * 4
-    if working > cfg.vmem_budget_bytes * 2:
-        return False
-    return n >= 2
+    return mxu_fft.pallas_supported(n, dtype, cfg)
 
 
 def fft_axis(
@@ -76,24 +56,21 @@ def fft_axis(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Transform one axis of the split planes, choosing the best backend."""
     n = ar.shape[axis]
-    use_pallas = pallas_supported(n, bases, config) and config.backend in (
+    if pallas_supported(n, ar.dtype, config) and config.backend in (
         "auto", "pallas",
-    )
-    if use_pallas:
-        from .kernels import stockham as _stockham
-
+    ):
         try:
-            return _stockham.fft_axis_pallas(
+            return mxu_fft.fft_axis_pallas(
                 ar, ai, axis, bases, inverse=inverse, scale=scale,
                 config=config,
             )
         except NotImplementedError:
             if config.backend == "pallas":
                 raise
-    if config.backend == "pallas":
+    elif config.backend == "pallas":
         raise ValueError(
-            f"backend='pallas' requested but axis length {n} is not "
-            "supported by the fused kernel (exceeds the VMEM model); use "
+            f"backend='pallas' requested but axis length {n} (dtype "
+            f"{ar.dtype}) is not supported by the fused kernel; use "
             "backend='auto' for automatic fallback"
         )
     return core.fft_along_axis(

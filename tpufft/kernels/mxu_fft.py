@@ -1,0 +1,375 @@
+"""Fused MXU FFT kernels (Pallas TPU), split re/im planes.
+
+The TPU-native replacement for the reference's thread-per-element Stockham
+GPU kernel (fft/fft/_ndim_fft_gpu.mojo:279-450) designed around what the
+hardware is actually fast at: the MXU contracts 128-deep matmuls at
+hundreds of TFLOP/s while strided butterfly index math starves the VPU.
+So instead of per-element butterflies, a whole transform is computed as
+dense DFT-matrix contractions entirely in VMEM:
+
+* N <= 128 ("small"): one complex matmul with the dense W_N —
+  Z = W_N @ X^T for a (bblk, N) batch block.
+* 128 < N ("four-step"): the Bailey factorization N = A * B with the flat
+  index n = a*B + b and k = kb*A + ka:
+
+      X[kb*A + ka] = sum_b e(b kb/B) [ e(b ka/N) sum_a e(a ka/A) x[a*B+b] ]
+
+  step 1 is a dense (A x A) @ (A x B*bblk) matmul (A chosen as the largest
+  factor <= 128 — full MXU contraction depth for power-of-two N), the
+  inter-factor twiddle is an elementwise multiply, and step 2's small
+  radix-B DFT is padded to full MXU depth as the block-diagonal Kronecker
+  matrix W_B (x) I_f (f = largest divisor of A with B*f <= 128) — trading
+  redundant (structurally zero) FLOPs, which the MXU has to spare, for
+  full utilization. The output falls out in natural order by construction
+  (rows (k2, f, g) == k2*A + k1), so unlike the reference's GPU path
+  (fft/fft/_ndim_fft_gpu.mojo:634-642) no digit reversal and no separate
+  transpose kernels are needed.
+
+Complex arithmetic is split-plane: each complex matmul is four real MXU
+matmuls (config-selectable precision: 6-pass f32 "highest" or 3-pass
+bf16x3 emulation, which measures ~1e-6 relative error — far inside the
+c32 tolerance).
+
+Two entry layouts:
+* minor axis (batch, N): transposed to (N, bblk) lanes=batch inside the
+  kernel (a cheap in-VMEM 2D transpose);
+* inner axis (pre, N, L): the transform axis is already on sublanes with a
+  natural lane batch — no transpose at all. This is what makes ND
+  transforms transpose-free end-to-end (the reference spends 2(k-1) global
+  transpose kernel launches per ND FFT, fft/fft/_ndim_fft_gpu.mojo:567-642).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import PlanConfig
+from ..planner import factorize
+
+_LANE = 128
+_MAX_DEPTH = 128  # MXU systolic depth
+
+
+# ----------------------------------------------------------------------------
+# Factor planning
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _divisors(n: int) -> tuple[int, ...]:
+    out = []
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            out.append(d)
+            if d != n // d:
+                out.append(n // d)
+        d += 1
+    return tuple(sorted(out))
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_factors(n: int):
+    """Choose the MXU factorization for length n.
+
+    Returns ("small", n), ("four_step", A, B, f) or None (not supported by
+    the fused kernel -> caller falls back to the XLA path).
+    """
+    if n < 2:
+        return None
+    if n <= _MAX_DEPTH:
+        return ("small", n)
+    divs = _divisors(n)
+    cands = [d for d in divs if d <= _MAX_DEPTH and n // d <= _MAX_DEPTH]
+    if not cands:
+        return None  # e.g. prime > 128 or n > 16384
+    A = max(cands)
+    B = n // A
+    f = max(d for d in _divisors(A) if B * d <= _MAX_DEPTH)
+    return ("four_step", A, B, f)
+
+
+def choose_lane_block(n: int, cfg: PlanConfig) -> int:
+    """Lane-axis batch width per kernel invocation, from the VMEM model.
+
+    The working set is ~10 (N, bblk) f32 planes (double-buffered in/out
+    pairs + intermediates); the analog of the reference's shared-memory
+    budget (_GPUExecConfig.use_shared_memory, _ndim_fft_gpu.mojo:114-136).
+    """
+    if cfg.lane_block is not None:
+        return cfg.lane_block
+    planes = 10
+    b = cfg.vmem_budget_bytes // max(planes * n * 4, 1)
+    b = (b // _LANE) * _LANE
+    # 128 measured best at N=1024 (12.4 ms vs 13.8 ms at 256); sub-128 lane
+    # blocks save no VMEM anyway (tiles pad the lane dim to 128).
+    return max(0, min(_LANE, b))
+
+
+def pallas_supported(n: int, dtype, cfg: PlanConfig) -> bool:
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False  # TPU planes are f32; f64 runs on the XLA/CPU path
+    if kernel_factors(n) is None:
+        return False
+    return choose_lane_block(n, cfg) >= _LANE
+
+
+# ----------------------------------------------------------------------------
+# Tables
+# ----------------------------------------------------------------------------
+
+def _cis_outer(i: int, j: int, den: float, inverse: bool):
+    sign = 1.0 if inverse else -1.0
+    k = np.outer(np.arange(i, dtype=np.float64), np.arange(j, dtype=np.float64))
+    theta = (sign * 2.0 * np.pi / den) * k
+    return np.cos(theta), np.sin(theta)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(n: int, inverse: bool, scale: float):
+    """Host-precomputed f32 table planes for the chosen factorization.
+
+    float64 trig then cast — same discipline as the reference uploading
+    host tables in _GPUPlan.__init__ (fft/fft/_ndim_fft_gpu.mojo:196-207).
+    The norm scale is folded into the last matmul's matrix (the analog of
+    the reference's fused 1/N in the final stage, fft/fft/_fft.mojo:292-295).
+    """
+    kind = kernel_factors(n)
+    assert kind is not None
+    f32 = lambda x: np.ascontiguousarray(x, np.float32)  # noqa: E731
+    if kind[0] == "small":
+        wr, wi = _cis_outer(n, n, float(n), inverse)
+        return (f32(wr * scale), f32(wi * scale))
+    _, A, B, f = kind
+    w1r, w1i = _cis_outer(A, A, float(A), inverse)
+    twr, twi = _cis_outer(A, B, float(n), inverse)
+    w2r, w2i = _cis_outer(B, B, float(B), inverse)
+    eye = np.eye(f)
+    w2r_k = np.kron(w2r * scale, eye)
+    w2i_k = np.kron(w2i * scale, eye)
+    return (f32(w1r), f32(w1i), f32(twr), f32(twi), f32(w2r_k), f32(w2i_k))
+
+
+# ----------------------------------------------------------------------------
+# Kernel bodies
+# ----------------------------------------------------------------------------
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_mm(precision: str):
+    if precision == "bf16x3":
+        def mm(a, b):
+            ah, al = _split_bf16(a)
+            bh, bl = _split_bf16(b)
+            d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+        return mm
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return functools.partial(jnp.dot, precision=prec,
+                             preferred_element_type=jnp.float32)
+
+
+def _cmm(mm, wr, wi, xr, xi):
+    """Complex matmul (wr + i wi) @ (xr + i xi) as real MXU matmuls."""
+    return mm(wr, xr) - mm(wi, xi), mm(wr, xi) + mm(wi, xr)
+
+
+def _compute_small(mm, n, tables, xr, xi):
+    """xr/xi: (n, lanes) -> (n, lanes)."""
+    wr, wi = tables
+    return _cmm(mm, wr, wi, xr, xi)
+
+
+def _compute_four_step(mm, n, A, B, f, tables, xr, xi):
+    """xr/xi: (n, lanes) -> (n, lanes), natural order in and out."""
+    lanes = xr.shape[-1]
+    w1r, w1i, twr, twi, w2r, w2i = tables
+    # rows a, lane-cols (b, lanes)
+    xr = xr.reshape(A, B * lanes)
+    xi = xi.reshape(A, B * lanes)
+    yr, yi = _cmm(mm, w1r, w1i, xr, xi)
+    # inter-factor twiddle T[ka, b]
+    yr = yr.reshape(A, B, lanes)
+    yi = yi.reshape(A, B, lanes)
+    tr = twr[:, :, None]
+    ti = twi[:, :, None]
+    yr, yi = yr * tr - yi * ti, yr * ti + yi * tr
+    # rows (b, k1_hi): (A,B,lanes) -> (B,A,lanes) -> (B*f, (A/f)*lanes)
+    yr = yr.transpose(1, 0, 2).reshape(B * f, (A // f) * lanes)
+    yi = yi.transpose(1, 0, 2).reshape(B * f, (A // f) * lanes)
+    zr, zi = _cmm(mm, w2r, w2i, yr, yi)
+    # rows (k2, k1_hi), lane-cols (k1_lo, lanes) -> natural (n, lanes)
+    return zr.reshape(n, lanes), zi.reshape(n, lanes)
+
+
+def _compute(mm, n, kind, tables, xr, xi):
+    if kind[0] == "small":
+        return _compute_small(mm, n, tables, xr, xi)
+    _, A, B, f = kind
+    return _compute_four_step(mm, n, A, B, f, tables, xr, xi)
+
+
+# ----------------------------------------------------------------------------
+# pallas_call builders (cached per static config)
+# ----------------------------------------------------------------------------
+
+def _const_specs(tables):
+    return [
+        pl.BlockSpec(t.shape, (lambda i, j: (0, 0)), memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
+                 precision: str, interpret: bool):
+    """(batch, n) -> (batch, n): transform along the minor axis."""
+    kind = kernel_factors(n)
+    tables = _tables(n, inverse, scale)
+    mm = _make_mm(precision)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
+        tabs = tuple(r[:] for r in t_refs)
+        xr = xr_ref[:].T  # (n, bblk): lanes = batch
+        xi = xi_ref[:].T
+        zr, zi = _compute(mm, n, kind, tabs, xr, xi)
+        or_ref[:] = zr.T
+        oi_ref[:] = zi.T
+
+    data = pl.BlockSpec((bblk, n), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def run(ar, ai):
+        batch = ar.shape[0]
+        grid = (pl.cdiv(batch, bblk), 1)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=_const_specs(tables) + [data, data],
+            out_specs=[data, data],
+            out_shape=[jax.ShapeDtypeStruct((batch, n), jnp.float32)] * 2,
+            interpret=interpret,
+        )(*[jnp.asarray(t) for t in tables], ar, ai)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_inner(n: int, inverse: bool, scale: float, lblk: int,
+                 precision: str, interpret: bool):
+    """(pre, n, L) -> (pre, n, L): transform along the middle axis.
+
+    The transform axis is already on sublanes with trailing lanes — the
+    transpose-free ND path.
+    """
+    kind = kernel_factors(n)
+    tables = _tables(n, inverse, scale)
+    mm = _make_mm(precision)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
+        tabs = tuple(r[:] for r in t_refs)
+        xr = xr_ref[0]  # (n, lblk)
+        xi = xi_ref[0]
+        zr, zi = _compute(mm, n, kind, tabs, xr, xi)
+        or_ref[0] = zr
+        oi_ref[0] = zi
+
+    data = pl.BlockSpec((1, n, lblk), lambda p, j: (p, 0, j),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda p, j: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    def run(ar, ai):
+        pre, _, L = ar.shape
+        grid = (pre, pl.cdiv(L, lblk))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tspec(t) for t in tables] + [data, data],
+            out_specs=[data, data],
+            out_shape=[jax.ShapeDtypeStruct((pre, n, L), jnp.float32)] * 2,
+            interpret=interpret,
+        )(*[jnp.asarray(t) for t in tables], ar, ai)
+
+    return run
+
+
+# ----------------------------------------------------------------------------
+# Public entry
+# ----------------------------------------------------------------------------
+
+def fft_axis_pallas(
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
+    axis: int,
+    bases: tuple[int, ...],
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-kernel transform along ``axis``. ``bases`` is advisory here:
+    the kernel picks its own MXU factorization (the result is the same DFT).
+    Raises NotImplementedError when the config is outside the kernel's
+    envelope so the caller can fall back to the XLA path."""
+    ndim = ar.ndim
+    axis = axis % ndim
+    n = ar.shape[axis]
+    if not pallas_supported(n, ar.dtype, config):
+        raise NotImplementedError(f"no fused kernel for n={n}")
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+
+    interpret = bool(config.interpret)
+    precision = config.precision
+    shape = ar.shape
+
+    post = math.prod(shape[axis + 1:]) if axis < ndim - 1 else 1
+    pre = math.prod(shape[:axis]) if axis > 0 else 1
+
+    if axis == ndim - 1 or post < _LANE:
+        # minor-axis layout (batch, n)
+        if axis != ndim - 1:
+            ar = jnp.moveaxis(ar, axis, -1)
+            ai = jnp.moveaxis(ai, axis, -1)
+        moved_shape = ar.shape
+        bblk = choose_lane_block(n, config)
+        run = _build_minor(n, inverse, float(scale), bblk, precision,
+                           interpret)
+        outr, outi = run(ar.reshape(-1, n), ai.reshape(-1, n))
+        outr = outr.reshape(moved_shape)
+        outi = outi.reshape(moved_shape)
+        if axis != ndim - 1:
+            outr = jnp.moveaxis(outr, -1, axis)
+            outi = jnp.moveaxis(outi, -1, axis)
+        return outr, outi
+
+    # inner-axis layout (pre, n, post): transpose-free
+    lblk = choose_lane_block(n, config)
+    run = _build_inner(n, inverse, float(scale), min(lblk, _round_lane(post)),
+                       precision, interpret)
+    outr, outi = run(ar.reshape(pre, n, post), ai.reshape(pre, n, post))
+    return outr.reshape(shape), outi.reshape(shape)
+
+
+def _round_lane(x: int) -> int:
+    return max(_LANE, (x // _LANE) * _LANE)

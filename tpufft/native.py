@@ -1,0 +1,162 @@
+"""ctypes bindings for the native CPU engine (native/tpufft_cpu.cpp).
+
+The native library plays the role of the reference's CPU backend
+(fft/fft/_ndim_fft_cpu.mojo) and of its native baseline harness
+(cufft-benchmark-main/): a host-side mixed-radix Stockham engine used for
+CPU execution and as the vendor-independent baseline in bench_cpu.py.
+
+Built on demand with g++ (-O3 -fopenmp); if no toolchain is available the
+module degrades gracefully (``available()`` returns False) and the JAX
+paths are unaffected.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+__all__ = ["available", "fft", "ifft", "fftn", "ifftn", "num_threads"]
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "tpufft_cpu.cpp")
+_LIB_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
+_LIB = os.path.join(_LIB_DIR, "libtpufft_cpu.so")
+
+
+def _build() -> str | None:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return _LIB
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64, i32, dbl = ctypes.c_int64, ctypes.c_int, ctypes.c_double
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    for name, ptr in (("tpufft_fft_strided_f32", f32p),
+                      ("tpufft_fft_strided_f64", f64p)):
+        fn = getattr(lib, name)
+        fn.restype = i32
+        fn.argtypes = [ptr, ptr, ptr, ptr, i64, i64, i64, i64, i64, i32, dbl,
+                       i32]
+    for name, ptr in (("tpufft_fft_nd_f32", f32p),
+                      ("tpufft_fft_nd_f64", f64p)):
+        fn = getattr(lib, name)
+        fn.restype = i32
+        fn.argtypes = [ptr, ptr, ptr, ptr, i64p, i32, i32, dbl, i32]
+    lib.tpufft_num_threads.restype = i32
+    lib.tpufft_num_threads.argtypes = []
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def num_threads() -> int:
+    lib = _lib()
+    return int(lib.tpufft_num_threads()) if lib else 0
+
+
+def _planes(x: np.ndarray, dtype):
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.complexfloating):
+        return (np.ascontiguousarray(x.real, dtype),
+                np.ascontiguousarray(x.imag, dtype))
+    return (np.ascontiguousarray(x, dtype), np.zeros(x.shape, dtype))
+
+
+def _combine(re: np.ndarray, im: np.ndarray) -> np.ndarray:
+    out = np.empty(re.shape,
+                   np.complex64 if re.dtype == np.float32 else np.complex128)
+    out.real, out.imag = re, im
+    return out
+
+
+def _norm_scale(norm, n_total, inverse):
+    from .api import _norm_scale as _ns
+    return _ns(norm, n_total, inverse)
+
+
+def fft(x, *, inverse: bool = False, norm=None, dtype=np.float32,
+        nthreads: int = 0) -> np.ndarray:
+    """Batched 1D C2C along the last axis (native CPU engine)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable (no g++?)")
+    dtype = np.dtype(dtype)
+    re, im = _planes(x, dtype)
+    n = re.shape[-1]
+    count = re.size // n
+    out_re = np.empty_like(re)
+    out_im = np.empty_like(im)
+    fn = (lib.tpufft_fft_strided_f32 if dtype == np.float32
+          else lib.tpufft_fft_strided_f64)
+    cptr = ctypes.POINTER(ctypes.c_float if dtype == np.float32
+                          else ctypes.c_double)
+    scale = _norm_scale(norm, n, inverse)
+    rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
+            out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
+            count, n, 1, n, n, int(inverse), float(scale), int(nthreads))
+    if rc:
+        raise RuntimeError(f"native fft failed (rc={rc})")
+    return _combine(out_re, out_im)
+
+
+def ifft(x, **kw) -> np.ndarray:
+    kw.setdefault("norm", "backward")
+    return fft(x, inverse=True, **kw)
+
+
+def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
+         nthreads: int = 0) -> np.ndarray:
+    """ND C2C over all axes except axis 0 (the batch axis)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable (no g++?)")
+    dtype = np.dtype(dtype)
+    re, im = _planes(x, dtype)
+    dims = np.asarray(re.shape, np.int64)
+    out_re = np.empty_like(re)
+    out_im = np.empty_like(im)
+    fn = (lib.tpufft_fft_nd_f32 if dtype == np.float32
+          else lib.tpufft_fft_nd_f64)
+    cptr = ctypes.POINTER(ctypes.c_float if dtype == np.float32
+                          else ctypes.c_double)
+    n_total = int(np.prod(dims[1:]))
+    scale = _norm_scale(norm, n_total, inverse)
+    rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
+            out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(dims), int(inverse), float(scale), int(nthreads))
+    if rc:
+        raise RuntimeError(f"native fftn failed (rc={rc})")
+    return _combine(out_re, out_im)
+
+
+def ifftn(x, **kw) -> np.ndarray:
+    kw.setdefault("norm", "backward")
+    return fftn(x, inverse=True, **kw)
