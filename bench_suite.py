@@ -1,0 +1,137 @@
+"""Full benchmark suite over the reference's published shape table.
+
+Covers the roles of the reference's three harnesses:
+* fft/bench.mojo         -> --device tpu   (this framework on the TPU chip)
+* benchmark-cpu-others/  -> --device cpu   (NumPy / SciPy-PocketFFT baselines)
+* cufft-benchmark-main/  -> the vendor-baseline column (on TPU the vendor
+  library is XLA itself; its FftOp cannot run on this chip because the
+  backend has no complex dtypes, so the XLA column is this framework's own
+  pure-XLA split-plane path, and CPU pocketfft numbers are the
+  vendor-independent baseline)
+
+Prints a markdown table (ms, min-of-iters). Shapes from the reference
+README tables (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+SHAPES = [
+    (1_000_000, 93),
+    (500_000, 128),
+    (100_000, 1024),
+    (100, 16384),
+    (100, 640, 480),
+    (10, 1920, 1080),
+    (1, 3840, 2160),
+    (100, 64, 64, 64),
+    (10, 128, 128, 128),
+    (1, 256, 256, 256),
+    (1, 64, 64, 64, 64),
+]
+
+
+def _bench_host(fn, x, iters):
+    fn(x)  # warm/plan
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn(x)
+        times.append(time.perf_counter() - t0)
+    return min(times) * 1e3
+
+
+def run_cpu(iters: int, with_native: bool) -> None:
+    import scipy.fft as sfft
+    from tpufft import native
+
+    native_ok = with_native and native.available()
+    hdr = "| shape | NumPy (ms) | SciPy/PocketFFT (ms) |"
+    if native_ok:
+        hdr += " tpufft-native (ms) |"
+    print(hdr)
+    print("|" + "---|" * (hdr.count("|") - 1))
+    rng = np.random.default_rng(0)
+    for shape in SHAPES:
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        axes = tuple(range(1, len(shape)))
+        t_np = _bench_host(lambda a: np.fft.fftn(a, axes=axes), x, iters)
+        t_sp = _bench_host(lambda a: sfft.fftn(a, axes=axes), x, iters)
+        row = f"| {shape} | {t_np:.1f} | {t_sp:.1f} |"
+        if native_ok:
+            t_nat = _bench_host(
+                lambda a: native.fftn(a) if len(shape) > 2
+                else native.fft(a), x, iters)
+            row += f" {t_nat:.1f} |"
+        print(row, flush=True)
+
+
+def run_tpu(iters: int) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import tpufft
+    from tpufft import SplitComplex
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    print("| shape | tpufft fused (ms) | tpufft XLA-path (ms) |")
+    print("|---|---|---|")
+    rng = np.random.default_rng(0)
+    for shape in SHAPES:
+        x = SplitComplex(
+            jnp.asarray(rng.standard_normal(shape), jnp.float32),
+            jnp.asarray(rng.standard_normal(shape), jnp.float32),
+        )
+        axes = tuple(range(1, len(shape)))
+
+        def timed(cfg):
+            plan = tpufft.plan_fft(shape, jnp.complex64, axes=axes,
+                                   config=cfg)
+
+            def sync(o):
+                float(o.re.reshape(-1)[-1])
+
+            try:
+                sync(plan(x))
+            except Exception as e:  # unsupported on this chip/config
+                print(f"   ({shape} {cfg.backend}: {str(e)[:60]})",
+                      file=sys.stderr)
+                return float("nan")
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                sync(plan(x))
+                times.append(time.perf_counter() - t0)
+            return min(times) * 1e3
+
+        t_fused = timed(tpufft.PlanConfig())
+        t_xla = timed(tpufft.PlanConfig(backend="xla"))
+        print(f"| {shape} | {t_fused:.2f} | {t_xla:.2f} |", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--native", action="store_true",
+                    help="include the native C++ engine in the CPU table")
+    args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        run_cpu(args.iters, args.native)
+    else:
+        run_tpu(args.iters)
+
+
+if __name__ == "__main__":
+    main()

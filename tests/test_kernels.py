@@ -89,3 +89,13 @@ def test_kernel_highest_precision(rng):
          + 1j * rng.standard_normal((8, 1024))).astype(np.complex64)
     got = tpufft.fft(x, config=cfg)
     assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+
+
+def test_kernel_packed_rfft(rng):
+    """Packed half-length rfft runs its length-N/2 C2C through the kernel."""
+    x = rng.standard_normal((32, 512)).astype(np.float32)
+    got = tpufft.rfft(x, config=CFG_AUTO)
+    assert got.shape == (32, 257)
+    assert_spectrum_close(got, np.fft.rfft(x), np.complex64)
+    back = tpufft.irfft(got, n=512, config=CFG_AUTO)
+    assert_spectrum_close(back, x, np.complex64)

@@ -189,18 +189,13 @@ def _apply_plan_split(ar, ai, *, plan: Plan):
     n_total = math.prod(lengths)
     scale = _norm_scale(plan.norm, n_total, plan.inverse)
 
+    if plan.kind == "r2c":
+        return _apply_r2c(ar, ai, plan, scale)
     if plan.kind == "c2r":
-        # Resize the non-packed axes first, then Hermitian-unpack the last
-        # transformed axis and run a plain inverse C2C.
-        for a, n in zip(axes[:-1], lengths[:-1]):
-            ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
-        ar, ai = _hermitian_extend(
-            ar, ai, lengths[-1], axes[-1], other_axes=axes[:-1]
-        )
-    else:
-        for a, n in zip(axes, lengths):
-            ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
+        return _apply_c2r(ar, ai, plan, scale)
 
+    for a, n in zip(axes, lengths):
+        ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
     # Fuse the whole normalization into the last-executed axis's final stage.
     for i, (a, n) in enumerate(zip(axes, lengths)):
         axis_scale = scale if i == len(axes) - 1 else 1.0
@@ -208,14 +203,152 @@ def _apply_plan_split(ar, ai, *, plan: Plan):
             ar, ai, a, plan.bases[i], inverse=plan.inverse, scale=axis_scale,
             config=plan.config,
         )
-
-    if plan.kind == "r2c":
-        sl = [slice(None)] * ar.ndim
-        sl[axes[-1]] = slice(0, lengths[-1] // 2 + 1)
-        ar, ai = ar[tuple(sl)], ai[tuple(sl)]
-    elif plan.kind == "c2r":
-        return ar, None
     return ar, ai
+
+
+def _apply_r2c(ar, ai, plan: Plan, scale: float):
+    """rfft[n]: packed transform of the last axis, then plain C2C over the
+    remaining axes on the (n//2+1)-packed data (numpy semantics and cost).
+
+    For even lengths the last axis uses the classic half-length trick —
+    the N real samples become N/2 complex points (even samples as the real
+    plane, odd as the imaginary plane: no zero plane is ever read), one
+    length-N/2 C2C, and an O(N) Hermitian untangle. This is the packed-rfft
+    speed the reference never implements (its do_rfft only skips imaginary
+    reads in stage one, fft/fft/_fft.mojo:115-118).
+    """
+    axes, lengths = plan.axes, plan.lengths
+    for a, n in zip(axes, lengths):
+        ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
+    n_last = lengths[-1]
+    s_last = scale if len(axes) == 1 else 1.0
+    if n_last % 2 == 0 and ai is None and n_last >= 2:
+        ar, ai = _rfft_packed_last(ar, axes[-1], n_last, s_last, plan.config)
+    else:
+        ar, ai = _execute.fft_axis(
+            ar, ai, axes[-1], plan.bases[-1], inverse=False, scale=s_last,
+            config=plan.config,
+        )
+        sl = [slice(None)] * ar.ndim
+        sl[axes[-1]] = slice(0, n_last // 2 + 1)
+        ar, ai = ar[tuple(sl)], ai[tuple(sl)]
+    for i, (a, n) in enumerate(zip(axes[:-1], lengths[:-1])):
+        axis_scale = scale if i == len(axes) - 2 else 1.0
+        ar, ai = _execute.fft_axis(
+            ar, ai, a, plan.bases[i], inverse=False, scale=axis_scale,
+            config=plan.config,
+        )
+    return ar, ai
+
+
+def _apply_c2r(ar, ai, plan: Plan, scale: float):
+    """irfft[n]: inverse C2C over the leading axes on packed data, then a
+    packed half-length inverse of the last axis (even lengths) or the
+    legacy full-length Hermitian-extend path (odd lengths)."""
+    axes, lengths = plan.axes, plan.lengths
+    n_last = lengths[-1]
+    for a, n in zip(axes[:-1], lengths[:-1]):
+        ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
+    if n_last % 2 == 0 and n_last >= 2:
+        if ai is None:
+            ai = jnp.zeros_like(ar)
+        ar, ai = _resize_axis(ar, n_last // 2 + 1, axes[-1]), _resize_axis(
+            ai, n_last // 2 + 1, axes[-1])
+        for i, a in enumerate(axes[:-1]):
+            ar, ai = _execute.fft_axis(
+                ar, ai, a, plan.bases[i], inverse=True, scale=1.0,
+                config=plan.config,
+            )
+        out = _irfft_packed_last(ar, ai, axes[-1], n_last, 2.0 * scale,
+                                 plan.config)
+        return out, None
+    # legacy: Hermitian-extend to full length, inverse C2C everywhere
+    ar, ai = _hermitian_extend(
+        ar, ai, n_last, axes[-1], other_axes=axes[:-1]
+    )
+    for i, (a, n) in enumerate(zip(axes, lengths)):
+        axis_scale = scale if i == len(axes) - 1 else 1.0
+        ar, ai = _execute.fft_axis(
+            ar, ai, a, plan.bases[i], inverse=True, scale=axis_scale,
+            config=plan.config,
+        )
+    return ar, None
+
+
+def _half_twiddle(m: int, n: int):
+    """Host W[k] = exp(-2*pi*i*k/n) for k in [0, m] (f64 -> f32 planes)."""
+    k = np.arange(m + 1, dtype=np.float64)
+    theta = -2.0 * np.pi * k / n
+    return np.cos(theta), np.sin(theta)
+
+
+def _rfft_packed_last(ar, axis, n, scale, config):
+    """Half-length packed rfft along ``axis`` (n even, real input plane)."""
+    from .planner import default_bases
+
+    m = n // 2
+    ar = jnp.moveaxis(ar, axis, -1)
+    pre = ar.shape[:-1]
+    x2 = ar.reshape(pre + (m, 2))
+    ze, zo = x2[..., 0], x2[..., 1]
+    zr, zi = _execute.fft_axis(
+        ze, zo, ar.ndim - 1, default_bases(m), inverse=False, scale=scale,
+        config=config,
+    )
+    # k-indexed (length m+1) views: Z[k % m] and Z[(m - k) % m]
+    zk_r = jnp.concatenate([zr, zr[..., :1]], -1)
+    zk_i = jnp.concatenate([zi, zi[..., :1]], -1)
+    zj_r = jnp.concatenate([zr[..., :1], jnp.flip(zr[..., 1:], -1),
+                            zr[..., :1]], -1)
+    zj_i = jnp.concatenate([zi[..., :1], jnp.flip(zi[..., 1:], -1),
+                            zi[..., :1]], -1)
+    # Xe = (Z + conj(Zj))/2 ; Xo = -i (Z - conj(Zj))/2
+    ae = (zk_r + zj_r) * 0.5
+    be = (zk_i - zj_i) * 0.5
+    ao = (zk_i + zj_i) * 0.5
+    bo = (zj_r - zk_r) * 0.5
+    wr_h, wi_h = _half_twiddle(m, n)
+    wr = jnp.asarray(wr_h, ar.dtype)
+    wi = jnp.asarray(wi_h, ar.dtype)
+    xr = ae + wr * ao - wi * bo
+    xi = be + wr * bo + wi * ao
+    return jnp.moveaxis(xr, -1, axis), jnp.moveaxis(xi, -1, axis)
+
+
+def _irfft_packed_last(ar, ai, axis, n, inner_scale, config):
+    """Half-length packed irfft along ``axis`` (n even). ``inner_scale`` is
+    2 * user_scale (the pipeline's inherent 1/2 folded in); returns the real
+    output plane."""
+    from .planner import default_bases
+
+    m = n // 2
+    ar = jnp.moveaxis(ar, axis, -1)
+    ai = jnp.moveaxis(ai, axis, -1)
+    pre = ar.shape[:-1]
+    # Xc[k] = conj(X[m-k]) for k in [0, m)
+    xc_r = jnp.flip(ar[..., 1:], -1)
+    xc_i = -jnp.flip(ai[..., 1:], -1)
+    xr, xi = ar[..., :m], ai[..., :m]
+    # Xe = (X + Xc)/2 ; (W Xo) = (X - Xc)/2 ; Xo = conj(W) * (W Xo)
+    er = (xr + xc_r) * 0.5
+    ei = (xi + xc_i) * 0.5
+    ur = (xr - xc_r) * 0.5
+    ui = (xi - xc_i) * 0.5
+    wr_h, wi_h = _half_twiddle(m - 1, n)  # k in [0, m)
+    wr = jnp.asarray(wr_h, ar.dtype)
+    wi = jnp.asarray(wi_h, ar.dtype)
+    # conj(W) = (wr, -wi)
+    or_ = wr * ur + wi * ui
+    oi = wr * ui - wi * ur
+    # Z = Xe + i Xo
+    zr = er - oi
+    zi = ei + or_
+    zr, zi = _execute.fft_axis(
+        zr, zi, ar.ndim - 1, default_bases(m), inverse=True,
+        scale=inner_scale, config=config,
+    )
+    out = jnp.stack([zr, zi], -1).reshape(pre + (n,))
+    return jnp.moveaxis(out, -1, axis)
 
 
 def _hermitian_extend(ar, ai, n: int, axis: int, other_axes: tuple[int, ...]):
