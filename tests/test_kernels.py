@@ -99,3 +99,15 @@ def test_kernel_packed_rfft(rng):
     assert_spectrum_close(got, np.fft.rfft(x), np.complex64)
     back = tpufft.irfft(got, n=512, config=CFG_AUTO)
     assert_spectrum_close(back, x, np.complex64)
+
+
+@pytest.mark.parametrize("n", [16384, 4096])
+def test_kernel_two_pass_large_n(n, rng):
+    """Lengths beyond the fused kernel's VMEM envelope run the six-step
+    two-pass decomposition (two kernel passes + XLA twiddle)."""
+    x = (rng.standard_normal((4, n))
+         + 1j * rng.standard_normal((4, n))).astype(np.complex64)
+    got = tpufft.fft(x, config=CFG_AUTO)
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+    back = tpufft.ifft(got, config=CFG_AUTO)
+    assert_spectrum_close(back, x, np.complex64)

@@ -55,3 +55,16 @@ def test_validate_bases_errors():
     with pytest.raises(ValueError):
         validate_bases(8, (8, 0))
     assert validate_bases(8, (2, 4)) == (2, 4)
+
+
+def test_digit_reverse():
+    from tpufft.planner import digit_reverse
+    # radix-2 case degenerates to bit reversal
+    assert [digit_reverse(i, (2, 2, 2)) for i in range(8)] == \
+        [0, 4, 2, 6, 1, 5, 3, 7]
+    # mixed radix: a valid permutation, inverted by the reversed base list
+    bases = (2, 3, 4)
+    perm = [digit_reverse(i, bases) for i in range(24)]
+    assert sorted(perm) == list(range(24))
+    for i in range(24):
+        assert digit_reverse(digit_reverse(i, bases), bases[::-1]) == i

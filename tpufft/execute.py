@@ -16,6 +16,8 @@ core.SplitComplex) because TPU has no complex arithmetic.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,70 @@ def pallas_supported(n: int, dtype, cfg: PlanConfig) -> bool:
     return mxu_fft.pallas_supported(n, dtype, cfg)
 
 
+def _split_large(n: int, dtype, cfg: PlanConfig):
+    """Factor a kernel-oversized length into A * B with both components
+    kernel-supported; A as balanced as possible. None if not factorable."""
+    if n < 4:
+        return None
+    best = None
+    d = 2
+    while d * d <= n:
+        if n % d == 0:
+            a, b = n // d, d
+            if (mxu_fft.pallas_supported(a, dtype, cfg)
+                    and mxu_fft.pallas_supported(b, dtype, cfg)):
+                best = (a, b)  # last hit = most balanced (d grows to sqrt)
+        d += 1
+    return best
+
+
+def _fft_axis_two_pass(ar, ai, axis, a, b, *, inverse, scale, config):
+    """Six-step decomposition for lengths beyond the fused kernel's VMEM
+    envelope: two fused-kernel passes with one HBM roundtrip between — the
+    analog of the reference's global-memory fallback mode
+    (use_shared_memory=False, fft/fft/_ndim_fft_gpu.mojo:114-136), except
+    each pass is still a full MXU-matmul transform rather than one butterfly
+    stage.
+
+    n = a*b, flat index along ``axis`` = ia*b + ib (ia slow):
+        X[kb*a + ka] = sum_ib W_b[kb, ib] ( T[ka, ib]
+                          sum_ia W_a[ka, ia] x[ia*b + ib] )
+    Pass 1 transforms the (now separated) ia axis with lanes = ib via the
+    transpose-free inner-axis kernel; the inter-factor twiddle is an XLA
+    elementwise multiply (fused into neighbors); pass 2 transforms ib; the
+    final (ka, kb) -> (kb, ka) swap restores natural order.
+    """
+    n = a * b
+    ndim = ar.ndim
+    axis = axis % ndim
+    ar = jnp.moveaxis(ar, axis, -1)
+    ai = jnp.moveaxis(ai, axis, -1) if ai is not None else None
+    pre = ar.shape[:-1]
+    ar = ar.reshape(pre + (a, b))
+    ai = ai.reshape(pre + (a, b)) if ai is not None else None
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+    # pass 1: FFT over the ia axis (length a), lanes = ib
+    ar, ai = mxu_fft.fft_axis_pallas(
+        ar, ai, ar.ndim - 2, (), inverse=inverse, scale=1.0, config=config,
+    )
+    # inter-factor twiddle T[ka, ib] = e^{-+2 pi i ka ib / n}
+    sign = 1.0 if inverse else -1.0
+    k = np.outer(np.arange(a, dtype=np.float64), np.arange(b, dtype=np.float64))
+    theta = (sign * 2.0 * np.pi / n) * k
+    twr = jnp.asarray(np.cos(theta), ar.dtype)
+    twi = jnp.asarray(np.sin(theta), ar.dtype)
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+    # pass 2: FFT over the ib axis (length b, minor)
+    ar, ai = mxu_fft.fft_axis_pallas(
+        ar, ai, ar.ndim - 1, (), inverse=inverse, scale=scale, config=config,
+    )
+    # natural order: out flat k = kb*a + ka -> (kb, ka) major
+    ar = jnp.swapaxes(ar, -2, -1).reshape(pre + (n,))
+    ai = jnp.swapaxes(ai, -2, -1).reshape(pre + (n,))
+    return jnp.moveaxis(ar, -1, axis), jnp.moveaxis(ai, -1, axis)
+
+
 def fft_axis(
     ar: jnp.ndarray,
     ai: jnp.ndarray | None,
@@ -56,9 +122,10 @@ def fft_axis(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Transform one axis of the split planes, choosing the best backend."""
     n = ar.shape[axis]
-    if pallas_supported(n, ar.dtype, config) and config.backend in (
-        "auto", "pallas",
-    ):
+    kernel_ok = config.backend in ("auto", "pallas") and (
+        config.interpret or _is_tpu_backend()
+    )
+    if kernel_ok and pallas_supported(n, ar.dtype, config):
         try:
             return mxu_fft.fft_axis_pallas(
                 ar, ai, axis, bases, inverse=inverse, scale=scale,
@@ -67,6 +134,19 @@ def fft_axis(
         except NotImplementedError:
             if config.backend == "pallas":
                 raise
+    elif kernel_ok and jnp.dtype(ar.dtype) == jnp.dtype(jnp.float32):
+        two = _split_large(n, ar.dtype, config)
+        if two is not None:
+            return _fft_axis_two_pass(
+                ar, ai, axis, two[0], two[1], inverse=inverse, scale=scale,
+                config=config,
+            )
+        if config.backend == "pallas":
+            raise ValueError(
+                f"backend='pallas' requested but axis length {n} is not "
+                "factorable into kernel-supported components; use "
+                "backend='auto' for automatic fallback"
+            )
     elif config.backend == "pallas":
         raise ValueError(
             f"backend='pallas' requested but axis length {n} (dtype "

@@ -32,6 +32,7 @@ __all__ = [
     "Stage",
     "factorize",
     "default_bases",
+    "digit_reverse",
     "stage_schedule",
     "validate_bases",
 ]
@@ -119,6 +120,32 @@ def validate_bases(n: int, bases: Sequence[int]) -> tuple[int, ...]:
             f"product of bases {bases} is {math.prod(bases)}, expected {n}"
         )
     return bases
+
+
+def digit_reverse(index: int, bases: Sequence[int]) -> int:
+    """Mixed-radix digit reversal of ``index`` over the ordered base list.
+
+    The input-reordering permutation a decimation-in-time (Cooley-Tukey)
+    formulation would need (reference: ``_mixed_radix_digit_reverse``,
+    fft/fft/_utils.mojo:24-60). The library's execution paths are all
+    autosort (Stockham / four-step) and never permute, so this is provided
+    as the documented reference algorithm and for interop with DIT-ordered
+    data, not used internally.
+
+    With index = sum_i d_i * prod(bases[i+1:]) (d_i the digit for bases[i]),
+    returns sum_i d_i * prod(bases[:i]).
+    """
+    bases = tuple(int(b) for b in bases)
+    digits = []
+    rem = index
+    for b in reversed(bases):
+        digits.append(rem % b)
+        rem //= b
+    # digits[0] is the least-significant (last-base) digit
+    out = 0
+    for b, d in zip(reversed(bases), digits):
+        out = out * b + d
+    return out
 
 
 @functools.lru_cache(maxsize=None)
