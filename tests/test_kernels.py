@@ -111,3 +111,46 @@ def test_kernel_two_pass_large_n(n, rng):
     assert_spectrum_close(got, np.fft.fft(x), np.complex64)
     back = tpufft.ifft(got, config=CFG_AUTO)
     assert_spectrum_close(back, x, np.complex64)
+
+
+def test_kernel_fused_2d_pair(rng):
+    """Both minor axes in one fused VMEM pass."""
+    x = (rng.standard_normal((3, 64, 128))
+         + 1j * rng.standard_normal((3, 64, 128))).astype(np.complex64)
+    got = tpufft.fft2(x, config=CFG_AUTO)
+    assert_spectrum_close(got, np.fft.fft2(x), np.complex64)
+    back = tpufft.ifft2(got, config=CFG_AUTO)
+    assert_spectrum_close(back, x, np.complex64)
+
+
+def test_kernel_fused_3d(rng):
+    """3D: leading axis via inner kernel + trailing pair fused."""
+    x = (rng.standard_normal((2, 32, 48, 128))
+         + 1j * rng.standard_normal((2, 32, 48, 128))).astype(np.complex64)
+    got = tpufft.fftn(x, axes=(1, 2, 3), config=CFG_AUTO)
+    assert_spectrum_close(got, np.fft.fftn(x, axes=(1, 2, 3)), np.complex64)
+
+
+def test_kernel_fused_2d_norm(rng):
+    x = (rng.standard_normal((2, 64, 256))
+         + 1j * rng.standard_normal((2, 64, 256))).astype(np.complex64)
+    got = tpufft.fft2(x, norm="ortho", config=CFG_AUTO)
+    assert_spectrum_close(got, np.fft.fft2(x, norm="ortho"), np.complex64)
+
+
+def test_kernel_fused_2d_fourstep_pair(rng):
+    """four-step x four-step pair with 128-aligned lanes."""
+    x = (rng.standard_normal((2, 256, 256))
+         + 1j * rng.standard_normal((2, 256, 256))).astype(np.complex64)
+    got = tpufft.fft2(x, config=CFG_AUTO)
+    assert_spectrum_close(got, np.fft.fft2(x), np.complex64)
+
+
+def test_pair_support_alignment():
+    from tpufft.kernels.mxu_fft import pair_supported
+    import jax.numpy as jnp
+    cfg = PlanConfig()
+    assert pair_supported(256, 256, jnp.float32, cfg)
+    assert not pair_supported(640, 480, jnp.float32, cfg)   # 480 lanes misaligned
+    assert pair_supported(64, 96, jnp.float32, cfg)         # small x small: any lanes
+    assert not pair_supported(256, 256, jnp.float64, cfg)

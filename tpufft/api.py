@@ -196,12 +196,26 @@ def _apply_plan_split(ar, ai, *, plan: Plan):
 
     for a, n in zip(axes, lengths):
         ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
-    # Fuse the whole normalization into the last-executed axis's final stage.
-    for i, (a, n) in enumerate(zip(axes, lengths)):
-        axis_scale = scale if i == len(axes) - 1 else 1.0
+    # When the transform includes the array's two minor axes and the tile
+    # fits VMEM, run them as ONE fused 2D kernel pass (halves HBM traffic).
+    ndim = ar.ndim
+    pair_last = (
+        len(axes) >= 2
+        and set(axes[-2:]) == {ndim - 2, ndim - 1}
+        and _execute.pair_supported(
+            ar.shape[-2], ar.shape[-1], ar.dtype, plan.config)
+    )
+    n_single = len(axes) - (2 if pair_last else 0)
+    # Fuse the whole normalization into the last-executed stage.
+    for i in range(n_single):
+        axis_scale = scale if (i == len(axes) - 1) else 1.0
         ar, ai = _execute.fft_axis(
-            ar, ai, a, plan.bases[i], inverse=plan.inverse, scale=axis_scale,
-            config=plan.config,
+            ar, ai, axes[i], plan.bases[i], inverse=plan.inverse,
+            scale=axis_scale, config=plan.config,
+        )
+    if pair_last:
+        ar, ai = _execute.fft_pair_last(
+            ar, ai, inverse=plan.inverse, scale=scale, config=plan.config,
         )
     return ar, ai
 

@@ -110,6 +110,29 @@ def _fft_axis_two_pass(ar, ai, axis, a, b, *, inverse, scale, config):
     return jnp.moveaxis(ar, -1, axis), jnp.moveaxis(ai, -1, axis)
 
 
+def pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
+    """Can the trailing two axes run as one fused 2D VMEM tile?"""
+    if cfg.backend == "xla":
+        return False
+    if not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return mxu_fft.pair_supported(n1, n2, dtype, cfg)
+
+
+def fft_pair_last(
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused transform of the last two axes (single HBM pass)."""
+    return mxu_fft.fft_pair_pallas(
+        ar, ai, inverse=inverse, scale=scale, config=config
+    )
+
+
 def fft_axis(
     ar: jnp.ndarray,
     ai: jnp.ndarray | None,

@@ -108,9 +108,12 @@ def choose_lane_block(n: int, cfg: PlanConfig) -> int:
     planes = 10
     b = cfg.vmem_budget_bytes // max(planes * n * 4, 1)
     b = (b // _LANE) * _LANE
-    # 128 measured best at N=1024 (12.4 ms vs 13.8 ms at 256); sub-128 lane
-    # blocks save no VMEM anyway (tiles pad the lane dim to 128).
-    return max(0, min(_LANE, b))
+    # 128 measured best at N=1024; small N wants bigger blocks (fewer grid
+    # steps — at N=93 a 128-lane block means ~8k grid steps for a 1M batch
+    # and per-step overhead dominates). Sub-128 lane blocks save no VMEM
+    # anyway (tiles pad the lane dim to 128).
+    cap = _LANE if n > 512 else 512
+    return max(0, min(cap, b))
 
 
 def pallas_supported(n: int, dtype, cfg: PlanConfig) -> bool:
@@ -209,6 +212,29 @@ def _cmm(precision: str, W, xr, xi):
     return mm(wr, xr) - mm(wi, xi), mm(wr, xi) + mm(wi, xr)
 
 
+def _cmm_right(precision: str, W, xr, xi):
+    """Complex matmul (xr + i xi) @ W for a symmetric DFT matrix W (the
+    right-multiply form X @ W^T with W^T == W): contraction over the lane
+    axis, used by the minor-axis small-N kernel to avoid all transposes."""
+    if precision == "bf16x3":
+        rh, rl, ih, il = W
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        xrh, xrl = _split_bf16(xr)
+        xih, xil = _split_bf16(xi)
+
+        def m(bh, bl, wh, wl):
+            return d(bh, wh) + (d(bl, wh) + d(bh, wl))
+
+        return (m(xrh, xrl, rh, rl) - m(xih, xil, ih, il),
+                m(xih, xil, rh, rl) + m(xrh, xrl, ih, il))
+    wr, wi = W
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    mm = functools.partial(jnp.dot, precision=prec,
+                           preferred_element_type=jnp.float32)
+    return mm(xr, wr) - mm(xi, wi), mm(xi, wr) + mm(xr, wi)
+
+
 def _pack_tables(n: int, inverse: bool, scale: float, precision: str):
     """Flat host-table tuple + an unpacker reconstructing the logical
     (W-groups, twiddle) structure from the kernel's refs."""
@@ -279,11 +305,18 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
         t_refs = refs[:len(tables)]
         xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
         groups = unpack([r[:] for r in t_refs])
-        xr = xr_ref[:].T  # (n, bblk): lanes = batch
-        xi = xi_ref[:].T
-        zr, zi = _compute(precision, n, kind, groups, xr, xi)
-        or_ref[:] = zr.T
-        oi_ref[:] = zi.T
+        if kind[0] == "small":
+            # right-multiply form: (bblk, n) @ W^T — no transposes at all
+            # (W is symmetric: W^T == W, so the same tables serve)
+            zr, zi = _cmm_right(precision, groups[0], xr_ref[:], xi_ref[:])
+            or_ref[:] = zr
+            oi_ref[:] = zi
+        else:
+            xr = xr_ref[:].T  # (n, bblk): lanes = batch
+            xi = xi_ref[:].T
+            zr, zi = _compute(precision, n, kind, groups, xr, xi)
+            or_ref[:] = zr.T
+            oi_ref[:] = zi.T
 
     data = pl.BlockSpec((bblk, n), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -345,6 +378,105 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int,
         )(*[jnp.asarray(t) for t in tables], ar, ai)
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
+              precision: str, interpret: bool):
+    """(pre, n1, n2) -> (pre, n1, n2): both trailing axes in ONE HBM pass.
+
+    A 2D transform tile lives entirely in VMEM: transform the n1 (sublane)
+    axis, transpose in-VMEM, transform n2, transpose back. Halves the HBM
+    traffic of a 2D FFT and cuts a 3D FFT from 3 passes to 2 — the
+    reference instead pays a global transpose kernel between every pair of
+    axes (fft/fft/_ndim_fft_gpu.mojo:634-642)."""
+    kind1 = kernel_factors(n1)
+    kind2 = kernel_factors(n2)
+    tables1, unpack1 = _pack_tables(n1, inverse, 1.0, precision)
+    tables2, unpack2 = _pack_tables(n2, inverse, scale, precision)
+    n_t1 = len(tables1)
+    n_t2 = len(tables2)
+
+    def kernel(*refs):
+        g1 = unpack1([r[:] for r in refs[:n_t1]])
+        g2 = unpack2([r[:] for r in refs[n_t1:n_t1 + n_t2]])
+        xr_ref, xi_ref, or_ref, oi_ref = refs[-4:]
+        xr, xi = xr_ref[0], xi_ref[0]          # (n1, n2)
+        xr, xi = _compute(precision, n1, kind1, g1, xr, xi)
+        xr, xi = xr.T, xi.T                    # (n2, n1)
+        xr, xi = _compute(precision, n2, kind2, g2, xr, xi)
+        or_ref[0] = xr.T
+        oi_ref[0] = xi.T
+
+    data = pl.BlockSpec((1, n1, n2), lambda p: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda p: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    all_tables = list(tables1) + list(tables2)
+
+    def run(ar, ai):
+        pre = ar.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(pre,),
+            in_specs=[tspec(t) for t in all_tables] + [data, data],
+            out_specs=[data, data],
+            out_shape=[jax.ShapeDtypeStruct((pre, n1, n2), jnp.float32)] * 2,
+            interpret=interpret,
+        )(*[jnp.asarray(t) for t in all_tables], ar, ai)
+
+    return run
+
+
+def pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
+    """Can the trailing (n1, n2) axes run as one fused 2D tile?
+
+    Beyond VMEM fit, Mosaic requires the four-step's sublane->lane reshapes
+    to keep the lane dim 128-aligned: a four-step axis needs the *other*
+    axis (its lane batch inside the tile) to be a multiple of 128; the
+    small (dense-W) kernel has no such reshape and tolerates any lane
+    width.
+    """
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    k1 = kernel_factors(n1)
+    k2 = kernel_factors(n2)
+    if k1 is None or k2 is None:
+        return False
+    if n2 < _LANE // 2 or n1 < 2:
+        return False
+    if k1[0] != "small" and n2 % _LANE != 0:
+        return False
+    if k2[0] != "small" and n1 % _LANE != 0:
+        return False
+    planes = 10
+    return planes * n1 * n2 * 4 <= cfg.vmem_budget_bytes
+
+
+def fft_pair_pallas(
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused transform of the LAST TWO axes of ``ar``/``ai``."""
+    n1, n2 = ar.shape[-2:]
+    if not pair_supported(n1, n2, ar.dtype, config):
+        raise NotImplementedError(f"no fused 2D kernel for ({n1}, {n2})")
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+    shape = ar.shape
+    pre = math.prod(shape[:-2]) if len(shape) > 2 else 1
+    run = _build_2d(n1, n2, inverse, float(scale), config.precision,
+                    bool(config.interpret))
+    outr, outi = run(ar.reshape(pre, n1, n2), ai.reshape(pre, n1, n2))
+    return outr.reshape(shape), outi.reshape(shape)
 
 
 # ----------------------------------------------------------------------------
