@@ -16,6 +16,8 @@ core.SplitComplex) because TPU has no complex arithmetic.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -119,6 +121,28 @@ def pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
     return mxu_fft.pair_supported(n1, n2, dtype, cfg)
 
 
+@functools.lru_cache(maxsize=None)
+def _fft_pair_diff(inverse: bool, scale: float, config: PlanConfig):
+    """custom-vjp wrapper for the fused trailing-pair kernel (same
+    conjugate-transform transpose identity as _fft_axis_diff)."""
+
+    @jax.custom_vjp
+    def f(ar, ai):
+        return mxu_fft.fft_pair_pallas(
+            ar, ai, inverse=inverse, scale=scale, config=config
+        )
+
+    def fwd(ar, ai):
+        return f(ar, ai), None
+
+    def bwd(_, g):
+        gr, gi = g
+        return _fft_pair_diff(not inverse, scale, config)(gr, gi)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def fft_pair_last(
     ar: jnp.ndarray,
     ai: jnp.ndarray | None,
@@ -127,13 +151,85 @@ def fft_pair_last(
     scale: float,
     config: PlanConfig,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused transform of the last two axes (single HBM pass)."""
-    return mxu_fft.fft_pair_pallas(
-        ar, ai, inverse=inverse, scale=scale, config=config
-    )
+    """Fused transform of the last two axes (single HBM pass,
+    differentiable)."""
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+    return _fft_pair_diff(bool(inverse), float(scale), config)(ar, ai)
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_axis_diff(axis: int, bases: tuple[int, ...], inverse: bool,
+                   scale: float, config: PlanConfig):
+    """custom-vjp wrapper per static config.
+
+    The split-plane DFT is a real-linear map with matrix
+    A = [[Fr, -Fi], [Fi, Fr]] and F symmetric, so A^T g = conj(F(conj g))
+    = the same transform with the opposite twiddle sign: the VJP of a
+    forward fft_axis is an inverse-signed fft_axis with the same scale.
+    Needed because pallas_call has no automatic transpose/grad rule (the
+    pure-XLA path would differentiate fine, but the fused kernels would
+    not)."""
+
+    @jax.custom_vjp
+    def f(ar, ai):
+        return _fft_axis_impl(ar, ai, axis, bases, inverse=inverse,
+                              scale=scale, config=config)
+
+    def fwd(ar, ai):
+        return f(ar, ai), None
+
+    def bwd(_, g):
+        gr, gi = g
+        return _fft_axis_diff(axis, bases, not inverse, scale, config)(gr, gi)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_axis_diff_real(axis: int, bases: tuple[int, ...], inverse: bool,
+                        scale: float, config: PlanConfig):
+    """Real-input variant (imag plane elided): the transpose of
+    (embed-real then transform) is (conjugate transform then take the real
+    plane)."""
+
+    @jax.custom_vjp
+    def f(ar):
+        return _fft_axis_impl(ar, None, axis, bases, inverse=inverse,
+                              scale=scale, config=config)
+
+    def fwd(ar):
+        return f(ar), None
+
+    def bwd(_, g):
+        gr, gi = g
+        br, _ = _fft_axis_diff(axis, bases, not inverse, scale, config)(
+            gr, gi)
+        return (br,)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def fft_axis(
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
+    axis: int,
+    bases: tuple[int, ...],
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Transform one axis of the split planes (differentiable)."""
+    key = (axis % ar.ndim, tuple(bases), bool(inverse), float(scale), config)
+    if ai is None:
+        return _fft_axis_diff_real(*key)(ar)
+    return _fft_axis_diff(*key)(ar, ai)
+
+
+def _fft_axis_impl(
     ar: jnp.ndarray,
     ai: jnp.ndarray | None,
     axis: int,
