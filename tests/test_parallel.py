@@ -101,3 +101,18 @@ def test_batch_sharded_rejects_batch_axis():
     x = _split(np.zeros((8, 16)))
     with pytest.raises(ValueError):
         fft_batch_sharded(x, mesh, batch_axis_name="dp", axes=(0, 1))
+
+
+def test_fftn_distributed(rng):
+    """ND: local axes + one distributed axis in sequence."""
+    from tpufft.parallel import fftn_distributed
+    mesh = _mesh((4,), ("sp",))
+    x = (rng.standard_normal((3, 8, 64))
+         + 1j * rng.standard_normal((3, 8, 64)))
+    out = fftn_distributed(_split(x), mesh, axis_name="sp", axes=(1, 2),
+                           dist_axis=2)
+    assert_spectrum_close(out.numpy(), np.fft.fftn(x, axes=(1, 2)),
+                          np.complex64)
+    back = fftn_distributed(out, mesh, axis_name="sp", axes=(1, 2),
+                            dist_axis=2, inverse=True, norm="backward")
+    assert_spectrum_close(back.numpy(), x, np.complex64)

@@ -42,9 +42,12 @@ Two entry layouts:
 from __future__ import annotations
 
 import functools
+import logging
 import math
 
 import numpy as np
+
+logger = logging.getLogger("tpufft")
 
 import jax
 import jax.numpy as jnp
@@ -300,6 +303,8 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
     """(batch, n) -> (batch, n): transform along the minor axis."""
     kind = kernel_factors(n)
     tables, unpack = _pack_tables(n, inverse, scale, precision)
+    logger.debug("mxu_fft minor: n=%d %s bblk=%d inverse=%s precision=%s",
+                 n, kind, bblk, inverse, precision)
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
@@ -346,6 +351,8 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int,
     """
     kind = kernel_factors(n)
     tables, unpack = _pack_tables(n, inverse, scale, precision)
+    logger.debug("mxu_fft inner: n=%d %s lblk=%d inverse=%s precision=%s",
+                 n, kind, lblk, inverse, precision)
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
@@ -394,6 +401,8 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
     kind2 = kernel_factors(n2)
     tables1, unpack1 = _pack_tables(n1, inverse, 1.0, precision)
     tables2, unpack2 = _pack_tables(n2, inverse, scale, precision)
+    logger.debug("mxu_fft 2d-pair: (%d, %d) %s x %s inverse=%s precision=%s",
+                 n1, n2, kind1, kind2, inverse, precision)
     n_t1 = len(tables1)
     n_t2 = len(tables2)
 

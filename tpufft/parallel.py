@@ -47,6 +47,7 @@ from .planner import default_bases, factorize
 __all__ = [
     "split_n",
     "fft_distributed",
+    "fftn_distributed",
     "fft_batch_sharded",
 ]
 
@@ -268,6 +269,46 @@ def fft_distributed(
     twr_h, twi_h = _interfactor_twiddle(A, B, inverse)
     outr, outi = fn(x.re, x.im, jnp.asarray(twr_h), jnp.asarray(twi_h))
     return SplitComplex(outr, outi)
+
+
+def fftn_distributed(
+    x: SplitComplex,
+    mesh: Mesh,
+    *,
+    axis_name: str,
+    axes=None,
+    dist_axis: int = -1,
+    inverse: bool = False,
+    norm: str | None = None,
+    batch_axis_name: str | None = None,
+) -> SplitComplex:
+    """ND FFT where ``dist_axis`` is block-sharded over ``axis_name`` and
+    the remaining transformed axes are local to each device.
+
+    The local axes run as an ordinary (sharding-propagated) plan — XLA
+    inserts no collectives for them — and the sharded axis runs the
+    four-step distributed transform. Norms compose multiplicatively, so
+    ``norm`` is simply passed to both steps.
+    """
+    from . import api as _api
+
+    ndim = x.re.ndim
+    axes_c = _api._canon_axes(ndim, axes)
+    dist_axis = dist_axis % ndim
+    if dist_axis not in axes_c:
+        raise ValueError(f"dist_axis {dist_axis} not in axes {axes_c}")
+    local_axes = tuple(a for a in axes_c if a != dist_axis)
+    if local_axes:
+        plan = _api.plan_fft(
+            tuple(x.re.shape),
+            jnp.complex64 if x.re.dtype == jnp.float32 else jnp.complex128,
+            axes=local_axes, inverse=inverse, norm=norm,
+        )
+        x = plan(x)
+    return fft_distributed(
+        x, mesh, axis_name=axis_name, axis=dist_axis, inverse=inverse,
+        norm=norm, batch_axis_name=batch_axis_name,
+    )
 
 
 def fft_batch_sharded(
