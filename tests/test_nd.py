@@ -90,3 +90,46 @@ def test_large_prime_axis_nd(rng):
     assert_spectrum_close(
         tpufft.fftn(x, axes=(1, 2)), np.fft.fftn(x, axes=(1, 2)), np.complex128
     )
+
+
+def test_irfftn_odd_last_length(rng):
+    """Odd last length exercises the legacy Hermitian-extend ND path."""
+    x = rng.standard_normal((3, 6, 7))
+    spec = np.fft.rfftn(x, axes=(1, 2))
+    back = tpufft.irfftn(spec, s=(6, 7), axes=(1, 2))
+    assert back.shape == (3, 6, 7)
+    assert_spectrum_close(back, x, np.complex128)
+
+
+def test_rfftn_with_s_padding(rng):
+    x = rng.standard_normal((2, 6, 6))
+    got = tpufft.rfftn(x, s=(8, 10), axes=(1, 2))
+    assert got.shape == (2, 8, 6)
+    assert_spectrum_close(got, np.fft.rfftn(x, s=(8, 10), axes=(1, 2)),
+                          np.complex128)
+
+
+def test_irfftn_with_s_crop(rng):
+    x = rng.standard_normal((2, 8, 12))
+    spec = np.fft.rfftn(x, axes=(1, 2))
+    got = tpufft.irfftn(spec, s=(6, 8), axes=(1, 2))
+    assert got.shape == (2, 6, 8)
+    assert_spectrum_close(got, np.fft.irfftn(spec, s=(6, 8), axes=(1, 2)),
+                          np.complex128)
+
+
+def test_hfft_split_input(rng):
+    import jax.numpy as jnp
+    from tpufft import SplitComplex
+    spec = (rng.standard_normal(9) + 1j * rng.standard_normal(9)).astype(
+        np.complex64)
+    sc = SplitComplex(jnp.asarray(spec.real.copy()),
+                      jnp.asarray(spec.imag.copy()))
+    got = tpufft.hfft(sc)
+    assert hasattr(got, "re")  # SplitComplex in -> SplitComplex out
+    assert_spectrum_close(got.numpy(), np.fft.hfft(spec), np.complex64)
+
+
+def test_ifft_real_input(rng):
+    x = rng.standard_normal((3, 12))
+    assert_spectrum_close(tpufft.ifft(x), np.fft.ifft(x), np.complex128)

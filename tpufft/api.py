@@ -339,6 +339,10 @@ def _irfft_packed_last(ar, ai, axis, n, inner_scale, config):
     ar = jnp.moveaxis(ar, axis, -1)
     ai = jnp.moveaxis(ai, axis, -1)
     pre = ar.shape[:-1]
+    # numpy convention: the imaginary parts of the DC and Nyquist bins are
+    # inert (irfft == ifft(hermitian_mirror).real); zeroing them makes the
+    # packed spectrum exactly Hermitian, where this reconstruction is exact.
+    ai = ai.at[..., 0].set(0.0).at[..., m].set(0.0)
     # Xc[k] = conj(X[m-k]) for k in [0, m)
     xc_r = jnp.flip(ar[..., 1:], -1)
     xc_i = -jnp.flip(ai[..., 1:], -1)
