@@ -6,12 +6,14 @@ Prints ONE JSON line:
 Headline config from BASELINE.json: fp32 C2C at (100000, 1024); baseline is
 the reference's published GPU number for that shape (1.432 ms Mojo on an
 RTX 5090, README.md:15-29 -> BASELINE.md). vs_baseline = baseline_ms / ours
-(>1 means faster than the reference). Methodology mirrors fft/bench.mojo
-(plan once, time execute+sync) with two environment adaptations: sync is a
-scalar fetch (block_until_ready under-reports through the axon tunnel) and
-the statistic is the MINIMUM per-iteration time (the tunnel's throughput
-varies several-fold between moments; min is the noise-robust estimator of
-the device's actual speed).
+(>1 means faster than the reference).
+
+Methodology mirrors fft/bench.mojo (plan once, time execute+sync) adapted
+to this environment: the dev tunnel has a large, variable host<->device RTT
+(up to ~40 ms), so per-iteration sync would measure the tunnel, not the
+chip. Instead K dispatches are CHAINED (each consumes the previous output,
+so the device must execute them serially) with ONE final sync, and the
+measured RTT is subtracted:  per_iter = (total - rtt) / K.
 """
 
 from __future__ import annotations
@@ -30,42 +32,35 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 BATCH, N = 100_000, 1024
 BASELINE_MS = 1.432  # reference Mojo GPU, same shape (BASELINE.md)
-WARMUP, ITERS = 3, 20
+CHAIN, REPEATS = 20, 5
 
 
-def _run_trials() -> None:
-    """Per-process device throughput varies several-fold (the dev tunnel
-    pins some processes at a ~25-30 ms per-dispatch RTT floor regardless of
-    workload). Run the measurement in a few fresh subprocesses and report
-    the best one — that is the device's actual speed."""
-    import subprocess
+def _sync(o):
+    # scalar fetch forces completion (block_until_ready under-reports
+    # through the axon tunnel)
+    float(o.re[-1, -1])
 
-    best = None
-    for trial in range(3):
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--worker"],
-                capture_output=True, text=True, timeout=900,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"trial {trial}: timed out", file=sys.stderr)
-            continue
-        sys.stderr.write(out.stderr)
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-        try:
-            rec = json.loads(line)
-        except (json.JSONDecodeError, IndexError):
-            print(f"trial {trial}: no result ({out.stdout[:100]!r})",
-                  file=sys.stderr)
-            continue
-        if best is None or rec["value"] < best["value"]:
-            best = rec
-        # a non-RTT-floored process found; its min-of-iters is the answer
-        if rec["value"] < 20.0:
-            break
-    if best is None:
-        raise SystemExit("all bench trials failed")
-    print(json.dumps(best))
+
+def measure(plan, x) -> float:
+    """Best amortized per-iteration ms over several chained runs."""
+    out = plan(x)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        float(out.re[0, 0])
+    rtt = (time.perf_counter() - t0) / 8
+    print(f"tunnel RTT: {rtt*1e3:.2f} ms", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(REPEATS):
+        o = x
+        t0 = time.perf_counter()
+        for _ in range(CHAIN):
+            o = plan(o)
+        _sync(o)
+        total = time.perf_counter() - t0
+        best = min(best, (total - rtt) / CHAIN)
+    return best * 1e3
 
 
 def main() -> None:
@@ -82,12 +77,6 @@ def main() -> None:
 
     plan = tpufft.plan_fft((BATCH, N), jnp.complex64, axes=(-1,))
 
-    def sync(o):
-        float(o.re[-1, -1]), float(o.im[-1, -1])
-
-    for _ in range(WARMUP):
-        sync(plan(x))
-
     # correctness spot-check against the host oracle on a few rows
     out = plan(x)
     got = np.asarray(out.re[:4]) + 1j * np.asarray(out.im[:4])
@@ -97,19 +86,13 @@ def main() -> None:
         raise AssertionError(f"bench correctness check failed: err={err:.3e}")
     print(f"correctness err: {err:.3e}", file=sys.stderr)
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        out = plan(x)
-        sync(out)
-        times.append(time.perf_counter() - t0)
-    ms = min(times) * 1e3
+    ms = measure(plan, x)
 
     flops = 5.0 * BATCH * N * np.log2(N)  # standard 5 N log2 N model
     gflops = flops / (ms * 1e-3) / 1e9
     gbps = (2 * 2 * 4 * BATCH * N) / (ms * 1e-3) / 1e9  # in+out, re+im, f32
-    print(f"min {ms:.3f} ms (median {np.median(times)*1e3:.3f})  "
-          f"{gflops:.0f} GFLOP/s  {gbps:.0f} GB/s(model)", file=sys.stderr)
+    print(f"{ms:.3f} ms/iter  {gflops:.0f} GFLOP/s  {gbps:.0f} GB/s(model)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": f"1D C2C fp32 ({BATCH}, {N}) plan-execute",
@@ -120,7 +103,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--worker" in sys.argv:
-        main()
-    else:
-        _run_trials()
+    main()

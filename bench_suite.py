@@ -94,6 +94,8 @@ def run_tpu(iters: int) -> None:
         axes = tuple(range(1, len(shape)))
 
         def timed(cfg):
+            """Amortized chained timing (see bench.py: the dev tunnel RTT
+            would otherwise dominate)."""
             plan = tpufft.plan_fft(shape, jnp.complex64, axes=axes,
                                    config=cfg)
 
@@ -101,17 +103,27 @@ def run_tpu(iters: int) -> None:
                 float(o.re.reshape(-1)[-1])
 
             try:
-                sync(plan(x))
+                out = plan(x)
+                sync(out)
             except Exception as e:  # unsupported on this chip/config
                 print(f"   ({shape} {cfg.backend}: {str(e)[:60]})",
                       file=sys.stderr)
                 return float("nan")
-            times = []
-            for _ in range(iters):
+            t0 = time.perf_counter()
+            for _ in range(6):
+                float(out.re.reshape(-1)[0])
+            rtt = (time.perf_counter() - t0) / 6
+            best = float("inf")
+            for _ in range(3):
+                o = x
                 t0 = time.perf_counter()
-                sync(plan(x))
-                times.append(time.perf_counter() - t0)
-            return min(times) * 1e3
+                for _ in range(iters):
+                    o = plan(o)
+                sync(o)
+                best = min(best,
+                           (time.perf_counter() - t0 - rtt) / iters)
+            # sub-RTT shapes can go slightly negative after subtraction
+            return max(best, 1e-5) * 1e3
 
         t_fused = timed(tpufft.PlanConfig())
         t_xla = timed(tpufft.PlanConfig(backend="xla"))
