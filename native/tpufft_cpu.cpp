@@ -241,11 +241,138 @@ void transform_1d(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
   }
 }
 
+// Batch-vectorized transform: V transforms at once, data laid out (n, V)
+// so every stage's inner loop runs over the V contiguous "lanes" — the CPU
+// SIMD mirror of the TPU kernel's lane-batch layout. This is what makes
+// small/prime radices fast: the b-accumulation is scalar in the per-
+// transform path but a full vector FMA here.
+template <typename T, int V>
+void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
+                       double scale) {
+  const int64_t n = plan.n;
+  T* cur_re = a_re;
+  T* cur_im = a_im;
+  T* nxt_re = b_re;
+  T* nxt_im = b_im;
+  const size_t n_stages = plan.stages.size();
+  for (size_t t = 0; t < n_stages; ++t) {
+    const Stage& st = plan.stages[t];
+    const int64_t r = st.radix, m = st.m, s = st.s;
+    const double stage_scale = (t + 1 == n_stages) ? scale : 1.0;
+    for (int64_t p = 0; p < m; ++p) {
+      for (int64_t j = 0; j < r; ++j) {
+        const T twr = T(st.tw_re[j * m + p] * stage_scale);
+        const T twi = T(st.tw_im[j * m + p] * stage_scale);
+        for (int64_t q = 0; q < s; ++q) {
+          T acc_re[V], acc_im[V];
+          {
+            const T wr = T(st.w_re[j * r + 0]);
+            const T wi = T(st.w_im[j * r + 0]);
+            const T* xr = cur_re + (p * s + q) * V;
+            const T* xi = cur_im + (p * s + q) * V;
+            for (int v = 0; v < V; ++v) {
+              acc_re[v] = wr * xr[v] - wi * xi[v];
+              acc_im[v] = wr * xi[v] + wi * xr[v];
+            }
+          }
+          for (int64_t b = 1; b < r; ++b) {
+            const T wr = T(st.w_re[j * r + b]);
+            const T wi = T(st.w_im[j * r + b]);
+            const T* xr = cur_re + (b * m * s + p * s + q) * V;
+            const T* xi = cur_im + (b * m * s + p * s + q) * V;
+            for (int v = 0; v < V; ++v) {
+              acc_re[v] += wr * xr[v] - wi * xi[v];
+              acc_im[v] += wr * xi[v] + wi * xr[v];
+            }
+          }
+          T* orp = nxt_re + (p * r * s + j * s + q) * V;
+          T* oip = nxt_im + (p * r * s + j * s + q) * V;
+          for (int v = 0; v < V; ++v) {
+            orp[v] = twr * acc_re[v] - twi * acc_im[v];
+            oip[v] = twr * acc_im[v] + twi * acc_re[v];
+          }
+        }
+      }
+    }
+    std::swap(cur_re, nxt_re);
+    std::swap(cur_im, nxt_im);
+  }
+  if (cur_re != a_re) {
+    std::memcpy(a_re, cur_re, sizeof(T) * n * V);
+    std::memcpy(a_im, cur_im, sizeof(T) * n * V);
+  }
+}
+
+// Contiguous batched transforms via the lane-batch path for modest n.
+template <typename T>
+int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
+                  int64_t count, int64_t n, int64_t dist_in, int64_t dist_out,
+                  bool inverse, double scale, int nthreads) {
+  constexpr int V = 16;
+  const Plan& plan = cached_plan(n, inverse);
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel
+#endif
+  {
+    std::vector<T> sa_re(n * V), sa_im(n * V), sb_re(n * V), sb_im(n * V);
+    std::vector<T> s1a_re(n), s1a_im(n), s1b_re(n), s1b_im(n), pscratch;
+    const int64_t groups = count / V;
+#ifdef _OPENMP
+#pragma omp for schedule(static) nowait
+#endif
+    for (int64_t g = 0; g < groups; ++g) {
+      const T* src_re = in_re + g * V * dist_in;
+      const T* src_im = in_im + g * V * dist_in;
+      // gather-transpose V rows -> (n, V)
+      for (int64_t v = 0; v < V; ++v) {
+        const T* rr = src_re + v * dist_in;
+        const T* ri = src_im + v * dist_in;
+        for (int64_t i = 0; i < n; ++i) {
+          sa_re[i * V + v] = rr[i];
+          sa_im[i * V + v] = ri[i];
+        }
+      }
+      transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(), sb_re.data(),
+                              sb_im.data(), scale);
+      for (int64_t v = 0; v < V; ++v) {
+        T* wr = out_re + (g * V + v) * dist_out;
+        T* wi = out_im + (g * V + v) * dist_out;
+        for (int64_t i = 0; i < n; ++i) {
+          wr[i] = sa_re[i * V + v];
+          wi[i] = sa_im[i * V + v];
+        }
+      }
+    }
+    // remainder rows: per-transform path
+#ifdef _OPENMP
+#pragma omp single
+#endif
+    {
+      for (int64_t c = groups * V; c < count; ++c) {
+        std::memcpy(s1a_re.data(), in_re + c * dist_in, sizeof(T) * n);
+        std::memcpy(s1a_im.data(), in_im + c * dist_in, sizeof(T) * n);
+        transform_1d(plan, s1a_re.data(), s1a_im.data(), s1b_re.data(),
+                     s1b_im.data(), scale, pscratch);
+        std::memcpy(out_re + c * dist_out, s1a_re.data(), sizeof(T) * n);
+        std::memcpy(out_im + c * dist_out, s1a_im.data(), sizeof(T) * n);
+      }
+    }
+  }
+  return 0;
+}
+
 template <typename T>
 int fft_strided(const T* in_re, const T* in_im, T* out_re, T* out_im,
                 int64_t count, int64_t n, int64_t stride, int64_t dist_in,
                 int64_t dist_out, bool inverse, double scale, int nthreads) {
   if (n < 1 || count < 0) return 1;
+  // lane-batch path: contiguous transforms, small length (where the
+  // per-transform path cannot vectorize its tiny m/s loops), enough batch
+  if (stride == 1 && n <= 256 && count >= 64) {
+    return fft_batched_v<T>(in_re, in_im, out_re, out_im, count, n, dist_in,
+                            dist_out, inverse, scale, nthreads);
+  }
   const Plan& plan = cached_plan(n, inverse);
 #ifdef _OPENMP
   if (nthreads > 0) omp_set_num_threads(nthreads);
