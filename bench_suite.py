@@ -29,10 +29,13 @@ SHAPES = [
     (100, 640, 480),
     (10, 1920, 1080),
     (1, 3840, 2160),
+    (1, 7680, 4320),
     (100, 64, 64, 64),
     (10, 128, 128, 128),
     (1, 256, 256, 256),
+    (1, 512, 512, 512),
     (1, 64, 64, 64, 64),
+    (1, 25, 160, 160, 48),
 ]
 
 

@@ -27,7 +27,10 @@ from . import core
 from .config import PlanConfig
 from .kernels import mxu_fft
 
-__all__ = ["fft_axis", "pallas_supported", "choose_lane_block"]
+__all__ = [
+    "fft_axis", "fft_pair_last", "pallas_supported", "pair_supported",
+    "choose_lane_block",
+]
 
 choose_lane_block = mxu_fft.choose_lane_block
 
