@@ -342,29 +342,32 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_inner(n: int, inverse: bool, scale: float, lblk: int,
+def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
                  precision: str, interpret: bool):
     """(pre, n, L) -> (pre, n, L): transform along the middle axis.
 
     The transform axis is already on sublanes with trailing lanes — the
-    transpose-free ND path.
+    transpose-free ND path. ``pblk`` pre-elements share one grid step
+    (unrolled in-kernel loop) so small (n, L) tiles still move in chunky
+    DMAs — without it a shape like (7680, 72, 60) issues thousands of
+    ~17 KB transfers and is descriptor-bound.
     """
     kind = kernel_factors(n)
     tables, unpack = _pack_tables(n, inverse, scale, precision)
-    logger.debug("mxu_fft inner: n=%d %s lblk=%d inverse=%s precision=%s",
-                 n, kind, lblk, inverse, precision)
+    logger.debug("mxu_fft inner: n=%d %s lblk=%d pblk=%d inverse=%s "
+                 "precision=%s", n, kind, lblk, pblk, inverse, precision)
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
         xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
         groups = unpack([r[:] for r in t_refs])
-        xr = xr_ref[0]  # (n, lblk)
-        xi = xi_ref[0]
-        zr, zi = _compute(precision, n, kind, groups, xr, xi)
-        or_ref[0] = zr
-        oi_ref[0] = zi
+        for p in range(pblk):
+            zr, zi = _compute(precision, n, kind, groups,
+                              xr_ref[p], xi_ref[p])
+            or_ref[p] = zr
+            oi_ref[p] = zi
 
-    data = pl.BlockSpec((1, n, lblk), lambda p, j: (p, 0, j),
+    data = pl.BlockSpec((pblk, n, lblk), lambda p, j: (p, 0, j),
                         memory_space=pltpu.VMEM)
 
     def tspec(t):
@@ -374,7 +377,7 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int,
 
     def run(ar, ai):
         pre, _, L = ar.shape
-        grid = (pre, pl.cdiv(L, lblk))
+        grid = (pl.cdiv(pre, pblk), pl.cdiv(L, lblk))
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -539,8 +542,13 @@ def fft_axis_pallas(
         return outr, outi
 
     # inner-axis layout (pre, n, post): transpose-free
-    lblk = choose_lane_block(n, config)
-    run = _build_inner(n, inverse, float(scale), min(lblk, _round_lane(post)),
+    lblk = min(choose_lane_block(n, config), _round_lane(post))
+    # amortize small tiles over several pre-elements per grid step
+    # (~>=0.5 MB per input plane block), bounded by the VMEM model
+    tile = n * min(lblk, post) * 4
+    pblk = max(1, min(pre, 512 * 1024 // tile,
+                      config.vmem_budget_bytes // (10 * n * lblk * 4)))
+    run = _build_inner(n, inverse, float(scale), lblk, int(pblk),
                        precision, interpret)
     outr, outi = run(ar.reshape(pre, n, post), ai.reshape(pre, n, post))
     return outr.reshape(shape), outi.reshape(shape)
