@@ -10,7 +10,8 @@ pure-XLA fallback/oracle path.
 
 from .config import PlanConfig
 from .core import SplitComplex
-from .planner import default_bases, factorize, stage_schedule
+from .planner import (default_bases, digit_reverse, factorize,
+                      next_fast_len, stage_schedule)
 from .api import (
     Plan, plan_fft,
     fft, ifft, rfft, irfft,
@@ -29,6 +30,7 @@ __all__ = [
     "fftn", "ifftn", "rfftn", "irfftn",
     "hfft", "ihfft",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
-    "default_bases", "factorize", "stage_schedule",
+    "default_bases", "digit_reverse", "factorize", "next_fast_len",
+    "stage_schedule",
     "__version__",
 ]

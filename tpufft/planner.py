@@ -33,6 +33,7 @@ __all__ = [
     "factorize",
     "default_bases",
     "digit_reverse",
+    "next_fast_len",
     "stage_schedule",
     "validate_bases",
 ]
@@ -120,6 +121,38 @@ def validate_bases(n: int, bases: Sequence[int]) -> tuple[int, ...]:
             f"product of bases {bases} is {math.prod(bases)}, expected {n}"
         )
     return bases
+
+
+def next_fast_len(n: int, *, aligned: bool = False) -> int:
+    """Smallest length >= n that the fused MXU kernel handles well
+    (scipy.fft.next_fast_len analog, tuned for this hardware).
+
+    A "fast" length factors as A * B with both factors <= 128 (the MXU
+    four-step envelope; any n <= 128 qualifies). With ``aligned=True`` the
+    result is additionally a multiple of 128 — worth the extra padding for
+    batched minor-axis transforms, where non-128-multiple lane widths pay
+    up to 4x in DMA (measured: (1e6, 93) moves at 1/4 the bandwidth of the
+    same bytes 128-aligned).
+    """
+    if n <= 1:
+        return max(n, 1)
+    from .kernels.mxu_fft import kernel_factors, _divisors  # local: no cycle
+
+    def fast(m: int) -> bool:
+        if kernel_factors(m) is not None:
+            return True
+        # two-pass envelope: m = a*b with both components kernel-supported
+        return any(
+            kernel_factors(d) is not None
+            and kernel_factors(m // d) is not None
+            for d in _divisors(m) if 1 < d * d <= m
+        )
+
+    step = 128 if aligned else 1
+    m = ((n + step - 1) // step) * step
+    while not fast(m):
+        m += step
+    return m
 
 
 def digit_reverse(index: int, bases: Sequence[int]) -> int:
