@@ -524,7 +524,11 @@ def fft_axis_pallas(
     post = math.prod(shape[axis + 1:]) if axis < ndim - 1 else 1
     pre = math.prod(shape[:axis]) if axis > 0 else 1
 
-    if axis == ndim - 1 or post < _LANE:
+    # Non-minor axes use the transpose-free inner layout even when the
+    # trailing lane batch is narrow (< 128 lanes pads the tile but still
+    # beats two whole-array moveaxis transposes); only truly tiny trailing
+    # products fall back to the minor path.
+    if axis == ndim - 1 or post < 32:
         # minor-axis layout (batch, n)
         if axis != ndim - 1:
             ar = jnp.moveaxis(ar, axis, -1)
