@@ -3,9 +3,15 @@
 A from-scratch TPU-first rebuild of the capabilities of
 martinvuyk/hackathon-fft (a Mojo CPU/GPU mixed-radix Stockham FFT library):
 any prime radix, forward/inverse, real and complex input, ND transforms,
-explicit plans, with Stockham butterfly stages executed as small DFT-matrix
-contractions in fused VMEM Pallas kernels (batch on the lane axis) and a
-pure-XLA fallback/oracle path.
+explicit plans, autodiff, and multi-chip execution over device meshes.
+
+Complex data is split re/im float planes on device (``SplitComplex``; TPU
+has no complex dtype). The hot path computes whole transforms as dense
+DFT-matrix matmuls in VMEM (Bailey four-step with Kronecker-padded
+128-deep contractions on the MXU — kernels/mxu_fft.py); a pure-XLA
+Stockham path serves as oracle and fallback, and a native C++ engine
+(native/) covers CPU execution. See README.md for the architecture and
+PARITY.md for the reference component map.
 """
 
 from .config import PlanConfig
