@@ -154,3 +154,11 @@ def test_pair_support_alignment():
     assert not pair_supported(640, 480, jnp.float32, cfg)   # 480 lanes misaligned
     assert pair_supported(64, 96, jnp.float32, cfg)         # small x small: any lanes
     assert not pair_supported(256, 256, jnp.float64, cfg)
+
+
+def test_kernel_two_pass_nonminor_axis(rng):
+    """Large-length transform on a non-minor axis: inner-layout two-pass."""
+    x = (rng.standard_normal((2, 4096, 40))
+         + 1j * rng.standard_normal((2, 4096, 40))).astype(np.complex64)
+    got = tpufft.fftn(x, axes=(1,), config=CFG_AUTO)
+    assert_spectrum_close(got, np.fft.fft(x, axis=1), np.complex64)

@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from math import prod as math_prod
+
 from . import core
 from .config import PlanConfig
 from .kernels import mxu_fft
@@ -87,32 +89,65 @@ def _fft_axis_two_pass(ar, ai, axis, a, b, *, inverse, scale, config):
     n = a * b
     ndim = ar.ndim
     axis = axis % ndim
-    ar = jnp.moveaxis(ar, axis, -1)
-    ai = jnp.moveaxis(ai, axis, -1) if ai is not None else None
-    pre = ar.shape[:-1]
-    ar = ar.reshape(pre + (a, b))
-    ai = ai.reshape(pre + (a, b)) if ai is not None else None
     if ai is None:
         ai = jnp.zeros_like(ar)
-    # pass 1: FFT over the ia axis (length a), lanes = ib
-    ar, ai = mxu_fft.fft_axis_pallas(
-        ar, ai, ar.ndim - 2, (), inverse=inverse, scale=1.0, config=config,
-    )
     # inter-factor twiddle T[ka, ib] = e^{-+2 pi i ka ib / n}
     sign = 1.0 if inverse else -1.0
     k = np.outer(np.arange(a, dtype=np.float64), np.arange(b, dtype=np.float64))
     theta = (sign * 2.0 * np.pi / n) * k
-    twr = jnp.asarray(np.cos(theta), ar.dtype)
-    twi = jnp.asarray(np.sin(theta), ar.dtype)
-    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
-    # pass 2: FFT over the ib axis (length b, minor)
+    twr_h = np.cos(theta)
+    twi_h = np.sin(theta)
+
+    if axis == ndim - 1:
+        pre = ar.shape[:-1]
+        ar = ar.reshape(pre + (a, b))
+        ai = ai.reshape(pre + (a, b))
+        # pass 1: FFT over the ia axis (length a), lanes = ib
+        ar, ai = mxu_fft.fft_axis_pallas(
+            ar, ai, ar.ndim - 2, (), inverse=inverse, scale=1.0,
+            config=config,
+        )
+        twr = jnp.asarray(twr_h, ar.dtype)
+        twi = jnp.asarray(twi_h, ar.dtype)
+        ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+        # pass 2: FFT over the ib axis (length b, minor)
+        ar, ai = mxu_fft.fft_axis_pallas(
+            ar, ai, ar.ndim - 1, (), inverse=inverse, scale=scale,
+            config=config,
+        )
+        # natural order: out flat k = kb*a + ka -> (kb, ka) major
+        ar = jnp.swapaxes(ar, -2, -1).reshape(pre + (n,))
+        ai = jnp.swapaxes(ai, -2, -1).reshape(pre + (n,))
+        return ar, ai
+
+    # Non-minor axis: stay in the inner layout throughout — both passes use
+    # the transpose-free inner kernel and only the final (ka, kb) swap costs
+    # an HBM pass (the moveaxis-based variant would cost two extra).
+    shape = ar.shape
+    pre = math_prod(shape[:axis])
+    post = math_prod(shape[axis + 1:])
+    ar = ar.reshape(pre, a, b, post)
+    ai = ai.reshape(pre, a, b, post)
+    # pass 1: FFT over ia, lane batch = (ib, post)
+    ar, ai = [x.reshape(pre, a, b * post) for x in (ar, ai)]
     ar, ai = mxu_fft.fft_axis_pallas(
-        ar, ai, ar.ndim - 1, (), inverse=inverse, scale=scale, config=config,
+        ar, ai, 1, (), inverse=inverse, scale=1.0, config=config,
     )
-    # natural order: out flat k = kb*a + ka -> (kb, ka) major
-    ar = jnp.swapaxes(ar, -2, -1).reshape(pre + (n,))
-    ai = jnp.swapaxes(ai, -2, -1).reshape(pre + (n,))
-    return jnp.moveaxis(ar, -1, axis), jnp.moveaxis(ai, -1, axis)
+    ar = ar.reshape(pre, a, b, post)
+    ai = ai.reshape(pre, a, b, post)
+    twr = jnp.asarray(twr_h, ar.dtype)[None, :, :, None]
+    twi = jnp.asarray(twi_h, ar.dtype)[None, :, :, None]
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+    # pass 2: FFT over ib, lane batch = post
+    ar, ai = [x.reshape(pre * a, b, post) for x in (ar, ai)]
+    ar, ai = mxu_fft.fft_axis_pallas(
+        ar, ai, 1, (), inverse=inverse, scale=scale, config=config,
+    )
+    # natural order along the axis: (ka, kb) -> (kb, ka)
+    ar = ar.reshape(pre, a, b, post).swapaxes(1, 2)
+    ai = ai.reshape(pre, a, b, post).swapaxes(1, 2)
+    out_shape = shape[:axis] + (n,) + shape[axis + 1:]
+    return ar.reshape(out_shape), ai.reshape(out_shape)
 
 
 def pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
