@@ -113,10 +113,9 @@ def choose_lane_block(n: int, cfg: PlanConfig) -> int:
     b = (b // _LANE) * _LANE
     # 128 measured best at N=1024; small N wants bigger blocks (fewer grid
     # steps — at N=93 a 128-lane block means ~8k grid steps for a 1M batch
-    # and per-step overhead dominates; tiny N additionally needs room for
-    # the Kronecker lane fill). Sub-128 lane blocks save no VMEM anyway
-    # (tiles pad the lane dim to 128).
-    cap = _LANE if n > 512 else (2048 if n <= _MAX_DEPTH else 512)
+    # and per-step overhead dominates). Sub-128 lane blocks save no VMEM
+    # anyway (tiles pad the lane dim to 128).
+    cap = _LANE if n > 512 else 512
     return max(0, min(cap, b))
 
 
@@ -239,37 +238,11 @@ def _cmm_right(precision: str, W, xr, xi):
     return mm(xr, wr) - mm(xi, wi), mm(xi, wr) + mm(xr, wi)
 
 
-def small_fill(n: int) -> int:
-    """Kronecker fill factor for a small (n <= 128) dense-W kernel.
-
-    A bare depth-n matmul pays a fixed MXU weight-load/pipeline cost per
-    invocation (measured: the n=25 inner transform ran 8x slower than its
-    own DMA); padding W to the block-diagonal W (x) I_f (f = 128 // n)
-    contracts at full systolic depth. Callers must arrange the fill axis
-    (lanes for the inner layout, rows for the minor layout) accordingly.
-    """
-    return max(1, _MAX_DEPTH // n)
-
-
-def _pack_tables(n: int, inverse: bool, scale: float, precision: str,
-                 fill: str | None = None):
+def _pack_tables(n: int, inverse: bool, scale: float, precision: str):
     """Flat host-table tuple + an unpacker reconstructing the logical
-    (W-groups, twiddle) structure from the kernel's refs.
-
-    ``fill`` applies the small-kernel Kronecker padding: "left" builds
-    kron(W, I_f) (inner layout: the fill digit is lane-major), "right"
-    builds kron(I_f, W) (minor layout: the fill digit is row-major).
-    """
+    (W-groups, twiddle) structure from the kernel's refs."""
     kind = kernel_factors(n)
     raw = _tables(n, inverse, scale)
-    if fill is not None and kind[0] == "small":
-        f = small_fill(n)
-        if f > 1:
-            eye = np.eye(f, dtype=np.float32)
-            pair = ((np.kron(raw[0], eye), np.kron(raw[1], eye))
-                    if fill == "left" else
-                    (np.kron(eye, raw[0]), np.kron(eye, raw[1])))
-            raw = tuple(np.ascontiguousarray(t, np.float32) for t in pair)
     if kind[0] == "small":
         w = _prep_w(raw, precision)
         flat = tuple(w)
@@ -329,50 +302,26 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
                  precision: str, interpret: bool):
     """(batch, n) -> (batch, n): transform along the minor axis."""
     kind = kernel_factors(n)
-    # Kronecker fill for the small kernel: only when f*n == 128 exactly can
-    # the (bblk, n) -> (bblk/f, f*n) row-merge reshape keep lanes aligned.
-    f = small_fill(n) if kind[0] == "small" and _MAX_DEPTH % n == 0 else 1
-    tables, unpack = _pack_tables(n, inverse, scale, precision,
-                                  fill="right" if f > 1 else None)
-    logger.debug("mxu_fft minor: n=%d %s bblk=%d fill=%d inverse=%s "
-                 "precision=%s", n, kind, bblk, f, inverse, precision)
+    tables, unpack = _pack_tables(n, inverse, scale, precision)
+    logger.debug("mxu_fft minor: n=%d %s bblk=%d inverse=%s precision=%s",
+                 n, kind, bblk, inverse, precision)
 
-    def make_kernel(batch: int):
-        # With Kronecker fill, f consecutive batch rows share one matmul
-        # row; a partial tail block's out-of-bounds garbage (NaN in
-        # interpret mode) would contaminate valid outputs through the
-        # matmul's structural zeros (0*NaN = NaN), so OOB rows are zeroed
-        # before the merge.
-        mask_tail = f > 1 and batch % bblk != 0
-
-        def kernel(*refs):
-            t_refs = refs[:len(tables)]
-            xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
-            groups = unpack([r[:] for r in t_refs])
-            if kind[0] == "small":
-                # right-multiply form: (bblk, n) @ W^T — no transposes
-                # (W and kron(I_f, W) are symmetric, so the same tables
-                # serve); f rows merge into full-depth lanes when f > 1
-                xr, xi = xr_ref[:], xi_ref[:]
-                if mask_tail:
-                    row = jax.lax.broadcasted_iota(jnp.int32, (bblk, n), 0)
-                    ok = (pl.program_id(0) * bblk + row) < batch
-                    xr = jnp.where(ok, xr, 0.0)
-                    xi = jnp.where(ok, xi, 0.0)
-                if f > 1:
-                    xr = xr.reshape(bblk // f, f * n)
-                    xi = xi.reshape(bblk // f, f * n)
-                zr, zi = _cmm_right(precision, groups[0], xr, xi)
-                or_ref[:] = zr.reshape(bblk, n)
-                oi_ref[:] = zi.reshape(bblk, n)
-            else:
-                xr = xr_ref[:].T  # (n, bblk): lanes = batch
-                xi = xi_ref[:].T
-                zr, zi = _compute(precision, n, kind, groups, xr, xi)
-                or_ref[:] = zr.T
-                oi_ref[:] = zi.T
-
-        return kernel
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
+        groups = unpack([r[:] for r in t_refs])
+        if kind[0] == "small":
+            # right-multiply form: (bblk, n) @ W^T — no transposes at all
+            # (W is symmetric: W^T == W, so the same tables serve)
+            zr, zi = _cmm_right(precision, groups[0], xr_ref[:], xi_ref[:])
+            or_ref[:] = zr
+            oi_ref[:] = zi
+        else:
+            xr = xr_ref[:].T  # (n, bblk): lanes = batch
+            xi = xi_ref[:].T
+            zr, zi = _compute(precision, n, kind, groups, xr, xi)
+            or_ref[:] = zr.T
+            oi_ref[:] = zi.T
 
     data = pl.BlockSpec((bblk, n), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -381,7 +330,7 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
         batch = ar.shape[0]
         grid = (pl.cdiv(batch, bblk), 1)
         return pl.pallas_call(
-            make_kernel(batch),
+            kernel,
             grid=grid,
             in_specs=_const_specs(tables) + [data, data],
             out_specs=[data, data],
@@ -404,47 +353,19 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
     ~17 KB transfers and is descriptor-bound.
     """
     kind = kernel_factors(n)
-    # Kronecker fill for the small kernel: the fill digit comes from the
-    # lane axis ((n, lblk) -> (n*f, lblk/f)), so lblk must be a multiple of
-    # f*128 to keep the reshaped lane dim aligned (the caller guarantees it).
-    f = small_fill(n) if kind[0] == "small" and lblk % (
-        small_fill(n) * _LANE) == 0 else 1
-    tables, unpack = _pack_tables(n, inverse, scale, precision,
-                                  fill="left" if f > 1 else None)
-    logger.debug("mxu_fft inner: n=%d %s lblk=%d pblk=%d fill=%d inverse=%s "
-                 "precision=%s", n, kind, lblk, pblk, f, inverse, precision)
+    tables, unpack = _pack_tables(n, inverse, scale, precision)
+    logger.debug("mxu_fft inner: n=%d %s lblk=%d pblk=%d inverse=%s "
+                 "precision=%s", n, kind, lblk, pblk, inverse, precision)
 
-    def make_kernel(L: int):
-        # With the lane-side Kronecker fill, f lane-groups share matmul
-        # rows; zero OOB lanes of a partial trailing block so their garbage
-        # cannot contaminate valid groups through the matmul (0*NaN = NaN).
-        mask_tail = f > 1 and L % lblk != 0
-
-        def kernel(*refs):
-            t_refs = refs[:len(tables)]
-            xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
-            groups = unpack([r[:] for r in t_refs])
-            for p in range(pblk):
-                if f > 1:
-                    xr, xi = xr_ref[p], xi_ref[p]
-                    if mask_tail:
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (n, lblk), 1)
-                        ok = (pl.program_id(1) * lblk + lane) < L
-                        xr = jnp.where(ok, xr, 0.0)
-                        xi = jnp.where(ok, xi, 0.0)
-                    xr = xr.reshape(n * f, lblk // f)
-                    xi = xi.reshape(n * f, lblk // f)
-                    zr, zi = _cmm(precision, groups[0], xr, xi)
-                    or_ref[p] = zr.reshape(n, lblk)
-                    oi_ref[p] = zi.reshape(n, lblk)
-                else:
-                    zr, zi = _compute(precision, n, kind, groups,
-                                      xr_ref[p], xi_ref[p])
-                    or_ref[p] = zr
-                    oi_ref[p] = zi
-
-        return kernel
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
+        groups = unpack([r[:] for r in t_refs])
+        for p in range(pblk):
+            zr, zi = _compute(precision, n, kind, groups,
+                              xr_ref[p], xi_ref[p])
+            or_ref[p] = zr
+            oi_ref[p] = zi
 
     data = pl.BlockSpec((pblk, n, lblk), lambda p, j: (p, 0, j),
                         memory_space=pltpu.VMEM)
@@ -458,7 +379,7 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
         pre, _, L = ar.shape
         grid = (pl.cdiv(pre, pblk), pl.cdiv(L, lblk))
         return pl.pallas_call(
-            make_kernel(L),
+            kernel,
             grid=grid,
             in_specs=[tspec(t) for t in tables] + [data, data],
             out_specs=[data, data],
@@ -626,13 +547,6 @@ def fft_axis_pallas(
 
     # inner-axis layout (pre, n, post): transpose-free
     lblk = min(choose_lane_block(n, config), _round_lane(post))
-    kindc = kernel_factors(n)
-    if kindc is not None and kindc[0] == "small":
-        # keep lblk a multiple of f*128 so the Kronecker lane fill stays
-        # 128-aligned (falls back to no fill when it cannot)
-        step = small_fill(n) * _LANE
-        if lblk >= step:
-            lblk = (lblk // step) * step
     # amortize small tiles over several pre-elements per grid step
     # (~>=0.5 MB per input plane block), bounded by the VMEM model
     tile = n * min(lblk, post) * 4
