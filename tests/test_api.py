@@ -141,3 +141,9 @@ def test_dtype_promotion():
     x64 = np.zeros(8, np.float64)
     assert tpufft.fft(x64).dtype == np.complex128
     assert tpufft.irfft(np.zeros(5, np.complex64)).dtype == np.float32
+
+
+def test_integer_input(rng):
+    x = rng.integers(-50, 50, size=(4, 16))
+    got = tpufft.fft(x)
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)

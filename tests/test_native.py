@@ -59,3 +59,14 @@ def test_matches_jax_path(rng):
     a = native.fft(x)
     b = np.asarray(tpufft.fft(x))
     assert np.max(np.abs(a - b)) / max(1.0, np.max(np.abs(b))) < 1e-3
+
+
+def test_packaged_source_in_sync():
+    """tpufft/native_src/ ships the engine source as package data; it must
+    stay identical to the canonical native/tpufft_cpu.cpp."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    a = open(os.path.join(root, "native", "tpufft_cpu.cpp")).read()
+    b = open(os.path.join(root, "tpufft", "native_src",
+                          "tpufft_cpu.cpp")).read()
+    assert a == b, "run: cp native/tpufft_cpu.cpp tpufft/native_src/"

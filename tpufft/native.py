@@ -22,9 +22,16 @@ import numpy as np
 
 __all__ = ["available", "fft", "ifft", "fftn", "ifftn", "num_threads"]
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "native", "tpufft_cpu.cpp")
-_LIB_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC_CANDIDATES = (
+    # repo checkout layout
+    os.path.join(os.path.dirname(_PKG_DIR), "native", "tpufft_cpu.cpp"),
+    # installed-package layout (source shipped as package data)
+    os.path.join(_PKG_DIR, "native_src", "tpufft_cpu.cpp"),
+)
+_SRC = next((p for p in _SRC_CANDIDATES if os.path.exists(p)),
+            _SRC_CANDIDATES[0])
+_LIB_DIR = os.path.join(_PKG_DIR, "_native")
 _LIB = os.path.join(_LIB_DIR, "libtpufft_cpu.so")
 
 
