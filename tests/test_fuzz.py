@@ -49,3 +49,32 @@ def test_fuzz_against_numpy(case, backend, rng):
         ref = np.fft.irfftn(spec, s=s, axes=axes, norm=norm)
     assert np.asarray(got).shape == ref.shape, (shape, axes, kind)
     assert_spectrum_close(got, ref, np.complex64)
+
+
+@pytest.mark.parametrize("case", range(15))
+def test_fuzz_split_roundtrip(case, rng):
+    """SplitComplex I/O: plan reuse + fwd/inv roundtrip on random configs."""
+    import jax.numpy as jnp
+    import tpufft as tp
+    from tpufft import SplitComplex
+
+    crng = np.random.default_rng(7000 + case)
+    shape, axes, norm, _ = _random_case(crng)
+    cfg = CFGS["kernel-interpret"]
+    x = (crng.standard_normal(shape)
+         + 1j * crng.standard_normal(shape)).astype(np.complex64)
+    sc = SplitComplex(jnp.asarray(x.real.copy()), jnp.asarray(x.imag.copy()))
+    fwd = tp.plan_fft(shape, jnp.complex64, axes=axes, norm=norm, config=cfg)
+    inv = tp.plan_fft(shape, jnp.complex64, axes=axes, norm=norm,
+                      inverse=True, config=cfg)
+    spec = fwd(sc)
+    assert isinstance(spec, SplitComplex)
+    # norms: fwd(norm) o inv(norm) == identity for backward/ortho/forward
+    back = inv(spec)
+    assert_spectrum_close(back.numpy(), x, np.complex64)
+    # plan reuse with fresh data
+    y = (crng.standard_normal(shape)
+         + 1j * crng.standard_normal(shape)).astype(np.complex64)
+    sy = SplitComplex(jnp.asarray(y.real.copy()), jnp.asarray(y.imag.copy()))
+    assert_spectrum_close(fwd(sy).numpy(),
+                          np.fft.fftn(y, axes=axes, norm=norm), np.complex64)
