@@ -255,6 +255,15 @@ void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
   T* nxt_re = b_re;
   T* nxt_im = b_im;
   const size_t n_stages = plan.stages.size();
+  if (n_stages == 0) {  // n == 1: identity transform, scale still applies
+    if (scale != 1.0) {
+      for (int64_t i = 0; i < n * V; ++i) {
+        a_re[i] = T(a_re[i] * scale);
+        a_im[i] = T(a_im[i] * scale);
+      }
+    }
+    return;
+  }
   for (size_t t = 0; t < n_stages; ++t) {
     const Stage& st = plan.stages[t];
     const int64_t r = st.radix, m = st.m, s = st.s;

@@ -147,3 +147,11 @@ def test_integer_input(rng):
     x = rng.integers(-50, 50, size=(4, 16))
     got = tpufft.fft(x)
     assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+
+
+def test_hfft_ihfft_bad_norm_raises():
+    x = np.ones((4, 9), np.complex128)
+    with pytest.raises(ValueError, match="norm"):
+        tpufft.hfft(x, norm="bogus")
+    with pytest.raises(ValueError, match="norm"):
+        tpufft.ihfft(np.ones((4, 9)), norm="bogus")

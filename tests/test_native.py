@@ -70,3 +70,20 @@ def test_packaged_source_in_sync():
     b = open(os.path.join(root, "tpufft", "native_src",
                           "tpufft_cpu.cpp")).read()
     assert a == b, "run: cp native/tpufft_cpu.cpp tpufft/native_src/"
+
+
+def test_n1_scale_through_c_abi():
+    """n==1 identity transform must still apply scale in the batch-vector
+    path (count >= 64) — regression for transform_batch_v dropping it."""
+    import ctypes
+    lib = native._lib()
+    re = np.arange(128, dtype=np.float32)
+    im = -np.arange(128, dtype=np.float32)
+    out_re = np.full(128, np.nan, np.float32)
+    out_im = np.full(128, np.nan, np.float32)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = lib.tpufft_fft_strided_f32(p(re), p(im), p(out_re), p(out_im),
+                                    128, 1, 1, 1, 1, 0, 2.5, 1)
+    assert rc == 0
+    np.testing.assert_allclose(out_re, 2.5 * re)
+    np.testing.assert_allclose(out_im, 2.5 * im)

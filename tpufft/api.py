@@ -548,6 +548,8 @@ def hfft(x, n=None, axis=-1, norm=None, **kw):
     hfft(x, n) == irfft(conj(x), n) * n under backward norm; other norms
     follow from the forward/backward scale identity.
     """
+    if norm not in _NORMS:
+        raise ValueError(f"norm must be one of {_NORMS}, got {norm!r}")
     if n is None:
         n = 2 * (np.shape(x)[axis] - 1)
     res = irfft(_conj_any(x), n=n, axis=axis, norm=None, **kw)
@@ -560,6 +562,8 @@ def hfft(x, n=None, axis=-1, norm=None, **kw):
 
 
 def ihfft(x, n=None, axis=-1, norm=None, **kw):
+    if norm not in _NORMS:
+        raise ValueError(f"norm must be one of {_NORMS}, got {norm!r}")
     if n is None:
         n = np.shape(x)[axis]
     res = rfft(x, n=n, axis=axis, norm=None, **kw)

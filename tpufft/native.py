@@ -36,6 +36,10 @@ _LIB = os.path.join(_LIB_DIR, "libtpufft_cpu.so")
 
 
 def _build() -> str | None:
+    if not os.path.exists(_SRC):
+        # Source stripped (e.g. binary-only install): use a prebuilt lib if
+        # one exists, otherwise degrade gracefully.
+        return _LIB if os.path.exists(_LIB) else None
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
     os.makedirs(_LIB_DIR, exist_ok=True)
