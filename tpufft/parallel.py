@@ -49,7 +49,9 @@ try:  # jax >= 0.8: keyword-only API, check_rep renamed to check_vma
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from .core import SplitComplex, stockham_split_last_axis, fft_along_axis
+from .config import PlanConfig
+from .core import SplitComplex
+from .execute import fft_axis
 from .planner import default_bases, factorize
 
 __all__ = [
@@ -104,7 +106,7 @@ def _twiddle_mul(ar, ai, twr, twi):
 
 def _body_natural_in(
     ar, ai, twr, twi, *, A, B, d, axis_name, inverse, scale,
-    bases_a, bases_b, natural_out,
+    bases_a, bases_b, natural_out, config,
 ):
     """Device-local pipeline for block-natural input along the last axis.
 
@@ -133,13 +135,16 @@ def _body_natural_in(
     ar = ar.reshape(pre + (A // d, B))
     ai = ai.reshape(pre + (A // d, B))
     ar, ai = e1(ar), e1(ai)
-    # FFT over a (length A) for every local b column.
-    ar, ai = fft_along_axis(ar, ai, ar.ndim - 2, bases_a, inverse=inverse)
+    # FFT over a (length A) for every local b column — through the backend
+    # dispatcher, so on TPU each per-shard transform runs in the fused MXU
+    # kernel rather than the XLA path.
+    ar, ai = fft_axis(ar, ai, ar.ndim - 2, bases_a, inverse=inverse,
+                      scale=1.0, config=config)
     ar, ai = _twiddle_mul(ar, ai, twr, twi)   # T[ka, b], b-sharded slice
     ar, ai = e2(ar), e2(ai)
     # FFT over b (length B) for every local ka row; fold the norm scale here.
-    ar, ai = stockham_split_last_axis(ar, ai, bases_b, inverse=inverse,
-                                      scale=scale)
+    ar, ai = fft_axis(ar, ai, ar.ndim - 1, bases_b, inverse=inverse,
+                      scale=scale, config=config)
     if natural_out:
         return e3(ar), e3(ai)
     return ar.reshape(pre + (rows * B,)), ai.reshape(pre + (rows * B,))
@@ -147,7 +152,7 @@ def _body_natural_in(
 
 def _body_permuted_in(
     ar, ai, twr, twi, *, A, B, d, axis_name, inverse, scale,
-    bases_a, bases_b,
+    bases_a, bases_b, config,
 ):
     """Device-local pipeline for (ka, kb)-major ("transposed") input: the
     exact mirror of ``_body_natural_in`` without the final exchange. Output
@@ -161,7 +166,8 @@ def _body_permuted_in(
     ar = ar.reshape(pre + (rows, B))
     ai = ai.reshape(pre + (rows, B))
     # FFT over kb (length B, local fast axis).
-    ar, ai = stockham_split_last_axis(ar, ai, bases_b, inverse=inverse)
+    ar, ai = fft_axis(ar, ai, ar.ndim - 1, bases_b, inverse=inverse,
+                      scale=1.0, config=config)
     ar, ai = _twiddle_mul(ar, ai, twr, twi)   # T[ka, b], ka-sharded slice
 
     def gather_a(x):  # (rows, B) -> (A, bloc)
@@ -170,8 +176,8 @@ def _body_permuted_in(
         return x.reshape(pre + (A, bloc))
 
     ar, ai = gather_a(ar), gather_a(ai)
-    ar, ai = fft_along_axis(ar, ai, ar.ndim - 2, bases_a, inverse=inverse,
-                            scale=scale)
+    ar, ai = fft_axis(ar, ai, ar.ndim - 2, bases_a, inverse=inverse,
+                      scale=scale, config=config)
 
     def scatter_a(x):  # (A, bloc) -> natural local block (rows_a * B,)
         x = x.reshape(pre + (d, rows, bloc))
@@ -191,7 +197,7 @@ def _norm_scale(norm, n_total: int, inverse: bool) -> float:
 def _build_distributed_fn(
     mesh: Mesh, axis_name: str, axis: int, ndim: int, n: int,
     inverse: bool, scale: float, batch_axis_name: str | None,
-    permuted_in: bool, permuted_out: bool,
+    permuted_in: bool, permuted_out: bool, config: PlanConfig,
 ):
     """Jitted (re, im, twr, twi) -> (re, im) four-step executable, cached per
     static configuration (the plan-cache analog for the distributed path)."""
@@ -204,20 +210,22 @@ def _build_distributed_fn(
         ar = jnp.moveaxis(ar, axis, -1)
         ai = jnp.moveaxis(ai, axis, -1)
         if d == 1:
-            outr, outi = stockham_split_last_axis(
-                ar, ai, default_bases(n), inverse=inverse, scale=scale
+            outr, outi = fft_axis(
+                ar, ai, ar.ndim - 1, default_bases(n), inverse=inverse,
+                scale=scale, config=config,
             )
         elif permuted_in:
             outr, outi = _body_permuted_in(
                 ar, ai, twr, twi, A=A, B=B, d=d, axis_name=axis_name,
                 inverse=inverse, scale=scale, bases_a=bases_a,
-                bases_b=bases_b,
+                bases_b=bases_b, config=config,
             )
         else:
             outr, outi = _body_natural_in(
                 ar, ai, twr, twi, A=A, B=B, d=d, axis_name=axis_name,
                 inverse=inverse, scale=scale, bases_a=bases_a,
                 bases_b=bases_b, natural_out=not permuted_out,
+                config=config,
             )
         return jnp.moveaxis(outr, -1, axis), jnp.moveaxis(outi, -1, axis)
 
@@ -232,6 +240,20 @@ def _build_distributed_fn(
     tw_p = P(None, axis_name) if not permuted_in else P(axis_name, None)
     if d == 1:
         tw_p = P(None, None)
+
+    if d == 1:
+        # No collectives in the d==1 branch, so shard_map adds nothing:
+        # plain jit with sharding annotations lets the partitioner handle
+        # any batch sharding and keeps the fused kernel on the fast dispatch
+        # path (shard_map dispatch is measurably slower per call on some
+        # runtimes).
+        d_sh = NamedSharding(mesh, data_p)
+        t_sh = NamedSharding(mesh, tw_p)
+        return (
+            jax.jit(body, in_shardings=(d_sh, d_sh, t_sh, t_sh),
+                    out_shardings=(d_sh, d_sh)),
+            A, B,
+        )
 
     fn = shard_map(
         body,
@@ -254,6 +276,7 @@ def fft_distributed(
     batch_axis_name: str | None = None,
     permuted_in: bool = False,
     permuted_out: bool = False,
+    config: PlanConfig | None = None,
 ) -> SplitComplex:
     """1D FFT along ``axis`` block-sharded over mesh axis ``axis_name``.
 
@@ -272,7 +295,7 @@ def fft_distributed(
     scale = _norm_scale(norm, n, inverse)
     fn, A, B = _build_distributed_fn(
         mesh, axis_name, axis, ndim, n, inverse, scale, batch_axis_name,
-        permuted_in, permuted_out,
+        permuted_in, permuted_out, config or PlanConfig(),
     )
     twr_h, twi_h = _interfactor_twiddle(A, B, inverse)
     outr, outi = fn(x.re, x.im, jnp.asarray(twr_h), jnp.asarray(twi_h))
@@ -289,6 +312,7 @@ def fftn_distributed(
     inverse: bool = False,
     norm: str | None = None,
     batch_axis_name: str | None = None,
+    config: PlanConfig | None = None,
 ) -> SplitComplex:
     """ND FFT where ``dist_axis`` is block-sharded over ``axis_name`` and
     the remaining transformed axes are local to each device.
@@ -310,12 +334,12 @@ def fftn_distributed(
         plan = _api.plan_fft(
             tuple(x.re.shape),
             jnp.complex64 if x.re.dtype == jnp.float32 else jnp.complex128,
-            axes=local_axes, inverse=inverse, norm=norm,
+            axes=local_axes, inverse=inverse, norm=norm, config=config,
         )
         x = plan(x)
     return fft_distributed(
         x, mesh, axis_name=axis_name, axis=dist_axis, inverse=inverse,
-        norm=norm, batch_axis_name=batch_axis_name,
+        norm=norm, batch_axis_name=batch_axis_name, config=config,
     )
 
 
@@ -328,6 +352,7 @@ def fft_batch_sharded(
     inverse: bool = False,
     norm: str | None = None,
     batch_dim: int = 0,
+    config: PlanConfig | None = None,
 ) -> SplitComplex:
     """ND FFT with the batch dimension sharded across the mesh (DP analog).
 
@@ -346,7 +371,7 @@ def fft_batch_sharded(
     plan = _api.plan_fft(
         tuple(x.re.shape), jnp.complex64 if x.re.dtype == jnp.float32
         else jnp.complex128,
-        axes=axes_c, inverse=inverse, norm=norm,
+        axes=axes_c, inverse=inverse, norm=norm, config=config,
     )
     spec = [None] * ndim
     spec[batch_dim] = batch_axis_name
