@@ -53,8 +53,19 @@ def run_cpu(iters: int, with_native: bool) -> None:
     import scipy.fft as sfft
     from tpufft import native
 
+    # PyFFTW column (reference benchmark-cpu-others/benchmark.py:52-57 plans
+    # with FFTW_MEASURE). Emitted only when pyfftw is importable — it is not
+    # part of this image's baked-in package set.
+    try:
+        import pyfftw  # type: ignore
+    except ImportError:
+        pyfftw = None
+        print("(pyfftw not installed; FFTW column omitted)", file=sys.stderr)
+
     native_ok = with_native and native.available()
     hdr = "| shape | NumPy (ms) | SciPy/PocketFFT (ms) |"
+    if pyfftw is not None:
+        hdr += " PyFFTW (ms) |"
     if native_ok:
         hdr += " tpufft-native (ms) |"
     print(hdr)
@@ -67,6 +78,11 @@ def run_cpu(iters: int, with_native: bool) -> None:
         t_np = _bench_host(lambda a: np.fft.fftn(a, axes=axes), x, iters)
         t_sp = _bench_host(lambda a: sfft.fftn(a, axes=axes), x, iters)
         row = f"| {shape} | {t_np:.1f} | {t_sp:.1f} |"
+        if pyfftw is not None:
+            fftw_fftn = pyfftw.builders.fftn(
+                x, axes=axes, planner_effort="FFTW_MEASURE")
+            t_fw = _bench_host(lambda a: fftw_fftn(a), x, iters)
+            row += f" {t_fw:.1f} |"
         if native_ok:
             t_nat = _bench_host(
                 lambda a: native.fftn(a) if len(shape) > 2
