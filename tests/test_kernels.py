@@ -22,9 +22,12 @@ CFG_AUTO = PlanConfig(interpret=True, backend="auto", lane_block=128)
 def test_kernel_factors():
     assert kernel_factors(64) == ("small", 64)
     assert kernel_factors(93) == ("small", 93)
-    assert kernel_factors(1024) == ("four_step", 128, 8, 16)
-    kind, A, B, f = kernel_factors(576)   # 2^6 * 3^2
-    assert A * B == 576 and A <= 128 and B * f <= 128 and A % f == 0
+    assert kernel_factors(1024) == ("four_step_bf", 128, 8)
+    assert kernel_factors(256) == ("four_step_bf", 128, 2)
+    assert kernel_factors(576) == ("four_step_bf", 72, 8)  # 2^6 * 3^2
+    kind, A, B, f = kernel_factors(14 * 128)  # B=14: no nice split
+    assert kind == "four_step"
+    assert A * B == 14 * 128 and A <= 128 and B * f <= 128 and A % f == 0
     assert kernel_factors(1) is None
     assert kernel_factors(2 * 131) is None          # prime cofactor > 128
     assert kernel_factors(131) is None              # prime > MXU depth
@@ -151,9 +154,22 @@ def test_pair_support_alignment():
     import jax.numpy as jnp
     cfg = PlanConfig()
     assert pair_supported(256, 256, jnp.float32, cfg)
-    assert not pair_supported(640, 480, jnp.float32, cfg)   # 480 lanes misaligned
+    # four_step_bf axes have no lane-alignment constraint (no sublane<->lane
+    # reshape), so (640, 480) is supported since the bf redesign
+    assert pair_supported(640, 480, jnp.float32, cfg)
+    # the Kronecker four-step still needs 128-aligned lanes: 1792 = 2^8 * 7
+    assert pair_supported(1792, 128, jnp.float32, cfg)
+    assert not pair_supported(1792, 96, jnp.float32, cfg)
     assert pair_supported(64, 96, jnp.float32, cfg)         # small x small: any lanes
     assert not pair_supported(256, 256, jnp.float64, cfg)
+
+
+def test_kernel_fused_pair_unaligned_lanes(rng):
+    """(640, 480)-style pair through the bf kernels (lanes not 128-aligned)."""
+    x = (rng.standard_normal((1, 320, 240))
+         + 1j * rng.standard_normal((1, 320, 240))).astype(np.complex64)
+    got = tpufft.fftn(x, axes=(1, 2), config=CFG)
+    assert_spectrum_close(got, np.fft.fft2(x, axes=(1, 2)), np.complex64)
 
 
 def test_kernel_two_pass_nonminor_axis(rng):
