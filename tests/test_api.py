@@ -155,3 +155,22 @@ def test_hfft_ihfft_bad_norm_raises():
         tpufft.hfft(x, norm="bogus")
     with pytest.raises(ValueError, match="norm"):
         tpufft.ihfft(np.ones((4, 9)), norm="bogus")
+
+
+def test_fast_length_padding():
+    """Auto-pad conveniences: n/s entries 'fast' and 'fast-aligned'."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((4, 93))
+         + 1j * rng.standard_normal((4, 93))).astype(np.complex128)
+    # 93 is already kernel-fast, so 'fast' is the identity here
+    got = tpufft.fft(x, n="fast")
+    assert_spectrum_close(got, np.fft.fft(x, n=93), np.complex128)
+    # 'fast-aligned' pads to the next multiple of 128 (the misaligned-DMA
+    # cure for shapes like (1e6, 93))
+    got = tpufft.fft(x, n="fast-aligned")
+    assert np.shape(got)[-1] == 128
+    assert_spectrum_close(got, np.fft.fft(x, n=128), np.complex128)
+    plan = tpufft.plan_fft((4, 200, 93), axes=(1, 2), s="fast-aligned")
+    assert plan.lengths == (256, 128)
+    with pytest.raises(ValueError, match="fast"):
+        tpufft.fft(x, n="bogus")

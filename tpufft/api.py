@@ -420,6 +420,27 @@ def _cached_plan(shape, dtype, axes, lengths, bases, inverse, norm, kind, config
     )
 
 
+def _resolve_fast_length(v, current: int) -> int:
+    """Resolve one ``s``/``n`` entry: an int, or the auto-pad conveniences
+    "fast" (next kernel-friendly length) / "fast-aligned" (additionally a
+    multiple of 128). Non-128-multiple minor axes pay ~3-4x in DMA
+    ((1e6, 93): 8.7 ms vs 2.6 ms for the same batch at width 128), but the
+    zero-pad itself costs an HBM pass — the win comes from KEEPING data in
+    the aligned layout across a pipeline, not from padding per call; see
+    planner.next_fast_len."""
+    if isinstance(v, str):
+        from .planner import next_fast_len
+
+        if v == "fast":
+            return next_fast_len(current)
+        if v == "fast-aligned":
+            return next_fast_len(current, aligned=True)
+        raise ValueError(
+            f"length spec must be an int, 'fast' or 'fast-aligned', got {v!r}"
+        )
+    return int(v)
+
+
 def plan_fft(
     shape: Sequence[int],
     dtype=jnp.complex64,
@@ -438,6 +459,8 @@ def plan_fft(
     cfg = config or PlanConfig()
     shape = tuple(int(d) for d in shape)
     axes = _canon_axes(len(shape), axes)
+    if isinstance(s, str):
+        s = (s,) * len(axes)
     if s is None:
         lengths = tuple(shape[a] for a in axes)
         if kind == "c2r":
@@ -445,7 +468,9 @@ def plan_fft(
     else:
         if len(s) != len(axes):
             raise ValueError(f"len(s)={len(s)} must equal len(axes)={len(axes)}")
-        lengths = tuple(int(v) for v in s)
+        lengths = tuple(
+            _resolve_fast_length(v, shape[a]) for v, a in zip(s, axes)
+        )
     bases = _resolve_bases(lengths, bases, cfg)
     return _cached_plan(
         shape, str(jnp.dtype(dtype)), axes, lengths, bases, inverse, norm,
