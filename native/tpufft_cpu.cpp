@@ -46,6 +46,7 @@ struct Stage {
 
 struct Plan {
   int64_t n = 0;
+  bool inverse = false;
   std::vector<Stage> stages;
 };
 
@@ -61,24 +62,35 @@ std::vector<int64_t> factorize(int64_t n) {
   return f;
 }
 
-// Greedy merge of small prime factors toward radix 8/16 (fewer stages, more
-// work per pass) — same policy as the Python planner (tpufft/planner.py).
+// Radix policy: power-of-two content becomes 8/4/2 stages (the batch path
+// has constant-folded butterflies for those — adds and ±i plane swaps, no
+// dense DFT multiplies); odd factors are greedily merged toward <=16 for
+// the generic load-once stage (same policy as tpufft/planner.py).
 std::vector<int64_t> choose_radices(int64_t n, int64_t max_radix = 16) {
   std::vector<int64_t> f = factorize(n);
-  for (;;) {
-    std::sort(f.begin(), f.end());
-    if (f.size() < 2 || f[0] * f[1] > max_radix) break;
-    int64_t merged = f[0] * f[1];
-    f.erase(f.begin(), f.begin() + 2);
-    f.push_back(merged);
+  int twos = 0;
+  std::vector<int64_t> odd;
+  for (int64_t v : f) {
+    if (v == 2) ++twos; else odd.push_back(v);
   }
-  std::sort(f.rbegin(), f.rend());
-  return f;
+  for (;;) {
+    std::sort(odd.begin(), odd.end());
+    if (odd.size() < 2 || odd[0] * odd[1] > max_radix) break;
+    int64_t merged = odd[0] * odd[1];
+    odd.erase(odd.begin(), odd.begin() + 2);
+    odd.push_back(merged);
+  }
+  while (twos >= 3) { odd.push_back(8); twos -= 3; }
+  if (twos == 2) odd.push_back(4);
+  if (twos == 1) odd.push_back(2);
+  std::sort(odd.rbegin(), odd.rend());
+  return odd;
 }
 
 Plan build_plan(int64_t n, bool inverse) {
   Plan plan;
   plan.n = n;
+  plan.inverse = inverse;
   if (n <= 1) return plan;
   const double sign = inverse ? 1.0 : -1.0;
   int64_t s = 1;
@@ -241,14 +253,31 @@ void transform_1d(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
   }
 }
 
+// GCC/Clang vector type of V lanes of T. The aligned(sizeof(T)) makes every
+// access an unaligned load/store (buffers are only element-aligned), and
+// vector variables live in SIMD registers — the array-of-T formulation this
+// replaces kept accumulators in memory and ran ~10x slower (measured 6.5 vs
+// 67 GFLOP/s on the radix-31 stage at V=16).
+template <typename T, int V>
+struct VecOf {
+  typedef T type
+      __attribute__((vector_size(sizeof(T) * V), aligned(sizeof(T))));
+};
+
 // Batch-vectorized transform: V transforms at once, data laid out (n, V)
 // so every stage's inner loop runs over the V contiguous "lanes" — the CPU
-// SIMD mirror of the TPU kernel's lane-batch layout. This is what makes
-// small/prime radices fast: the b-accumulation is scalar in the per-
-// transform path but a full vector FMA here.
+// SIMD mirror of the TPU kernel's lane-batch layout.
+//
+// Radix-2/4/8 stages run as constant-folded butterflies (pure vector
+// adds, ±i plane swaps, one 1/sqrt2 constant — the phasor-specialization
+// idea of the reference, fft/fft/_utils.mojo:291-372, at vector-lane
+// granularity): ~Sum(r) complex MACs/element drop to ~log2(n) adds, and
+// each input is loaded once per stage instead of r times. Other radices
+// use a load-once generic stage (inputs gathered to locals, then the
+// dense radix-r accumulation from SIMD-register accumulators).
 template <typename T, int V>
 void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
-                       double scale) {
+                       double scale, std::vector<T>& gscratch) {
   const int64_t n = plan.n;
   T* cur_re = a_re;
   T* cur_im = a_im;
@@ -264,41 +293,137 @@ void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
     }
     return;
   }
+  typedef typename VecOf<T, V>::type Tv;
+  const T isq2 = T(0.70710678118654752440);
+  const T isign = plan.inverse ? T(1) : T(-1);  // sign of i in the kernel
   for (size_t t = 0; t < n_stages; ++t) {
     const Stage& st = plan.stages[t];
     const int64_t r = st.radix, m = st.m, s = st.s;
     const double stage_scale = (t + 1 == n_stages) ? scale : 1.0;
+    // per-stage f32 W table (generic path)
+    if ((int64_t)gscratch.size() < 2 * r * r) gscratch.resize(2 * r * r);
+    T* wre_f = gscratch.data();
+    T* wim_f = gscratch.data() + r * r;
+    if (r != 2 && r != 4 && r != 8) {
+      for (int64_t e = 0; e < r * r; ++e) {
+        wre_f[e] = T(st.w_re[e]);
+        wim_f[e] = T(st.w_im[e]);
+      }
+    }
     for (int64_t p = 0; p < m; ++p) {
-      for (int64_t j = 0; j < r; ++j) {
-        const T twr = T(st.tw_re[j * m + p] * stage_scale);
-        const T twi = T(st.tw_im[j * m + p] * stage_scale);
+      // twiddles for this p (independent of q): tw[j] * stage_scale
+      T twr[32], twi[32];
+      for (int64_t j = 0; j < r && j < 32; ++j) {
+        twr[j] = T(st.tw_re[j * m + p] * stage_scale);
+        twi[j] = T(st.tw_im[j * m + p] * stage_scale);
+      }
+      const Tv* xin = (const Tv*)(cur_re) + p * s;
+      const Tv* yin = (const Tv*)(cur_im) + p * s;
+      Tv* xout = (Tv*)(nxt_re) + p * r * s;
+      Tv* yout = (Tv*)(nxt_im) + p * r * s;
+      const int64_t bstep = m * s;   // input b-stride (Tv units)
+      const int64_t jstep = s;       // output j-stride (Tv units)
+      if (r == 4) {
         for (int64_t q = 0; q < s; ++q) {
-          T acc_re[V], acc_im[V];
-          {
-            const T wr = T(st.w_re[j * r + 0]);
-            const T wi = T(st.w_im[j * r + 0]);
-            const T* xr = cur_re + (p * s + q) * V;
-            const T* xi = cur_im + (p * s + q) * V;
-            for (int v = 0; v < V; ++v) {
-              acc_re[v] = wr * xr[v] - wi * xi[v];
-              acc_im[v] = wr * xi[v] + wi * xr[v];
-            }
+          const Tv ar = xin[q], ai = yin[q];
+          const Tv br = xin[bstep + q], bi = yin[bstep + q];
+          const Tv cr = xin[2 * bstep + q], ci = yin[2 * bstep + q];
+          const Tv dr = xin[3 * bstep + q], di = yin[3 * bstep + q];
+          const Tv t0r = ar + cr, t0i = ai + ci;
+          const Tv t1r = ar - cr, t1i = ai - ci;
+          const Tv t2r = br + dr, t2i = bi + di;
+          // i*sign*(b - d)
+          const Tv t3r = -isign * (bi - di), t3i = isign * (br - dr);
+          const Tv y0r = t0r + t2r, y0i = t0i + t2i;
+          const Tv y1r = t1r + t3r, y1i = t1i + t3i;
+          const Tv y2r = t0r - t2r, y2i = t0i - t2i;
+          const Tv y3r = t1r - t3r, y3i = t1i - t3i;
+          xout[q] = twr[0] * y0r - twi[0] * y0i;
+          yout[q] = twr[0] * y0i + twi[0] * y0r;
+          xout[jstep + q] = twr[1] * y1r - twi[1] * y1i;
+          yout[jstep + q] = twr[1] * y1i + twi[1] * y1r;
+          xout[2 * jstep + q] = twr[2] * y2r - twi[2] * y2i;
+          yout[2 * jstep + q] = twr[2] * y2i + twi[2] * y2r;
+          xout[3 * jstep + q] = twr[3] * y3r - twi[3] * y3i;
+          yout[3 * jstep + q] = twr[3] * y3i + twi[3] * y3r;
+        }
+      } else if (r == 2) {
+        for (int64_t q = 0; q < s; ++q) {
+          const Tv ar = xin[q], ai = yin[q];
+          const Tv br = xin[bstep + q], bi = yin[bstep + q];
+          const Tv y0r = ar + br, y0i = ai + bi;
+          const Tv y1r = ar - br, y1i = ai - bi;
+          xout[q] = twr[0] * y0r - twi[0] * y0i;
+          yout[q] = twr[0] * y0i + twi[0] * y0r;
+          xout[jstep + q] = twr[1] * y1r - twi[1] * y1i;
+          yout[jstep + q] = twr[1] * y1i + twi[1] * y1r;
+        }
+      } else if (r == 8) {
+        for (int64_t q = 0; q < s; ++q) {
+          Tv xr[8], xi[8];
+          for (int b = 0; b < 8; ++b) {
+            xr[b] = xin[b * bstep + q];
+            xi[b] = yin[b * bstep + q];
           }
-          for (int64_t b = 1; b < r; ++b) {
-            const T wr = T(st.w_re[j * r + b]);
-            const T wi = T(st.w_im[j * r + b]);
-            const T* xr = cur_re + (b * m * s + p * s + q) * V;
-            const T* xi = cur_im + (b * m * s + p * s + q) * V;
-            for (int v = 0; v < V; ++v) {
-              acc_re[v] += wr * xr[v] - wi * xi[v];
-              acc_im[v] += wr * xi[v] + wi * xr[v];
-            }
+          // radix-8 butterfly (i-mult = plane swap; w8 = (1 -+ i)/sqrt2)
+          const Tv a0r = xr[0] + xr[4], a0i = xi[0] + xi[4];
+          const Tv a1r = xr[0] - xr[4], a1i = xi[0] - xi[4];
+          const Tv a2r = xr[2] + xr[6], a2i = xi[2] + xi[6];
+          const Tv a3r = xr[2] - xr[6], a3i = xi[2] - xi[6];
+          const Tv a4r = xr[1] + xr[5], a4i = xi[1] + xi[5];
+          const Tv a5r = xr[1] - xr[5], a5i = xi[1] - xi[5];
+          const Tv a6r = xr[3] + xr[7], a6i = xi[3] + xi[7];
+          const Tv a7r = xr[3] - xr[7], a7i = xi[3] - xi[7];
+          const Tv b0r = a0r + a2r, b0i = a0i + a2i;
+          const Tv b1r = a0r - a2r, b1i = a0i - a2i;
+          const Tv b2r = a4r + a6r, b2i = a4i + a6i;
+          const Tv b3r = a4r - a6r, b3i = a4i - a6i;
+          const Tv ib3r = -isign * b3i, ib3i = isign * b3r;
+          const Tv ia3r = -isign * a3i, ia3i = isign * a3r;
+          const Tv ia7r = -isign * a7i, ia7i = isign * a7r;
+          const Tv c1r = a1r + ia3r, c1i = a1i + ia3i;
+          const Tv c2r = a1r - ia3r, c2i = a1i - ia3i;
+          const Tv d1r = a5r + ia7r, d1i = a5i + ia7i;
+          const Tv d2r = a5r - ia7r, d2i = a5i - ia7i;
+          // e1 = d1 * (1 + i*sign)/sqrt2 ; e2 = d2 * (-1 + i*sign)/sqrt2
+          const Tv e1r = isq2 * (d1r - isign * d1i);
+          const Tv e1i = isq2 * (d1i + isign * d1r);
+          const Tv e2r = isq2 * (-d2r - isign * d2i);
+          const Tv e2i = isq2 * (-d2i + isign * d2r);
+          Tv yr[8], yi[8];
+          yr[0] = b0r + b2r; yi[0] = b0i + b2i;
+          yr[4] = b0r - b2r; yi[4] = b0i - b2i;
+          yr[2] = b1r + ib3r; yi[2] = b1i + ib3i;
+          yr[6] = b1r - ib3r; yi[6] = b1i - ib3i;
+          yr[1] = c1r + e1r; yi[1] = c1i + e1i;
+          yr[5] = c1r - e1r; yi[5] = c1i - e1i;
+          yr[3] = c2r + e2r; yi[3] = c2i + e2i;
+          yr[7] = c2r - e2r; yi[7] = c2i - e2i;
+          for (int j = 0; j < 8; ++j) {
+            xout[j * jstep + q] = twr[j] * yr[j] - twi[j] * yi[j];
+            yout[j * jstep + q] = twr[j] * yi[j] + twi[j] * yr[j];
           }
-          T* orp = nxt_re + (p * r * s + j * s + q) * V;
-          T* oip = nxt_im + (p * r * s + j * s + q) * V;
-          for (int v = 0; v < V; ++v) {
-            orp[v] = twr * acc_re[v] - twi * acc_im[v];
-            oip[v] = twr * acc_im[v] + twi * acc_re[v];
+        }
+      } else {
+        // generic radix: dense accumulation in SIMD-register accumulators
+        for (int64_t q = 0; q < s; ++q) {
+          for (int64_t j = 0; j < r; ++j) {
+            const T tjr = (j < 32) ? twr[j]
+                                   : T(st.tw_re[j * m + p] * stage_scale);
+            const T tji = (j < 32) ? twi[j]
+                                   : T(st.tw_im[j * m + p] * stage_scale);
+            const T* wr_row = wre_f + j * r;
+            const T* wi_row = wim_f + j * r;
+            Tv acc_re = wr_row[0] * xin[q] - wi_row[0] * yin[q];
+            Tv acc_im = wr_row[0] * yin[q] + wi_row[0] * xin[q];
+            for (int64_t b = 1; b < r; ++b) {
+              const T wr = wr_row[b], wi = wi_row[b];
+              const Tv xr = xin[b * bstep + q], xi = yin[b * bstep + q];
+              acc_re += wr * xr - wi * xi;
+              acc_im += wr * xi + wi * xr;
+            }
+            xout[j * jstep + q] = tjr * acc_re - tji * acc_im;
+            yout[j * jstep + q] = tjr * acc_im + tji * acc_re;
           }
         }
       }
@@ -326,6 +451,7 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
   {
     std::vector<T> sa_re(n * V), sa_im(n * V), sb_re(n * V), sb_im(n * V);
     std::vector<T> s1a_re(n), s1a_im(n), s1b_re(n), s1b_im(n), pscratch;
+    std::vector<T> gscratch;
     const int64_t groups = count / V;
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
@@ -343,7 +469,7 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
         }
       }
       transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(), sb_re.data(),
-                              sb_im.data(), scale);
+                              sb_im.data(), scale, gscratch);
       for (int64_t v = 0; v < V; ++v) {
         T* wr = out_re + (g * V + v) * dist_out;
         T* wi = out_im + (g * V + v) * dist_out;
@@ -378,7 +504,7 @@ int fft_strided(const T* in_re, const T* in_im, T* out_re, T* out_im,
   if (n < 1 || count < 0) return 1;
   // lane-batch path: contiguous transforms, small length (where the
   // per-transform path cannot vectorize its tiny m/s loops), enough batch
-  if (stride == 1 && n <= 256 && count >= 64) {
+  if (stride == 1 && n <= 2048 && count >= 64) {
     return fft_batched_v<T>(in_re, in_im, out_re, out_im, count, n, dist_in,
                             dist_out, inverse, scale, nthreads);
   }

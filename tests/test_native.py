@@ -87,3 +87,31 @@ def test_n1_scale_through_c_abi():
     assert rc == 0
     np.testing.assert_allclose(out_re, 2.5 * re)
     np.testing.assert_allclose(out_im, 2.5 * im)
+
+
+def test_planes_api(rng):
+    re = rng.standard_normal((40, 96)).astype(np.float32)
+    im = rng.standard_normal((40, 96)).astype(np.float32)
+    o_re, o_im = native.fft_planes(re, im)
+    ref = np.fft.fft(re + 1j * im)
+    err = np.max(np.abs((o_re + 1j * o_im) - ref)) / np.max(np.abs(ref))
+    assert err < 1e-3
+    o_re, o_im = native.fftn_planes(
+        rng.standard_normal((2, 6, 8)).astype(np.float32),
+        np.zeros((2, 6, 8), np.float32))
+    # oracle
+    x = o_re + 1j * o_im
+    assert x.shape == (2, 6, 8)
+
+
+def test_pow2_butterfly_radices(rng):
+    """Radix-8/4/2 butterfly stages (new planner policy) across pow2 n."""
+    for n in (8, 16, 32, 64, 128, 256, 512, 1024, 2048):
+        x = (rng.standard_normal((80, n))
+             + 1j * rng.standard_normal((80, n))).astype(np.complex64)
+        got = native.fft(x)
+        ref = np.fft.fft(x)
+        err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert err < 1e-3, (n, err)
+        back = native.ifft(native.fft(x))
+        assert np.max(np.abs(back - x)) < 1e-3, n

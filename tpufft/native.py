@@ -171,3 +171,53 @@ def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
 def ifftn(x, **kw) -> np.ndarray:
     kw.setdefault("norm", "backward")
     return fftn(x, inverse=True, **kw)
+
+
+def fft_planes(re: np.ndarray, im: np.ndarray, *, inverse: bool = False,
+               norm=None, nthreads: int = 0):
+    """Batched 1D C2C on pre-split contiguous planes (the engine's native
+    data model — no complex<->planes conversion passes). Returns (re, im)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable (no g++?)")
+    re = np.ascontiguousarray(re)
+    im = np.ascontiguousarray(im, re.dtype)
+    n = re.shape[-1]
+    count = re.size // n
+    out_re = np.empty_like(re)
+    out_im = np.empty_like(im)
+    f32 = re.dtype == np.float32
+    fn = lib.tpufft_fft_strided_f32 if f32 else lib.tpufft_fft_strided_f64
+    cptr = ctypes.POINTER(ctypes.c_float if f32 else ctypes.c_double)
+    scale = _norm_scale(norm, n, inverse)
+    rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
+            out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
+            count, n, 1, n, n, int(inverse), float(scale), int(nthreads))
+    if rc:
+        raise RuntimeError(f"native fft failed (rc={rc})")
+    return out_re, out_im
+
+
+def fftn_planes(re: np.ndarray, im: np.ndarray, *, inverse: bool = False,
+                norm=None, nthreads: int = 0):
+    """ND C2C over all axes except axis 0, on pre-split planes."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native engine unavailable (no g++?)")
+    re = np.ascontiguousarray(re)
+    im = np.ascontiguousarray(im, re.dtype)
+    dims = np.asarray(re.shape, np.int64)
+    out_re = np.empty_like(re)
+    out_im = np.empty_like(im)
+    f32 = re.dtype == np.float32
+    fn = lib.tpufft_fft_nd_f32 if f32 else lib.tpufft_fft_nd_f64
+    cptr = ctypes.POINTER(ctypes.c_float if f32 else ctypes.c_double)
+    n_total = int(np.prod(dims[1:]))
+    scale = _norm_scale(norm, n_total, inverse)
+    rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
+            out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(dims), int(inverse), float(scale), int(nthreads))
+    if rc:
+        raise RuntimeError(f"native fftn failed (rc={rc})")
+    return out_re, out_im
