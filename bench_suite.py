@@ -49,7 +49,7 @@ def _bench_host(fn, x, iters):
     return min(times) * 1e3
 
 
-def run_cpu(iters: int, with_native: bool) -> None:
+def run_cpu(iters: int, with_native: bool, shapes=SHAPES) -> None:
     import scipy.fft as sfft
     from tpufft import native
 
@@ -71,7 +71,7 @@ def run_cpu(iters: int, with_native: bool) -> None:
     print(hdr)
     print("|" + "---|" * (hdr.count("|") - 1))
     rng = np.random.default_rng(0)
-    for shape in SHAPES:
+    for shape in shapes:
         x = (rng.standard_normal(shape)
              + 1j * rng.standard_normal(shape)).astype(np.complex64)
         axes = tuple(range(1, len(shape)))
@@ -99,7 +99,7 @@ def run_cpu(iters: int, with_native: bool) -> None:
         print(row, flush=True)
 
 
-def run_tpu(iters: int) -> None:
+def run_tpu(iters: int, shapes=SHAPES) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -113,7 +113,7 @@ def run_tpu(iters: int) -> None:
     print("| shape | tpufft fused (ms) | tpufft XLA-path (ms) |")
     print("|---|---|---|")
     rng = np.random.default_rng(0)
-    for shape in SHAPES:
+    for shape in shapes:
         x = SplitComplex(
             jnp.asarray(rng.standard_normal(shape), jnp.float32),
             jnp.asarray(rng.standard_normal(shape), jnp.float32),
@@ -170,13 +170,19 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--native", action="store_true",
                     help="include the native C++ engine in the CPU table")
+    ap.add_argument("--shapes", default=None,
+                    help="comma-separated indices into the shape table "
+                         "(e.g. 0,2,11), default all")
     args = ap.parse_args()
+    shapes = SHAPES
+    if args.shapes is not None:
+        shapes = [SHAPES[int(i)] for i in args.shapes.split(",")]
     if args.device == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
-        run_cpu(args.iters, args.native)
+        run_cpu(args.iters, args.native, shapes)
     else:
-        run_tpu(args.iters)
+        run_tpu(args.iters, shapes)
 
 
 if __name__ == "__main__":

@@ -58,3 +58,18 @@ def test_pair_kernel_tail_batches(batch, rng):
     got = np.asarray(tpufft.fftn(x, axes=(1, 2), config=CFG))
     assert np.isfinite(got).all()
     assert_spectrum_close(got, np.fft.fft2(x, axes=(1, 2)), np.complex64)
+
+
+@pytest.mark.parametrize("shape,axis", [
+    ((2, 25, 7, 11), 1),      # small kind; M=7 and L=11 both grid tails
+    ((1, 160, 9, 48), 1),     # four_step_bf; M=9 rides the mblk tail
+    ((2, 24, 5, 160), 1),     # L>=160 branch: lane block 256 over L=160
+    ((2, 10, 3, 5, 48), 2),   # 5D middle axis through the nd view
+])
+def test_inner_nd_kernel_tails(shape, axis, rng):
+    """nd-inner kernel (native trailing layout) with remainder-prone M/L
+    block tails: every output element must be written."""
+    x = _x(rng, shape)
+    got = np.asarray(tpufft.fftn(x, axes=(axis,), config=CFG))
+    assert np.isfinite(got).all()
+    assert_spectrum_close(got, np.fft.fft(x, axis=axis), np.complex64)

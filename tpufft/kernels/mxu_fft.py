@@ -219,28 +219,37 @@ def _prep_w(table_pair, precision: str):
     return (wr, wi)
 
 
+def _dotl(w, x, *, precision=None):
+    """W @ x contracting W's dim 1 with x's dim 0.
+
+    x may be rank 2 (n, lanes) or rank 3 (n, m, l) — dim-0 contraction of a
+    plain 3D block is the one N-D dot_general form Mosaic accepts (middle-dim
+    3D contractions and contractions through rank>3 refs are rejected)."""
+    return jax.lax.dot_general(
+        w, x, (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32)
+
+
 def _cmm(precision: str, W, xr, xi):
-    """Complex matmul (W) @ (xr + i xi) as real MXU matmuls.
+    """Complex matmul (W) @ (xr + i xi) as real MXU matmuls; x rank 2 or 3.
 
     For bf16x3, the x planes are hi/lo-split once and each real matmul is
     the 3-pass emulation ah@bh + ah@bl + al@bh (~1e-6 rel err)."""
     if precision == "bf16x3":
         rh, rl, ih, il = W
-        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         xrh, xrl = _split_bf16(xr)
         xih, xil = _split_bf16(xi)
 
         def m(wh, wl, bh, bl):
-            return d(wh, bh) + (d(wh, bl) + d(wl, bh))
+            return _dotl(wh, bh) + (_dotl(wh, bl) + _dotl(wl, bh))
 
         return (m(rh, rl, xrh, xrl) - m(ih, il, xih, xil),
                 m(rh, rl, xih, xil) + m(ih, il, xrh, xrl))
     wr, wi = W
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
-    mm = functools.partial(jnp.dot, precision=prec,
-                           preferred_element_type=jnp.float32)
-    return mm(wr, xr) - mm(wi, xi), mm(wr, xi) + mm(wi, xr)
+    return (_dotl(wr, xr, precision=prec) - _dotl(wi, xi, precision=prec),
+            _dotl(wr, xi, precision=prec) + _dotl(wi, xr, precision=prec))
 
 
 def _cmm_right(precision: str, W, xr, xi):
@@ -354,7 +363,15 @@ def _butterfly(xs, B, inverse):
 
 
 def _compute(precision, n, kind, groups, xr, xi, inverse=False):
-    """xr/xi: (n, lanes) -> (n, lanes), natural order in and out."""
+    """xr/xi: (n, *lanes) -> (n, *lanes), natural order in and out.
+
+    ``lanes`` is one trailing dim (classic 2D tile) or two (native N-D
+    layout tile (n, m, l) — used by the nd-inner kernel so arrays with
+    non-128-multiple trailing dims are never lane-merge-reshaped, which
+    XLA implements as a physical repack of the padded layout). The
+    Kronecker "four_step" path needs sublane<->lane reshapes and stays
+    rank-2 only."""
+    tail = xr.shape[1:]
     if kind[0] == "small":
         (w,) = groups
         return _cmm(precision, w, xr, xi)
@@ -363,7 +380,6 @@ def _compute(precision, n, kind, groups, xr, xi, inverse=False):
         # (exact f32), then per-t twiddle-folded matmul over r, then the
         # (t, m) -> (m, t) digit interleave as a free sublane permute.
         _, A, B = kind
-        lanes = xr.shape[-1]
         xs = [(xr[q * A:(q + 1) * A], xi[q * A:(q + 1) * A])
               for q in range(B)]
         ys = _butterfly(xs, B, inverse)
@@ -371,9 +387,11 @@ def _compute(precision, n, kind, groups, xr, xi, inverse=False):
               for t in range(B)]
         zr = jnp.concatenate([z[0] for z in zs], axis=0)   # rows (t, m)
         zi = jnp.concatenate([z[1] for z in zs], axis=0)
-        zr = zr.reshape(B, A, lanes).transpose(1, 0, 2).reshape(n, lanes)
-        zi = zi.reshape(B, A, lanes).transpose(1, 0, 2).reshape(n, lanes)
+        perm = (1, 0) + tuple(range(2, 2 + len(tail)))
+        zr = zr.reshape((B, A) + tail).transpose(perm).reshape((n,) + tail)
+        zi = zi.reshape((B, A) + tail).transpose(perm).reshape((n,) + tail)
         return zr, zi
+    assert len(tail) == 1, "Kronecker four_step is a 2D-tile kernel"
     _, A, B, f = kind
     lanes = xr.shape[-1]
     w1, (twr, twi), w2 = groups
@@ -498,6 +516,88 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
         )(*[jnp.asarray(t) for t in tables], ar, ai)
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
+                    lblk: int, precision: str, interpret: bool):
+    """(pre*n, M, L) -> (pre*n, M, L): transform along dim 0 in groups of n,
+    reading the array's NATIVE trailing layout.
+
+    The block is (n, mblk, lblk) at offset (p*n, m*mblk, j*lblk): the whole
+    transform axis on the major dim (dim-0 contraction of a plain 3D block
+    is the one N-D matmul Mosaic compiles), lanes = the native (M, L) tile.
+    This is what keeps N-D FFTs over padded layouts (trailing dim not a
+    multiple of 128) free of XLA repack passes: the caller's reshape to
+    (pre*n, M, L) only merges major dims, which is layout-preserving, while
+    the old flat (pre, n, M*L) view forced a physical lane-merge repack both
+    ways (measured 24 ms -> the same bytes as a flat 3D array ran 3 ms).
+    Supports "small" and "four_step_bf" factorizations (the Kronecker
+    four-step needs lane reshapes that don't exist for rank-3 tiles)."""
+    kind = kernel_factors(n)
+    assert kind[0] in ("small", "four_step_bf")
+    tables, unpack = _pack_tables(n, inverse, scale, precision)
+    logger.debug("mxu_fft inner-nd: n=%d %s mblk=%d lblk=%d inverse=%s "
+                 "precision=%s", n, kind, mblk, lblk, inverse, precision)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
+        groups = unpack([r[:] for r in t_refs])
+        zr, zi = _compute(precision, n, kind, groups, xr_ref[:], xi_ref[:],
+                          inverse=inverse)
+        or_ref[:] = zr
+        oi_ref[:] = zi
+
+    data = pl.BlockSpec((n, mblk, lblk), lambda p, m, j: (p, m, j),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda p, m, j: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    def run(ar, ai):
+        pn, M, L = ar.shape
+        grid = (pn // n, pl.cdiv(M, mblk), pl.cdiv(L, lblk))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tspec(t) for t in tables] + [data, data],
+            out_specs=[data, data],
+            out_shape=[jax.ShapeDtypeStruct((pn, M, L), jnp.float32)] * 2,
+            interpret=interpret,
+        )(*[jnp.asarray(t) for t in tables], ar, ai)
+
+    return run
+
+
+def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
+                   config: PlanConfig, interpret: bool):
+    """VMEM-model block sizes for the nd-inner kernel; None if nothing fits.
+
+    lanes = the native (mblk, L-block) tile; bytes per plane block are
+    n x round8(mblk) x round128(lblk) x 4 (VMEM tiles pad the minor dims).
+    """
+    # 15 plane-equivalents measured: double-buffered in/out pairs (8) plus
+    # bf16x3 splits, butterfly temporaries and the interleave copy (a
+    # (25, 88, 128) block OOMed the 16M scoped vmem at 14.6x plane bytes).
+    planes = 15
+    # Block lane dims must be 128-multiples: Mosaic compiles the dim-0 3D
+    # dot_general ONLY when the block's minor dim is lane-aligned (measured:
+    # (n,8,48) blocks crash the compile helper, (n,8,128) blocks over the
+    # same 48-wide array work — Pallas masks the tail lanes, and every op
+    # in _compute is lane-independent so the garbage never contaminates).
+    lpad = ((min(L, 512) + _LANE - 1) // _LANE) * _LANE
+    for lblk in dict.fromkeys((lpad, 256, 128)):
+        unit8 = planes * n * 8 * lblk * 4  # one 8-sublane group (VMEM pads)
+        groups = config.vmem_budget_bytes // max(unit8, 1)
+        if groups < 1:
+            continue
+        mblk = min(M, groups * 8)
+        return _build_inner_nd(n, inverse, scale, int(mblk), int(lblk),
+                               config.precision, interpret)
+    return None
 
 
 @functools.lru_cache(maxsize=None)
@@ -656,6 +756,30 @@ def fft_axis_pallas(
             outr = jnp.moveaxis(outr, -1, axis)
             outi = jnp.moveaxis(outi, -1, axis)
         return outr, outi
+
+    # >=2 trailing dims: the nd-inner kernel reads the NATIVE trailing
+    # layout (pre*n, M, L) — no lane-merge reshape, so XLA never physically
+    # repacks padded (non-128-multiple trailing dim) layouts around the
+    # kernel call. The Kronecker "four_step" kinds need rank-2 tiles and
+    # keep the flat path.
+    kind = kernel_factors(n)
+    if ndim - axis >= 3 and kind[0] in ("small", "four_step_bf"):
+        M = math.prod(shape[axis + 1:-1])
+        L = shape[-1]
+        # Measured dispatch (v5e A/B): nd wins whenever L is lane-aligned
+        # (no flat-merge repack AND full-width DMA) and for badly padded
+        # small L (48: 24.2 -> 12.6 ms on the 5D reference shape, where the
+        # flat path repacks around every kernel call). In the 64 <= L < 160
+        # band the one-off repack plus aligned flat kernel measured faster
+        # than nd's half-empty lanes ((100,64^3): 7.4 vs 8.4 ms), except
+        # when L%128==0 never repacks at the kernel boundary.
+        use_nd = L % _LANE == 0 or L < 64 or L >= 160
+        nd_run = (_plan_inner_nd(n, inverse, float(scale), M, L, config,
+                                 interpret) if use_nd else None)
+        if nd_run is not None:
+            outr, outi = nd_run(ar.reshape(pre * n, M, L),
+                                ai.reshape(pre * n, M, L))
+            return outr.reshape(shape), outi.reshape(shape)
 
     # inner-axis layout (pre, n, post): transpose-free
     lblk = min(choose_lane_block(n, config), _round_lane(post))
