@@ -71,6 +71,116 @@ def _split_large(n: int, dtype, cfg: PlanConfig):
 
 
 def _fft_axis_two_pass(ar, ai, axis, a, b, *, inverse, scale, config):
+    """Four-step decomposition for lengths beyond the fused kernel's VMEM
+    envelope, split on the SUBLANE side.
+
+    n = a*b with flat index i = ia*b + ib (ia slow): viewing the axis as two
+    dims (a, b) is a free reshape (major-dim split — no lane layout change),
+    pass 1 transforms the ia dim through the nd-inner kernel with the
+    inter-factor twiddle e(ia-hat * ib / n) folded into the kernel store,
+    pass 2 transforms ib, and one swap of the two digit dims restores
+    natural order (out flat k = kb*a + ka). Every pass runs over the
+    array's native lane layout — the older lane-split form (kept below as
+    the fallback) reshaped (batch, n) -> (batch, a, b), which physically
+    repacks the padded layout AND runs passes at misaligned lane widths
+    (measured (1,7680,4320): 15.1 ms -> see BENCH_SUITE.md).
+
+    For a minor axis the array is first transposed axis-to-front (aligned
+    full-bandwidth passes), transformed, and transposed back with the digit
+    swap folded into the same XLA copy."""
+    n = a * b
+    ndim = ar.ndim
+    axis = axis % ndim
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+    interpret = bool(config.interpret)
+
+    # pass-1 factor must be nd-kernel-able; try both digit orders.
+    def _nd_able(x):
+        k = mxu_fft.kernel_factors(x)
+        return k is not None and k[0] in ("small", "four_step_bf")
+
+    if not _nd_able(a):
+        if _nd_able(b):
+            a, b = b, a
+        else:
+            return _fft_axis_two_pass_flat(
+                ar, ai, axis, a, b, inverse=inverse, scale=scale,
+                config=config)
+
+    minor = axis == ndim - 1
+    if minor:
+        ar = jnp.moveaxis(ar, -1, 0)
+        ai = jnp.moveaxis(ai, -1, 0)
+        rest = ar.shape[1:]
+        pre = 1
+        mid = math_prod(rest[:-1]) if len(rest) > 1 else 1
+        L = rest[-1] if rest else 1
+    else:
+        shape = ar.shape
+        pre = math_prod(shape[:axis])
+        rest = shape[axis + 1:]
+        mid = math_prod(rest[:-1]) if len(rest) > 1 else 1
+        L = rest[-1]
+
+    M1 = b * mid
+    run1 = mxu_fft._plan_inner_nd(a, inverse, 1.0, M1, L, config, interpret,
+                                  with_tw=True)
+    if mid == 1:
+        run2 = "flat"
+    else:
+        run2 = mxu_fft._plan_inner_nd(b, inverse, float(scale), mid, L,
+                                      config, interpret)
+    # the folded twiddle table is (a, b*mid); bail out if repetition over a
+    # large mid would blow host/constant memory
+    if run1 is None or run2 is None or a * M1 > (1 << 22):
+        if minor:
+            ar = jnp.moveaxis(ar, 0, -1)
+            ai = jnp.moveaxis(ai, 0, -1)
+        return _fft_axis_two_pass_flat(
+            ar, ai, axis, a, b, inverse=inverse, scale=scale, config=config)
+
+    sign = 1.0 if inverse else -1.0
+    k = np.outer(np.arange(a, dtype=np.float64),
+                 np.arange(b, dtype=np.float64))
+    theta = (sign * 2.0 * np.pi / n) * k
+    twr_h = np.cos(theta)
+    twi_h = np.sin(theta)
+    if mid > 1:
+        twr_h = np.repeat(twr_h, mid, axis=1)
+        twi_h = np.repeat(twi_h, mid, axis=1)
+    twr = jnp.asarray(twr_h, jnp.float32)
+    twi = jnp.asarray(twi_h, jnp.float32)
+
+    orig_shape = ar.shape
+    ar3 = ar.reshape(pre * a, M1, L)
+    ai3 = ai.reshape(pre * a, M1, L)
+    ar3, ai3 = run1(ar3, ai3, twr, twi)
+    if run2 == "flat":
+        ar3 = ar3.reshape(pre * a, b, L)
+        ai3 = ai3.reshape(pre * a, b, L)
+        ar3, ai3 = mxu_fft.fft_axis_pallas(
+            ar3, ai3, 1, (), inverse=inverse, scale=scale, config=config)
+    else:
+        ar3 = ar3.reshape(pre * a * b, mid, L)
+        ai3 = ai3.reshape(pre * a * b, mid, L)
+        ar3, ai3 = run2(ar3, ai3)
+
+    # restore natural order along the axis: digits (ka, kb) -> k = kb*a + ka
+    if minor:
+        k_rest = len(rest)
+        perm = tuple(range(2, 2 + k_rest)) + (1, 0)
+        out_shape = rest + (n,)
+        ar = ar3.reshape((a, b) + rest).transpose(perm).reshape(out_shape)
+        ai = ai3.reshape((a, b) + rest).transpose(perm).reshape(out_shape)
+        return ar, ai
+    split_shape = orig_shape[:axis] + (a, b) + orig_shape[axis + 1:]
+    ar = jnp.swapaxes(ar3.reshape(split_shape), axis, axis + 1)
+    ai = jnp.swapaxes(ai3.reshape(split_shape), axis, axis + 1)
+    return ar.reshape(orig_shape), ai.reshape(orig_shape)
+
+
+def _fft_axis_two_pass_flat(ar, ai, axis, a, b, *, inverse, scale, config):
     """Six-step decomposition for lengths beyond the fused kernel's VMEM
     envelope: two fused-kernel passes with one HBM roundtrip between — the
     analog of the reference's global-memory fallback mode

@@ -520,7 +520,8 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
-                    lblk: int, precision: str, interpret: bool):
+                    lblk: int, precision: str, interpret: bool,
+                    with_tw: bool = False):
     """(pre*n, M, L) -> (pre*n, M, L): transform along dim 0 in groups of n,
     reading the array's NATIVE trailing layout.
 
@@ -533,47 +534,69 @@ def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
     the old flat (pre, n, M*L) view forced a physical lane-merge repack both
     ways (measured 24 ms -> the same bytes as a flat 3D array ran 3 ms).
     Supports "small" and "four_step_bf" factorizations (the Kronecker
-    four-step needs lane reshapes that don't exist for rank-3 tiles)."""
+    four-step needs lane reshapes that don't exist for rank-3 tiles).
+
+    ``with_tw``: multiply the transformed block by a complex twiddle of
+    shape (n, M) before the store — the inter-factor twiddle of the
+    sublane-split two-pass, folded in so it never costs an HBM pass."""
     kind = kernel_factors(n)
     assert kind[0] in ("small", "four_step_bf")
     tables, unpack = _pack_tables(n, inverse, scale, precision)
     logger.debug("mxu_fft inner-nd: n=%d %s mblk=%d lblk=%d inverse=%s "
-                 "precision=%s", n, kind, mblk, lblk, inverse, precision)
+                 "precision=%s tw=%s", n, kind, mblk, lblk, inverse,
+                 precision, with_tw)
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
-        xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
+        rest = refs[len(tables):]
+        if with_tw:
+            twr_ref, twi_ref, xr_ref, xi_ref, or_ref, oi_ref = rest
+        else:
+            xr_ref, xi_ref, or_ref, oi_ref = rest
         groups = unpack([r[:] for r in t_refs])
         zr, zi = _compute(precision, n, kind, groups, xr_ref[:], xi_ref[:],
                           inverse=inverse)
+        if with_tw:
+            twr = twr_ref[:]   # (n, mblk, 1): lane-broadcasts over the block
+            twi = twi_ref[:]
+            zr, zi = zr * twr - zi * twi, zr * twi + zi * twr
         or_ref[:] = zr
         oi_ref[:] = zi
 
     data = pl.BlockSpec((n, mblk, lblk), lambda p, m, j: (p, m, j),
                         memory_space=pltpu.VMEM)
+    # (n, M, 1) with a unit minor dim: a 2D (n, mblk) block would violate
+    # the (8, 128)-divisibility rule on its last dim whenever mblk is a
+    # sublane-only multiple; the unit lane dim is exempt (equals the array).
+    twspec = pl.BlockSpec((n, mblk, 1), lambda p, m, j: (0, m, 0),
+                          memory_space=pltpu.VMEM)
 
     def tspec(t):
         nd = t.ndim
         return pl.BlockSpec(t.shape, (lambda p, m, j: (0,) * nd),
                             memory_space=pltpu.VMEM)
 
-    def run(ar, ai):
+    def run(ar, ai, twr=None, twi=None):
         pn, M, L = ar.shape
         grid = (pn // n, pl.cdiv(M, mblk), pl.cdiv(L, lblk))
+        tw_specs = [twspec, twspec] if with_tw else []
+        tw_args = ((twr.reshape(twr.shape[0], M, 1),
+                    twi.reshape(twi.shape[0], M, 1)) if with_tw else ())
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tspec(t) for t in tables] + [data, data],
+            in_specs=[tspec(t) for t in tables] + tw_specs + [data, data],
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((pn, M, L), jnp.float32)] * 2,
             interpret=interpret,
-        )(*[jnp.asarray(t) for t in tables], ar, ai)
+        )(*[jnp.asarray(t) for t in tables], *tw_args, ar, ai)
 
     return run
 
 
 def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
-                   config: PlanConfig, interpret: bool):
+                   config: PlanConfig, interpret: bool,
+                   with_tw: bool = False):
     """VMEM-model block sizes for the nd-inner kernel; None if nothing fits.
 
     lanes = the native (mblk, L-block) tile; bytes per plane block are
@@ -596,7 +619,7 @@ def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
             continue
         mblk = min(M, groups * 8)
         return _build_inner_nd(n, inverse, scale, int(mblk), int(lblk),
-                               config.precision, interpret)
+                               config.precision, interpret, with_tw)
     return None
 
 
