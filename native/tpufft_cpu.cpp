@@ -497,6 +497,72 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
   return 0;
 }
 
+// V CONSECUTIVE lines (line-to-line distance 1 element) along a strided
+// axis, V at a time: element i of lines v..v+V-1 is the contiguous run
+// src[i*stride + v .. +V], so the gather into the (n, V) lane layout is a
+// vector copy per i instead of n*V scalar loads. This is what makes
+// non-minor ND axes run at lane-batch speed: an axis with suffix product
+// `inner` yields `inner` consecutive lines per prefix index.
+template <typename T>
+int fft_lines_batched_v(const T* in_re, const T* in_im, T* out_re,
+                        T* out_im, int64_t count, int64_t n, int64_t stride,
+                        bool inverse, double scale, int nthreads) {
+  constexpr int V = 16;
+  const Plan& plan = cached_plan(n, inverse);
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel
+#endif
+  {
+    std::vector<T> sa_re(n * V), sa_im(n * V), sb_re(n * V), sb_im(n * V);
+    std::vector<T> gscratch;
+    const int64_t groups = count / V;
+#ifdef _OPENMP
+#pragma omp for schedule(static) nowait
+#endif
+    for (int64_t g = 0; g < groups; ++g) {
+      const T* src_re = in_re + g * V;
+      const T* src_im = in_im + g * V;
+      for (int64_t i = 0; i < n; ++i) {
+        std::memcpy(&sa_re[i * V], src_re + i * stride, sizeof(T) * V);
+        std::memcpy(&sa_im[i * V], src_im + i * stride, sizeof(T) * V);
+      }
+      transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(), sb_re.data(),
+                              sb_im.data(), scale, gscratch);
+      T* dst_re = out_re + g * V;
+      T* dst_im = out_im + g * V;
+      for (int64_t i = 0; i < n; ++i) {
+        std::memcpy(dst_re + i * stride, &sa_re[i * V], sizeof(T) * V);
+        std::memcpy(dst_im + i * stride, &sa_im[i * V], sizeof(T) * V);
+      }
+    }
+    // remainder lines: per-line scalar path
+#ifdef _OPENMP
+#pragma omp single
+#endif
+    {
+      std::vector<T> s1a_re(n), s1a_im(n), s1b_re(n), s1b_im(n), pscratch;
+      for (int64_t c = groups * V; c < count; ++c) {
+        const T* rr = in_re + c;
+        const T* ri = in_im + c;
+        for (int64_t i = 0; i < n; ++i) {
+          s1a_re[i] = rr[i * stride];
+          s1a_im[i] = ri[i * stride];
+        }
+        transform_1d(plan, s1a_re.data(), s1a_im.data(), s1b_re.data(),
+                     s1b_im.data(), scale, pscratch);
+        T* wr = out_re + c;
+        T* wi = out_im + c;
+        for (int64_t i = 0; i < n; ++i) {
+          wr[i * stride] = s1a_re[i];
+          wi[i * stride] = s1a_im[i];
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 template <typename T>
 int fft_strided(const T* in_re, const T* in_im, T* out_re, T* out_im,
                 int64_t count, int64_t n, int64_t stride, int64_t dist_in,
@@ -507,6 +573,13 @@ int fft_strided(const T* in_re, const T* in_im, T* out_re, T* out_im,
   if (stride == 1 && n <= 2048 && count >= 64) {
     return fft_batched_v<T>(in_re, in_im, out_re, out_im, count, n, dist_in,
                             dist_out, inverse, scale, nthreads);
+  }
+  // consecutive-lines lane batch (ND non-minor axes): lines advance by one
+  // element while the transform walks `stride` — vector loads, no gather
+  if (stride != 1 && dist_in == 1 && dist_out == 1 && n <= 2048 &&
+      count >= 16) {
+    return fft_lines_batched_v<T>(in_re, in_im, out_re, out_im, count, n,
+                                  stride, inverse, scale, nthreads);
   }
   const Plan& plan = cached_plan(n, inverse);
 #ifdef _OPENMP
