@@ -73,3 +73,22 @@ def test_inner_nd_kernel_tails(shape, axis, rng):
     got = np.asarray(tpufft.fftn(x, axes=(axis,), config=CFG))
     assert np.isfinite(got).all()
     assert_spectrum_close(got, np.fft.fft(x, axis=axis), np.complex64)
+
+
+def test_inner_nd_big_vmem_fallback(rng):
+    """Big-n raised-vmem nd path (the 512^3 leading-axis geometry): a tiny
+    vmem budget forces _plan_inner_nd past its normal loop into the
+    raised-limit fallback; interpret mode checks the block geometry."""
+    from tpufft.kernels import mxu_fft
+
+    cfg = PlanConfig(interpret=True, backend="pallas",
+                     vmem_budget_bytes=64 * 1024)
+    n, M, L = 64, 24, 128
+    run = mxu_fft._plan_inner_nd(n, False, 1.0, M, L, cfg, True)
+    assert run is not None
+    x = _x(rng, (2 * n, M, L))
+    ar, ai = run(np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag))
+    got = np.asarray(ar) + 1j * np.asarray(ai)
+    want = np.fft.fft(x.reshape(2, n, M, L), axis=1).reshape(2 * n, M, L)
+    assert np.isfinite(got).all()
+    assert_spectrum_close(got, want, np.complex64)

@@ -129,13 +129,26 @@ class Plan:
         split_io = isinstance(x, SplitComplex)
         ar, ai = self._split_input(x)
         rdt = real_dtype_for(self.dtype)
+        if (self.config.plane_dtype == "bfloat16"
+                and jnp.dtype(rdt) == jnp.dtype(jnp.float32)):
+            # bf16-plane mode: planes live in bf16 end-to-end (the point is
+            # halved HBM traffic, so no f32 staging pass is inserted);
+            # SplitComplex callers get bf16 planes back.
+            rdt = jnp.bfloat16
         ar = ar.astype(rdt)
         ai = None if ai is None else ai.astype(rdt)
         outr, outi = self._fn(ar, ai)
         if self.kind == "c2r":
-            return SplitComplex(outr, jnp.zeros_like(outr)) if split_io else outr
+            if split_io:
+                return SplitComplex(outr, jnp.zeros_like(outr))
+            if jnp.dtype(outr.dtype) == jnp.dtype(jnp.bfloat16):
+                outr = outr.astype(jnp.float32)
+            return outr
         if split_io:
             return SplitComplex(outr, outi)
+        if jnp.dtype(outr.dtype) == jnp.dtype(jnp.bfloat16):
+            outr = outr.astype(jnp.float32)
+            outi = outi.astype(jnp.float32)
         if backend_supports_complex():
             return jax.lax.complex(outr, outi)
         out = SplitComplex(outr, outi).numpy()

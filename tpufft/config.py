@@ -37,6 +37,14 @@ class PlanConfig:
         "bf16x3" (3-pass bf16 emulation, ~1e-6 rel err, fastest accurate
         mode), "highest" (6-pass full f32), or "default" (1-pass bf16,
         ~4e-3 rel err; for tolerance-insensitive pipelines only).
+      plane_dtype: HBM storage dtype for the split re/im planes —
+        "float32" (default) or "bfloat16". bf16 planes halve ALL HBM
+        traffic, the bottleneck for every large shape; kernels upcast
+        blocks to f32 in VMEM, so the compute precision is unchanged and
+        the total error is dominated by the ~3.9e-3 relative storage
+        rounding (~1e-2 worst-case after an ND pipeline). Opt-in for
+        tolerance-insensitive, bandwidth-bound pipelines; f64 plans
+        ignore it.
     """
 
     max_radix: int = 16
@@ -45,6 +53,7 @@ class PlanConfig:
     interpret: bool = False
     vmem_budget_bytes: int = 12 * 1024 * 1024
     precision: str = "bf16x3"
+    plane_dtype: str = "float32"
 
     def __post_init__(self):
         if self.backend not in BACKENDS:
@@ -55,4 +64,9 @@ class PlanConfig:
             raise ValueError(
                 f"precision must be bf16x3|highest|default, got "
                 f"{self.precision!r}"
+            )
+        if self.plane_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"plane_dtype must be float32|bfloat16, got "
+                f"{self.plane_dtype!r}"
             )

@@ -124,13 +124,14 @@ def _fft_axis_two_pass(ar, ai, axis, a, b, *, inverse, scale, config):
         L = rest[-1]
 
     M1 = b * mid
+    storage = mxu_fft.storage_of(ar.dtype)
     run1 = mxu_fft._plan_inner_nd(a, inverse, 1.0, M1, L, config, interpret,
-                                  with_tw=True)
+                                  with_tw=True, storage=storage)
     if mid == 1:
         run2 = "flat"
     else:
         run2 = mxu_fft._plan_inner_nd(b, inverse, float(scale), mid, L,
-                                      config, interpret)
+                                      config, interpret, storage=storage)
     # the folded twiddle table is (a, b*mid); bail out if repetition over a
     # large mid would blow host/constant memory
     if run1 is None or run2 is None or a * M1 > (1 << 22):
@@ -401,7 +402,7 @@ def _fft_axis_impl(
         except NotImplementedError:
             if config.backend == "pallas":
                 raise
-    elif kernel_ok and jnp.dtype(ar.dtype) == jnp.dtype(jnp.float32):
+    elif kernel_ok and mxu_fft.storage_of(ar.dtype) is not None:
         two = _split_large(n, ar.dtype, config)
         if two is not None:
             return _fft_axis_two_pass(
@@ -420,6 +421,18 @@ def _fft_axis_impl(
             f"{ar.dtype}) is not supported by the fused kernel; use "
             "backend='auto' for automatic fallback"
         )
-    return core.fft_along_axis(
+    # XLA fallback. bf16 planes (plane_dtype mode) are upcast around it:
+    # the pure-XLA Stockham in bf16 would lose ~all mantissa over log(n)
+    # stages, and the point of bf16 storage is HBM traffic, which the
+    # fallback path doesn't optimize anyway.
+    bf16 = jnp.dtype(ar.dtype) == jnp.dtype(jnp.bfloat16)
+    if bf16:
+        ar = ar.astype(jnp.float32)
+        ai = None if ai is None else ai.astype(jnp.float32)
+    outr, outi = core.fft_along_axis(
         ar, ai, axis, bases, inverse=inverse, scale=scale
     )
+    if bf16:
+        outr = outr.astype(jnp.bfloat16)
+        outi = outi.astype(jnp.bfloat16)
+    return outr, outi

@@ -59,6 +59,8 @@ from ..planner import factorize
 
 _LANE = 128
 _MAX_DEPTH = 128  # MXU systolic depth
+# Raised scoped-vmem ceiling for big-n nd blocks (v5e: 128 MiB physical).
+_BIG_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 # ----------------------------------------------------------------------------
@@ -133,8 +135,9 @@ def choose_lane_block(n: int, cfg: PlanConfig) -> int:
 
 
 def pallas_supported(n: int, dtype, cfg: PlanConfig) -> bool:
-    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
-        return False  # TPU planes are f32; f64 runs on the XLA/CPU path
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False  # f32/bf16 planes on TPU; f64 runs on the XLA/CPU path
     if kernel_factors(n) is None:
         return False
     return choose_lane_block(n, cfg) >= _LANE
@@ -424,14 +427,37 @@ def _const_specs(tables):
     ]
 
 
+_STORAGE_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+
+
+def storage_of(dtype) -> str | None:
+    """Kernel storage tag for a plane dtype (None = unsupported)."""
+    d = jnp.dtype(dtype)
+    if d == jnp.dtype(jnp.float32):
+        return "f32"
+    if d == jnp.dtype(jnp.bfloat16):
+        return "bf16"
+    return None
+
+
+def _load_f32(ref):
+    return ref[:].astype(jnp.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
-                 precision: str, interpret: bool):
-    """(batch, n) -> (batch, n): transform along the minor axis."""
+                 precision: str, interpret: bool, storage: str = "f32"):
+    """(batch, n) -> (batch, n): transform along the minor axis.
+
+    ``storage``: HBM plane dtype ("f32" or "bf16"). bf16 planes halve all
+    DMA traffic (the memory-bound regime for every large shape); blocks are
+    upcast to f32 at load, all compute stays f32, and the store rounds
+    back. ~3.9e-3 relative error from the storage rounding alone."""
     kind = kernel_factors(n)
     tables, unpack = _pack_tables(n, inverse, scale, precision)
-    logger.debug("mxu_fft minor: n=%d %s bblk=%d inverse=%s precision=%s",
-                 n, kind, bblk, inverse, precision)
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft minor: n=%d %s bblk=%d inverse=%s precision=%s "
+                 "storage=%s", n, kind, bblk, inverse, precision, storage)
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
@@ -440,16 +466,17 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
         if kind[0] == "small":
             # right-multiply form: (bblk, n) @ W^T — no transposes at all
             # (W is symmetric: W^T == W, so the same tables serve)
-            zr, zi = _cmm_right(precision, groups[0], xr_ref[:], xi_ref[:])
-            or_ref[:] = zr
-            oi_ref[:] = zi
+            zr, zi = _cmm_right(precision, groups[0], _load_f32(xr_ref),
+                                _load_f32(xi_ref))
+            or_ref[:] = zr.astype(or_ref.dtype)
+            oi_ref[:] = zi.astype(oi_ref.dtype)
         else:
-            xr = xr_ref[:].T  # (n, bblk): lanes = batch
-            xi = xi_ref[:].T
+            xr = _load_f32(xr_ref).T  # (n, bblk): lanes = batch
+            xi = _load_f32(xi_ref).T
             zr, zi = _compute(precision, n, kind, groups, xr, xi,
                               inverse=inverse)
-            or_ref[:] = zr.T
-            oi_ref[:] = zi.T
+            or_ref[:] = zr.T.astype(or_ref.dtype)
+            oi_ref[:] = zi.T.astype(oi_ref.dtype)
 
     data = pl.BlockSpec((bblk, n), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -462,7 +489,7 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
             grid=grid,
             in_specs=_const_specs(tables) + [data, data],
             out_specs=[data, data],
-            out_shape=[jax.ShapeDtypeStruct((batch, n), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((batch, n), out_dt)] * 2,
             interpret=interpret,
         )(*[jnp.asarray(t) for t in tables], ar, ai)
 
@@ -471,7 +498,7 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
-                 precision: str, interpret: bool):
+                 precision: str, interpret: bool, storage: str = "f32"):
     """(pre, n, L) -> (pre, n, L): transform along the middle axis.
 
     The transform axis is already on sublanes with trailing lanes — the
@@ -482,8 +509,10 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
     """
     kind = kernel_factors(n)
     tables, unpack = _pack_tables(n, inverse, scale, precision)
+    out_dt = _STORAGE_DTYPES[storage]
     logger.debug("mxu_fft inner: n=%d %s lblk=%d pblk=%d inverse=%s "
-                 "precision=%s", n, kind, lblk, pblk, inverse, precision)
+                 "precision=%s storage=%s", n, kind, lblk, pblk, inverse,
+                 precision, storage)
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
@@ -491,9 +520,11 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
         groups = unpack([r[:] for r in t_refs])
         for p in range(pblk):
             zr, zi = _compute(precision, n, kind, groups,
-                              xr_ref[p], xi_ref[p], inverse=inverse)
-            or_ref[p] = zr
-            oi_ref[p] = zi
+                              xr_ref[p].astype(jnp.float32),
+                              xi_ref[p].astype(jnp.float32),
+                              inverse=inverse)
+            or_ref[p] = zr.astype(or_ref.dtype)
+            oi_ref[p] = zi.astype(oi_ref.dtype)
 
     data = pl.BlockSpec((pblk, n, lblk), lambda p, j: (p, 0, j),
                         memory_space=pltpu.VMEM)
@@ -511,7 +542,7 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
             grid=grid,
             in_specs=[tspec(t) for t in tables] + [data, data],
             out_specs=[data, data],
-            out_shape=[jax.ShapeDtypeStruct((pre, n, L), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((pre, n, L), out_dt)] * 2,
             interpret=interpret,
         )(*[jnp.asarray(t) for t in tables], ar, ai)
 
@@ -521,7 +552,8 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
 @functools.lru_cache(maxsize=None)
 def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
                     lblk: int, precision: str, interpret: bool,
-                    with_tw: bool = False):
+                    with_tw: bool = False, vmem_limit: int | None = None,
+                    storage: str = "f32"):
     """(pre*n, M, L) -> (pre*n, M, L): transform along dim 0 in groups of n,
     reading the array's NATIVE trailing layout.
 
@@ -538,7 +570,11 @@ def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
 
     ``with_tw``: multiply the transformed block by a complex twiddle of
     shape (n, M) before the store — the inter-factor twiddle of the
-    sublane-split two-pass, folded in so it never costs an HBM pass."""
+    sublane-split two-pass, folded in so it never costs an HBM pass.
+
+    ``vmem_limit``: raise Mosaic's scoped-vmem ceiling (default 16 MiB) so
+    big-n blocks fit — the v5e has 128 MiB physical VMEM and a
+    (512, 16, 128) working set is only ~half of it."""
     kind = kernel_factors(n)
     assert kind[0] in ("small", "four_step_bf")
     tables, unpack = _pack_tables(n, inverse, scale, precision)
@@ -554,14 +590,14 @@ def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
         else:
             xr_ref, xi_ref, or_ref, oi_ref = rest
         groups = unpack([r[:] for r in t_refs])
-        zr, zi = _compute(precision, n, kind, groups, xr_ref[:], xi_ref[:],
-                          inverse=inverse)
+        zr, zi = _compute(precision, n, kind, groups, _load_f32(xr_ref),
+                          _load_f32(xi_ref), inverse=inverse)
         if with_tw:
             twr = twr_ref[:]   # (n, mblk, 1): lane-broadcasts over the block
             twi = twi_ref[:]
             zr, zi = zr * twr - zi * twi, zr * twi + zi * twr
-        or_ref[:] = zr
-        oi_ref[:] = zi
+        or_ref[:] = zr.astype(or_ref.dtype)
+        oi_ref[:] = zi.astype(oi_ref.dtype)
 
     data = pl.BlockSpec((n, mblk, lblk), lambda p, m, j: (p, m, j),
                         memory_space=pltpu.VMEM)
@@ -582,13 +618,19 @@ def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
         tw_specs = [twspec, twspec] if with_tw else []
         tw_args = ((twr.reshape(twr.shape[0], M, 1),
                     twi.reshape(twi.shape[0], M, 1)) if with_tw else ())
+        params = {}
+        if vmem_limit is not None and not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit))
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[tspec(t) for t in tables] + tw_specs + [data, data],
             out_specs=[data, data],
-            out_shape=[jax.ShapeDtypeStruct((pn, M, L), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((pn, M, L),
+                                            _STORAGE_DTYPES[storage])] * 2,
             interpret=interpret,
+            **params,
         )(*[jnp.asarray(t) for t in tables], *tw_args, ar, ai)
 
     return run
@@ -596,7 +638,7 @@ def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
 
 def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
                    config: PlanConfig, interpret: bool,
-                   with_tw: bool = False):
+                   with_tw: bool = False, storage: str = "f32"):
     """VMEM-model block sizes for the nd-inner kernel; None if nothing fits.
 
     lanes = the native (mblk, L-block) tile; bytes per plane block are
@@ -619,13 +661,30 @@ def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
             continue
         mblk = min(M, groups * 8)
         return _build_inner_nd(n, inverse, scale, int(mblk), int(lblk),
-                               config.precision, interpret, with_tw)
+                               config.precision, interpret, with_tw,
+                               storage=storage)
+    # Big-n fallback: nothing fits the default scoped-vmem budget, but the
+    # v5e has 128 MiB physical VMEM — raise Mosaic's ceiling instead of
+    # falling back to the flat path, whose (pre, n, post) view puts n on
+    # sublanes and physically repacks the whole array both ways (measured
+    # 512^3 leading axis: 11.3 ms flat vs 4.1 ms here). (512, 16, 128)
+    # blocks measured best; bigger lane blocks pipelined worse ((8,512):
+    # 5.9 ms, (16,256): 6.2 ms).
+    big = _BIG_VMEM_LIMIT
+    lblk = min(lpad, _LANE)
+    unit8 = planes * n * 8 * lblk * 4
+    groups = min(2, big // max(unit8, 1))
+    if groups >= 1:
+        mblk = min(M, groups * 8)
+        return _build_inner_nd(n, inverse, scale, int(mblk), int(lblk),
+                               config.precision, interpret, with_tw,
+                               vmem_limit=big, storage=storage)
     return None
 
 
 @functools.lru_cache(maxsize=None)
 def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
-              precision: str, interpret: bool):
+              precision: str, interpret: bool, storage: str = "f32"):
     """(pre, n1, n2) -> (pre, n1, n2): both trailing axes in ONE HBM pass.
 
     A 2D transform tile lives entirely in VMEM: transform the n1 (sublane)
@@ -646,12 +705,13 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
         g1 = unpack1([r[:] for r in refs[:n_t1]])
         g2 = unpack2([r[:] for r in refs[n_t1:n_t1 + n_t2]])
         xr_ref, xi_ref, or_ref, oi_ref = refs[-4:]
-        xr, xi = xr_ref[0], xi_ref[0]          # (n1, n2)
+        xr = xr_ref[0].astype(jnp.float32)     # (n1, n2)
+        xi = xi_ref[0].astype(jnp.float32)
         xr, xi = _compute(precision, n1, kind1, g1, xr, xi, inverse=inverse)
         xr, xi = xr.T, xi.T                    # (n2, n1)
         xr, xi = _compute(precision, n2, kind2, g2, xr, xi, inverse=inverse)
-        or_ref[0] = xr.T
-        oi_ref[0] = xi.T
+        or_ref[0] = xr.T.astype(or_ref.dtype)
+        oi_ref[0] = xi.T.astype(oi_ref.dtype)
 
     data = pl.BlockSpec((1, n1, n2), lambda p: (p, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -670,7 +730,8 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
             grid=(pre,),
             in_specs=[tspec(t) for t in all_tables] + [data, data],
             out_specs=[data, data],
-            out_shape=[jax.ShapeDtypeStruct((pre, n1, n2), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((pre, n1, n2),
+                                            _STORAGE_DTYPES[storage])] * 2,
             interpret=interpret,
         )(*[jnp.asarray(t) for t in all_tables], ar, ai)
 
@@ -686,7 +747,8 @@ def pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
     small (dense-W) kernel has no such reshape and tolerates any lane
     width.
     """
-    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
         return False
     k1 = kernel_factors(n1)
     k2 = kernel_factors(n2)
@@ -721,7 +783,7 @@ def fft_pair_pallas(
     shape = ar.shape
     pre = math.prod(shape[:-2]) if len(shape) > 2 else 1
     run = _build_2d(n1, n2, inverse, float(scale), config.precision,
-                    bool(config.interpret))
+                    bool(config.interpret), storage_of(ar.dtype))
     outr, outi = run(ar.reshape(pre, n1, n2), ai.reshape(pre, n1, n2))
     return outr.reshape(shape), outi.reshape(shape)
 
@@ -754,6 +816,7 @@ def fft_axis_pallas(
 
     interpret = bool(config.interpret)
     precision = config.precision
+    storage = storage_of(ar.dtype)
     shape = ar.shape
 
     post = math.prod(shape[axis + 1:]) if axis < ndim - 1 else 1
@@ -771,7 +834,7 @@ def fft_axis_pallas(
         moved_shape = ar.shape
         bblk = choose_lane_block(n, config)
         run = _build_minor(n, inverse, float(scale), bblk, precision,
-                           interpret)
+                           interpret, storage)
         outr, outi = run(ar.reshape(-1, n), ai.reshape(-1, n))
         outr = outr.reshape(moved_shape)
         outi = outi.reshape(moved_shape)
@@ -798,7 +861,8 @@ def fft_axis_pallas(
         # when L%128==0 never repacks at the kernel boundary.
         use_nd = L % _LANE == 0 or L < 64 or L >= 160
         nd_run = (_plan_inner_nd(n, inverse, float(scale), M, L, config,
-                                 interpret) if use_nd else None)
+                                 interpret, storage=storage)
+                  if use_nd else None)
         if nd_run is not None:
             outr, outi = nd_run(ar.reshape(pre * n, M, L),
                                 ai.reshape(pre * n, M, L))
@@ -812,7 +876,7 @@ def fft_axis_pallas(
     pblk = max(1, min(pre, 512 * 1024 // tile,
                       config.vmem_budget_bytes // (10 * n * lblk * 4)))
     run = _build_inner(n, inverse, float(scale), lblk, int(pblk),
-                       precision, interpret)
+                       precision, interpret, storage)
     outr, outi = run(ar.reshape(pre, n, post), ai.reshape(pre, n, post))
     return outr.reshape(shape), outi.reshape(shape)
 
