@@ -684,20 +684,30 @@ def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
-              precision: str, interpret: bool, storage: str = "f32"):
+              precision: str, interpret: bool, storage: str = "f32",
+              pblk: int = 1):
     """(pre, n1, n2) -> (pre, n1, n2): both trailing axes in ONE HBM pass.
 
-    A 2D transform tile lives entirely in VMEM: transform the n1 (sublane)
-    axis, transpose in-VMEM, transform n2, transpose back. Halves the HBM
-    traffic of a 2D FFT and cuts a 3D FFT from 3 passes to 2 — the
-    reference instead pays a global transpose kernel between every pair of
-    axes (fft/fft/_ndim_fft_gpu.mojo:634-642)."""
+    A 2D transform tile lives entirely in VMEM. For small n2 (dense-W
+    kind, <= 128): transform n1 sublane-side, then n2 as a right-multiply
+    X @ W_n2 — zero transposes. Otherwise: transform n1, transpose
+    in-VMEM, transform n2, transpose back. Halves the HBM traffic of a 2D
+    FFT and cuts a 3D FFT from 3 passes to 2 — the reference instead pays
+    a global transpose kernel between every pair of axes
+    (fft/fft/_ndim_fft_gpu.mojo:634-642).
+
+    ``pblk`` batches several (n1, n2) tiles per grid step (unrolled loop)
+    so small tiles still move in chunky DMAs — the narrow-trailing-dim
+    regime (e.g. (160, 48) of the 5D reference shape) is descriptor-bound
+    at one tile per step."""
     kind1 = kernel_factors(n1)
     kind2 = kernel_factors(n2)
+    right2 = kind2[0] == "small"
     tables1, unpack1 = _pack_tables(n1, inverse, 1.0, precision)
     tables2, unpack2 = _pack_tables(n2, inverse, scale, precision)
-    logger.debug("mxu_fft 2d-pair: (%d, %d) %s x %s inverse=%s precision=%s",
-                 n1, n2, kind1, kind2, inverse, precision)
+    logger.debug("mxu_fft 2d-pair: (%d, %d) %s x %s right=%s pblk=%d "
+                 "inverse=%s precision=%s", n1, n2, kind1, kind2, right2,
+                 pblk, inverse, precision)
     n_t1 = len(tables1)
     n_t2 = len(tables2)
 
@@ -705,15 +715,22 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
         g1 = unpack1([r[:] for r in refs[:n_t1]])
         g2 = unpack2([r[:] for r in refs[n_t1:n_t1 + n_t2]])
         xr_ref, xi_ref, or_ref, oi_ref = refs[-4:]
-        xr = xr_ref[0].astype(jnp.float32)     # (n1, n2)
-        xi = xi_ref[0].astype(jnp.float32)
-        xr, xi = _compute(precision, n1, kind1, g1, xr, xi, inverse=inverse)
-        xr, xi = xr.T, xi.T                    # (n2, n1)
-        xr, xi = _compute(precision, n2, kind2, g2, xr, xi, inverse=inverse)
-        or_ref[0] = xr.T.astype(or_ref.dtype)
-        oi_ref[0] = xi.T.astype(oi_ref.dtype)
+        for p in range(pblk):
+            xr = xr_ref[p].astype(jnp.float32)     # (n1, n2)
+            xi = xi_ref[p].astype(jnp.float32)
+            xr, xi = _compute(precision, n1, kind1, g1, xr, xi,
+                              inverse=inverse)
+            if right2:
+                xr, xi = _cmm_right(precision, g2[0], xr, xi)
+            else:
+                xr, xi = xr.T, xi.T                # (n2, n1)
+                xr, xi = _compute(precision, n2, kind2, g2, xr, xi,
+                                  inverse=inverse)
+                xr, xi = xr.T, xi.T
+            or_ref[p] = xr.astype(or_ref.dtype)
+            oi_ref[p] = xi.astype(oi_ref.dtype)
 
-    data = pl.BlockSpec((1, n1, n2), lambda p: (p, 0, 0),
+    data = pl.BlockSpec((pblk, n1, n2), lambda p: (p, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def tspec(t):
@@ -727,7 +744,7 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
         pre = ar.shape[0]
         return pl.pallas_call(
             kernel,
-            grid=(pre,),
+            grid=(pl.cdiv(pre, pblk),),
             in_specs=[tspec(t) for t in all_tables] + [data, data],
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((pre, n1, n2),
@@ -754,7 +771,12 @@ def pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
     k2 = kernel_factors(n2)
     if k1 is None or k2 is None:
         return False
-    if n2 < _LANE // 2 or n1 < 2:
+    if n1 < 2 or n2 < 2:
+        return False
+    # Narrow n2 (< 64 lanes) is viable only through the transpose-free
+    # right-multiply form (dense-W small kind): the .T form wastes most of
+    # each relayout on pad lanes.
+    if n2 < _LANE // 2 and k2[0] != "small":
         return False
     # The Kronecker four-step's sublane<->lane reshapes need a 128-aligned
     # lane batch; "four_step_bf" and "small" have no such reshape.
@@ -782,8 +804,14 @@ def fft_pair_pallas(
         ai = jnp.zeros_like(ar)
     shape = ar.shape
     pre = math.prod(shape[:-2]) if len(shape) > 2 else 1
+    # Batch small tiles per grid step (chunky DMA); bounded by the VMEM
+    # model (lane dim pads to 128 in VMEM).
+    lanes = ((n2 + _LANE - 1) // _LANE) * _LANE
+    tile = n1 * lanes * 4
+    pblk = max(1, min(pre, 512 * 1024 // tile,
+                      config.vmem_budget_bytes // (10 * tile)))
     run = _build_2d(n1, n2, inverse, float(scale), config.precision,
-                    bool(config.interpret), storage_of(ar.dtype))
+                    bool(config.interpret), storage_of(ar.dtype), int(pblk))
     outr, outi = run(ar.reshape(pre, n1, n2), ai.reshape(pre, n1, n2))
     return outr.reshape(shape), outi.reshape(shape)
 
