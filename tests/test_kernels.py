@@ -81,8 +81,11 @@ def test_auto_fallback_for_unsupported(rng):
 
 
 def test_pallas_backend_rejects_unsupported():
+    """n=262 = 2*131 has no kernel factorization but is covered by the
+    Bluestein fallback since round 2 — the forced-pallas rejection now
+    applies only to configurations no kernel path can serve (f64 planes)."""
     with pytest.raises(ValueError):
-        tpufft.fft(np.zeros((4, 262), np.complex64), config=CFG)
+        tpufft.fft(np.zeros((4, 64), np.complex128), config=CFG)
 
 
 def test_kernel_highest_precision(rng):
