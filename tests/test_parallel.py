@@ -147,3 +147,22 @@ def test_fftn_distributed_kernel_config(rng):
                            dist_axis=2, config=cfg)
     assert_spectrum_close(out.numpy(), np.fft.fft2(x, axes=(1, 2)),
                           np.complex64)
+
+
+def test_distributed_bf16_planes(rng):
+    """bf16 plane storage composes with the sharded four-step: planes stay
+    bf16 through the collectives (halved ICI traffic on real meshes)."""
+    import jax.numpy as jnp
+    from tpufft import PlanConfig, SplitComplex
+
+    cfg = PlanConfig(backend="pallas", interpret=True,
+                     plane_dtype="bfloat16")
+    mesh = _mesh((4,), ("sp",))
+    x = (rng.standard_normal((2, 256)) + 1j * rng.standard_normal((2, 256)))
+    sc = SplitComplex(jnp.asarray(x.real, jnp.bfloat16),
+                      jnp.asarray(x.imag, jnp.bfloat16))
+    out = fft_distributed(sc, mesh, axis_name="sp", config=cfg)
+    ref = np.fft.fft(x)
+    got = out.numpy()
+    scale = max(1.0, float(np.max(np.abs(ref))))
+    assert np.max(np.abs(got - ref)) / scale < 3e-2
