@@ -99,3 +99,31 @@ def test_grad_through_bluestein(rng):
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_kronecker_cofactor_falls_back(rng):
+    """n whose only split has a Kronecker-only co-factor (1859 = 143*13,
+    143 = 11*13) must take the flat two-pass, not crash the nd planner."""
+    x = _x(rng, (2, 3, 1859))
+    cfg = PlanConfig(interpret=True, backend="auto", lane_block=128)
+    got = np.asarray(tpufft.fft(x, config=cfg))
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+
+
+def test_bluestein_preserves_bf16_planes(rng):
+    """bf16-plane contract holds through Bluestein: bf16 in -> bf16 out."""
+    import jax.numpy as jnp
+    from tpufft import SplitComplex
+
+    cfg = PlanConfig(interpret=True, backend="pallas", lane_block=128,
+                     plane_dtype="bfloat16")
+    x = _x(rng, (2, 131))
+    sc = SplitComplex(jnp.asarray(x.real, jnp.bfloat16),
+                      jnp.asarray(x.imag, jnp.bfloat16))
+    plan = tpufft.plan_fft((2, 131), np.complex64, axes=(-1,), config=cfg)
+    out = plan(sc)
+    assert out.re.dtype == jnp.bfloat16
+    assert out.im.dtype == jnp.bfloat16
+    ref = np.fft.fft(x)
+    scale = max(1.0, float(np.max(np.abs(ref))))
+    assert np.max(np.abs(out.numpy() - ref)) / scale < 3e-2

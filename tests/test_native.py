@@ -115,3 +115,31 @@ def test_pow2_butterfly_radices(rng):
         assert err < 1e-3, (n, err)
         back = native.ifft(native.fft(x))
         assert np.max(np.abs(back - x)) < 1e-3, n
+
+
+def test_planes_api_rejects_mismatched_shapes():
+    native = pytest.importorskip("tpufft.native")
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    with pytest.raises(ValueError, match="shapes differ"):
+        native.fft_planes(np.zeros((2, 8), np.float32),
+                          np.zeros((3, 8), np.float32))
+
+
+def test_planes_api_normalizes_odd_dtypes():
+    """f16/int inputs must be widened, never reinterpreted byte-wise by the
+    wrong-width engine entry point."""
+    native = pytest.importorskip("tpufft.native")
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 16))
+    re16 = x.astype(np.float16)
+    outr, outi = native.fft_planes(re16, np.zeros_like(re16))
+    ref = np.fft.fft(re16.astype(np.float64))
+    err = np.max(np.abs((outr + 1j * outi) - ref))
+    assert err < 1e-2  # f16 input precision, f64 compute
+    ri = np.arange(32, dtype=np.int64).reshape(4, 8)
+    outr, outi = native.fft_planes(ri, np.zeros_like(ri))
+    ref = np.fft.fft(ri.astype(np.float64))
+    assert np.max(np.abs((outr + 1j * outi) - ref)) < 1e-9

@@ -70,6 +70,16 @@ def _split_large(n: int, dtype, cfg: PlanConfig):
     return best
 
 
+def _two_pass_twiddle(a: int, b: int, inverse: bool):
+    """Host f64 inter-factor twiddle T[ka, ib] = e^{-+2 pi i ka ib / (a b)}
+    of the N = a*b split, shared by both two-pass variants."""
+    sign = 1.0 if inverse else -1.0
+    k = np.outer(np.arange(a, dtype=np.float64),
+                 np.arange(b, dtype=np.float64))
+    theta = (sign * 2.0 * np.pi / (a * b)) * k
+    return np.cos(theta), np.sin(theta)
+
+
 def _fft_axis_two_pass(ar, ai, axis, a, b, *, inverse, scale, config):
     """Four-step decomposition for lengths beyond the fused kernel's VMEM
     envelope, split on the SUBLANE side.
@@ -141,12 +151,7 @@ def _fft_axis_two_pass(ar, ai, axis, a, b, *, inverse, scale, config):
         return _fft_axis_two_pass_flat(
             ar, ai, axis, a, b, inverse=inverse, scale=scale, config=config)
 
-    sign = 1.0 if inverse else -1.0
-    k = np.outer(np.arange(a, dtype=np.float64),
-                 np.arange(b, dtype=np.float64))
-    theta = (sign * 2.0 * np.pi / n) * k
-    twr_h = np.cos(theta)
-    twi_h = np.sin(theta)
+    twr_h, twi_h = _two_pass_twiddle(a, b, inverse)
     if mid > 1:
         twr_h = np.repeat(twr_h, mid, axis=1)
         twi_h = np.repeat(twi_h, mid, axis=1)
@@ -202,12 +207,7 @@ def _fft_axis_two_pass_flat(ar, ai, axis, a, b, *, inverse, scale, config):
     axis = axis % ndim
     if ai is None:
         ai = jnp.zeros_like(ar)
-    # inter-factor twiddle T[ka, ib] = e^{-+2 pi i ka ib / n}
-    sign = 1.0 if inverse else -1.0
-    k = np.outer(np.arange(a, dtype=np.float64), np.arange(b, dtype=np.float64))
-    theta = (sign * 2.0 * np.pi / n) * k
-    twr_h = np.cos(theta)
-    twi_h = np.sin(theta)
+    twr_h, twi_h = _two_pass_twiddle(a, b, inverse)
 
     if axis == ndim - 1:
         pre = ar.shape[:-1]
@@ -335,6 +335,9 @@ def _fft_axis_bluestein(ar, ai, axis, *, inverse, scale, config):
     axis = axis % ndim
     if ai is None:
         ai = jnp.zeros_like(ar)
+    # The chirp multiplies promote bf16 planes to f32; remember the storage
+    # dtype so the bf16-plane contract (bf16 in -> bf16 out) holds here too.
+    in_dtype = ar.dtype
     cr, ci, por, poi, Br, Bi = (
         jnp.asarray(t) for t in _bluestein_tables(
             n, m, bool(inverse), float(scale)))
@@ -360,8 +363,8 @@ def _fft_axis_bluestein(ar, ai, axis, *, inverse, scale, config):
                             config=config)
     pr = pr[:, :n]
     pi = pi[:, :n]
-    outr = pr * por - pi * poi
-    outi = pr * poi + pi * por
+    outr = (pr * por - pi * poi).astype(in_dtype)
+    outi = (pr * poi + pi * por).astype(in_dtype)
     outr = outr.reshape(shape)
     outi = outi.reshape(shape)
     if moved:

@@ -644,6 +644,14 @@ def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
     lanes = the native (mblk, L-block) tile; bytes per plane block are
     n x round8(mblk) x round128(lblk) x 4 (VMEM tiles pad the minor dims).
     """
+    # The nd kernel supports only the rank-3-tile factorizations; Kronecker
+    # "four_step" needs lane reshapes that don't exist for rank-3 tiles.
+    # Returning None (instead of letting _build_inner_nd assert) lets every
+    # caller — fft_axis_pallas and the sublane two-pass — fall back cleanly
+    # for lengths like 143 = 11*13 whose only split is Kronecker.
+    kind = kernel_factors(n)
+    if kind is None or kind[0] not in ("small", "four_step_bf"):
+        return None
     # 15 plane-equivalents measured: double-buffered in/out pairs (8) plus
     # bf16x3 splits, butterfly temporaries and the interleave copy (a
     # (25, 88, 128) block OOMed the 16M scoped vmem at 14.6x plane bytes).

@@ -173,6 +173,21 @@ def ifftn(x, **kw) -> np.ndarray:
     return fftn(x, inverse=True, **kw)
 
 
+def _canon_planes(re, im):
+    """Normalize a plane pair for the C ABI: matching shapes, contiguous,
+    and exactly float32 or float64 (anything else — f16, ints — would be
+    reinterpreted byte-wise by the wrong-width engine entry point)."""
+    re = np.asarray(re)
+    if re.dtype not in (np.float32, np.float64):
+        re = re.astype(np.float64)
+    re = np.ascontiguousarray(re)
+    im = np.ascontiguousarray(np.asarray(im), re.dtype)
+    if im.shape != re.shape:
+        raise ValueError(
+            f"re/im plane shapes differ: {re.shape} vs {im.shape}")
+    return re, im
+
+
 def fft_planes(re: np.ndarray, im: np.ndarray, *, inverse: bool = False,
                norm=None, nthreads: int = 0):
     """Batched 1D C2C on pre-split contiguous planes (the engine's native
@@ -180,8 +195,7 @@ def fft_planes(re: np.ndarray, im: np.ndarray, *, inverse: bool = False,
     lib = _lib()
     if lib is None:
         raise RuntimeError("native engine unavailable (no g++?)")
-    re = np.ascontiguousarray(re)
-    im = np.ascontiguousarray(im, re.dtype)
+    re, im = _canon_planes(re, im)
     n = re.shape[-1]
     count = re.size // n
     out_re = np.empty_like(re)
@@ -204,8 +218,7 @@ def fftn_planes(re: np.ndarray, im: np.ndarray, *, inverse: bool = False,
     lib = _lib()
     if lib is None:
         raise RuntimeError("native engine unavailable (no g++?)")
-    re = np.ascontiguousarray(re)
-    im = np.ascontiguousarray(im, re.dtype)
+    re, im = _canon_planes(re, im)
     dims = np.asarray(re.shape, np.int64)
     out_re = np.empty_like(re)
     out_im = np.empty_like(im)
