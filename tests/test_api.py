@@ -174,3 +174,45 @@ def test_fast_length_padding():
     assert plan.lengths == (256, 128)
     with pytest.raises(ValueError, match="fast"):
         tpufft.fft(x, n="bogus")
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_hfftn_matches_scipy(norm, rng):
+    """hfftn/hfft2: FFT of Hermitian-symmetric input over several axes
+    (scipy.fft.hfftn semantics — completes the scipy.fft surface)."""
+    sfft = pytest.importorskip("scipy.fft")
+    x = (rng.standard_normal((3, 6, 5))
+         + 1j * rng.standard_normal((3, 6, 5))).astype(np.complex128)
+    got = np.asarray(tpufft.hfftn(x, axes=(1, 2), norm=norm))
+    ref = sfft.hfftn(x, axes=(1, 2), norm=norm)
+    assert got.shape == ref.shape
+    assert_spectrum_close(got, ref, np.complex128)
+    got2 = np.asarray(tpufft.hfft2(x, norm=norm))
+    ref2 = sfft.hfft2(x, norm=norm)
+    assert got2.shape == ref2.shape
+    assert_spectrum_close(got2, ref2, np.complex128)
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_ihfftn_matches_scipy(norm, rng):
+    sfft = pytest.importorskip("scipy.fft")
+    x = rng.standard_normal((3, 6, 8))
+    got = np.asarray(tpufft.ihfftn(x, axes=(1, 2), norm=norm))
+    ref = sfft.ihfftn(x, axes=(1, 2), norm=norm)
+    assert got.shape == ref.shape
+    assert_spectrum_close(got, ref, np.complex128)
+    got2 = np.asarray(tpufft.ihfft2(x, norm=norm))
+    ref2 = sfft.ihfft2(x, norm=norm)
+    assert got2.shape == ref2.shape
+    assert_spectrum_close(got2, ref2, np.complex128)
+
+
+def test_hfftn_roundtrip_with_s(rng):
+    sfft = pytest.importorskip("scipy.fft")
+    x = (rng.standard_normal((2, 4, 5))
+         + 1j * rng.standard_normal((2, 4, 5))).astype(np.complex128)
+    s = (4, 8)
+    got = np.asarray(tpufft.hfftn(x, s=s, axes=(1, 2)))
+    ref = sfft.hfftn(x, s=s, axes=(1, 2))
+    assert got.shape == ref.shape
+    assert_spectrum_close(got, ref, np.complex128)

@@ -23,7 +23,7 @@ from .api import (
     fft, ifft, rfft, irfft,
     fft2, ifft2, rfft2, irfft2,
     fftn, ifftn, rfftn, irfftn,
-    hfft, ihfft,
+    hfft, ihfft, hfft2, ihfft2, hfftn, ihfftn,
     fftfreq, rfftfreq, fftshift, ifftshift,
 )
 
@@ -34,7 +34,7 @@ __all__ = [
     "fft", "ifft", "rfft", "irfft",
     "fft2", "ifft2", "rfft2", "irfft2",
     "fftn", "ifftn", "rfftn", "irfftn",
-    "hfft", "ihfft",
+    "hfft", "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",
     "stage_schedule",

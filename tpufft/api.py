@@ -46,7 +46,7 @@ __all__ = [
     "fft", "ifft", "rfft", "irfft",
     "fft2", "ifft2", "rfft2", "irfft2",
     "fftn", "ifftn", "rfftn", "irfftn",
-    "hfft", "ihfft",
+    "hfft", "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
 ]
 
@@ -612,6 +612,61 @@ def ihfft(x, n=None, axis=-1, norm=None, **kw):
         s = jnp.asarray(scale, res.dtype)
         return SplitComplex(res.re * s, res.im * s)
     return res * scale
+
+
+def _hfft_scale(res, n_total, norm, inverse):
+    """Apply the hfft/ihfft norm-rescale over the product of the
+    transformed lengths (scipy's norm convention for the
+    Hermitian-transform family)."""
+    if inverse:
+        scale = {None: 1.0 / n_total, "backward": 1.0 / n_total,
+                 "ortho": 1.0 / math.sqrt(n_total), "forward": 1.0}[norm]
+    else:
+        scale = {None: float(n_total), "backward": float(n_total),
+                 "ortho": math.sqrt(n_total), "forward": 1.0}[norm]
+    if isinstance(res, SplitComplex):
+        s = jnp.asarray(scale, res.dtype)
+        return SplitComplex(res.re * s, res.im * s)
+    return res * jnp.asarray(scale, res.dtype)
+
+
+def hfftn(x, s=None, axes=None, norm=None, **kw):
+    """ND FFT of an array Hermitian-symmetric in its last transformed axis
+    (real spectrum out): hfftn(x, s, axes) == irfftn(conj(x), s, axes) * N
+    under backward norm, N = prod of transformed output lengths
+    (scipy.fft.hfftn semantics)."""
+    if norm not in _NORMS:
+        raise ValueError(f"norm must be one of {_NORMS}, got {norm!r}")
+    res = irfftn(_conj_any(x), s=s, axes=axes, norm=None, **kw)
+    # output of irfftn carries the full (real) transform lengths
+    shape = res.shape
+    ax = _canon_axes(len(shape), axes)
+    n_total = math.prod(shape[a] for a in ax)
+    return _hfft_scale(res, n_total, norm, inverse=False)
+
+
+def hfft2(x, s=None, axes=(-2, -1), norm=None, **kw):
+    return hfftn(x, s=s, axes=axes, norm=norm, **kw)
+
+
+def ihfftn(x, s=None, axes=None, norm=None, **kw):
+    """Inverse of hfftn: real input, Hermitian half-spectrum out
+    (scipy.fft.ihfftn semantics)."""
+    if norm not in _NORMS:
+        raise ValueError(f"norm must be one of {_NORMS}, got {norm!r}")
+    in_shape = np.shape(x)
+    ax = _canon_axes(len(in_shape), axes)
+    # transform lengths come from s (or the INPUT shape — the rfftn output
+    # packs the last transformed axis to n//2+1, which must not enter the
+    # norm scale)
+    lengths = tuple(s) if s is not None else tuple(in_shape[a] for a in ax)
+    n_total = math.prod(lengths)
+    res = _conj_any(rfftn(x, s=s, axes=axes, norm=None, **kw))
+    return _hfft_scale(res, n_total, norm, inverse=True)
+
+
+def ihfft2(x, s=None, axes=(-2, -1), norm=None, **kw):
+    return ihfftn(x, s=s, axes=axes, norm=norm, **kw)
 
 
 # ----------------------------------------------------------------------------
