@@ -55,7 +55,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import PlanConfig
-from ..planner import factorize
 
 _LANE = 128
 _MAX_DEPTH = 128  # MXU systolic depth

@@ -16,7 +16,6 @@ import ctypes
 import functools
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 
