@@ -16,6 +16,7 @@ README tables (BASELINE.md).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -99,7 +100,7 @@ def run_cpu(iters: int, with_native: bool, shapes=SHAPES) -> None:
         print(row, flush=True)
 
 
-def run_tpu(iters: int, shapes=SHAPES) -> None:
+def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str = "float32") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -109,20 +110,23 @@ def run_tpu(iters: int, shapes=SHAPES) -> None:
     import tpufft
     from tpufft import SplitComplex
 
-    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    dt = jnp.bfloat16 if plane_dtype == "bfloat16" else jnp.float32
+    print(f"backend: {jax.default_backend()} planes: {plane_dtype}",
+          file=sys.stderr)
     print("| shape | tpufft fused (ms) | tpufft XLA-path (ms) |")
     print("|---|---|---|")
     rng = np.random.default_rng(0)
     for shape in shapes:
         x = SplitComplex(
-            jnp.asarray(rng.standard_normal(shape), jnp.float32),
-            jnp.asarray(rng.standard_normal(shape), jnp.float32),
+            jnp.asarray(rng.standard_normal(shape), dt),
+            jnp.asarray(rng.standard_normal(shape), dt),
         )
         axes = tuple(range(1, len(shape)))
 
-        def timed(cfg):
+        def timed(base_cfg):
             """Amortized chained timing (see bench.py: the dev tunnel RTT
             would otherwise dominate)."""
+            cfg = dataclasses.replace(base_cfg, plane_dtype=plane_dtype)
             plan = tpufft.plan_fft(shape, jnp.complex64, axes=axes,
                                    config=cfg)
 
@@ -173,6 +177,10 @@ def main() -> None:
     ap.add_argument("--shapes", default=None,
                     help="comma-separated indices into the shape table "
                          "(e.g. 0,2,11), default all")
+    ap.add_argument("--plane-dtype", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="HBM plane storage for the TPU table (bfloat16 "
+                         "halves DMA traffic; ~4e-3 storage error)")
     args = ap.parse_args()
     shapes = SHAPES
     if args.shapes is not None:
@@ -182,7 +190,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         run_cpu(args.iters, args.native, shapes)
     else:
-        run_tpu(args.iters, shapes)
+        run_tpu(args.iters, shapes, args.plane_dtype)
 
 
 if __name__ == "__main__":
