@@ -47,6 +47,7 @@ def main() -> None:
     variants = {
         "fused-bf16x3": PlanConfig(),
         "fused-highest": PlanConfig(precision="highest"),
+        "fused-bf16-planes": PlanConfig(plane_dtype="bfloat16"),
         "xla-fallback": PlanConfig(backend="xla"),
     }
     plans = {
