@@ -100,7 +100,8 @@ def run_cpu(iters: int, with_native: bool, shapes=SHAPES) -> None:
         print(row, flush=True)
 
 
-def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str = "float32") -> None:
+def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str = "float32",
+            precision: str = "bf16x3") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -111,8 +112,8 @@ def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str = "float32") -> None:
     from tpufft import SplitComplex
 
     dt = jnp.bfloat16 if plane_dtype == "bfloat16" else jnp.float32
-    print(f"backend: {jax.default_backend()} planes: {plane_dtype}",
-          file=sys.stderr)
+    print(f"backend: {jax.default_backend()} planes: {plane_dtype} "
+          f"precision: {precision}", file=sys.stderr)
     print("| shape | tpufft fused (ms) | tpufft XLA-path (ms) |")
     print("|---|---|---|")
     rng = np.random.default_rng(0)
@@ -126,7 +127,8 @@ def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str = "float32") -> None:
         def timed(base_cfg):
             """Amortized chained timing (see bench.py: the dev tunnel RTT
             would otherwise dominate)."""
-            cfg = dataclasses.replace(base_cfg, plane_dtype=plane_dtype)
+            cfg = dataclasses.replace(base_cfg, plane_dtype=plane_dtype,
+                                      precision=precision)
             plan = tpufft.plan_fft(shape, jnp.complex64, axes=axes,
                                    config=cfg)
 
@@ -181,6 +183,10 @@ def main() -> None:
                     default="float32",
                     help="HBM plane storage for the TPU table (bfloat16 "
                          "halves DMA traffic; ~4e-3 storage error)")
+    ap.add_argument("--precision", choices=("bf16x3", "highest", "default"),
+                    default="bf16x3",
+                    help="MXU matmul precision ('default' = 1-pass bf16, "
+                         "~4e-3 err, 3x less MXU volume)")
     args = ap.parse_args()
     shapes = SHAPES
     if args.shapes is not None:
@@ -190,7 +196,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         run_cpu(args.iters, args.native, shapes)
     else:
-        run_tpu(args.iters, shapes, args.plane_dtype)
+        run_tpu(args.iters, shapes, args.plane_dtype, args.precision)
 
 
 if __name__ == "__main__":
