@@ -181,3 +181,17 @@ def test_kernel_two_pass_nonminor_axis(rng):
          + 1j * rng.standard_normal((2, 4096, 40))).astype(np.complex64)
     got = tpufft.fftn(x, axes=(1,), config=CFG_AUTO)
     assert_spectrum_close(got, np.fft.fft(x, axis=1), np.complex64)
+
+
+def test_kernel_default_precision_error_bound(rng):
+    """precision='default' (1-pass bf16 MXU): ~4e-3 relative error — the
+    documented bound for the compute-bound-shape knob (BENCH_SUITE.md).
+    Still inside the reference's own 1e-2 test tolerance."""
+    cfg = PlanConfig(interpret=True, backend="pallas", lane_block=128,
+                     precision="default")
+    x = (rng.standard_normal((8, 1024))
+         + 1j * rng.standard_normal((8, 1024))).astype(np.complex64)
+    got = np.asarray(tpufft.fft(x, config=cfg))
+    ref = np.fft.fft(x)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 1e-2, f"default-precision error {err:.2e} out of bound"
