@@ -27,7 +27,7 @@ from .api import (
     fftfreq, rfftfreq, fftshift, ifftshift,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "PlanConfig", "Plan", "SplitComplex", "plan_fft",
