@@ -85,3 +85,23 @@ def test_real_input_fast_path_matches(rng):
     x = rng.standard_normal((3, 48))
     got = tpufft.fft(x)
     assert_spectrum_close(got, np.fft.fft(x), np.complex128)
+
+
+def test_device_input_stays_on_device(rng, monkeypatch):
+    """jax.Array (device) input must never round-trip the host: on a
+    complex-free backend the plan returns SplitComplex planes."""
+    import jax.numpy as jnp
+    import tpufft.api as api
+    from tpufft import SplitComplex
+
+    monkeypatch.setattr(api, "backend_supports_complex", lambda: False)
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    # r2c: real jax input -> device planes (previously a hidden host combine)
+    out = tpufft.rfft(jnp.asarray(x))
+    assert isinstance(out, SplitComplex)
+    ref = np.fft.rfft(x)
+    assert_spectrum_close(out.numpy(), ref, np.complex64)
+    # numpy input keeps the host convenience form
+    out_np = tpufft.rfft(x)
+    assert isinstance(out_np, np.ndarray)
+    assert_spectrum_close(out_np, ref, np.complex64)

@@ -490,6 +490,105 @@ def fft_axis(
     return _fft_axis_diff(*key)(ar, ai)
 
 
+def r2c_minor_supported(n: int, dtype, cfg: PlanConfig) -> bool:
+    """Can the direct rectangular r2c/c2r kernel serve this axis?"""
+    if cfg.backend == "xla":
+        return False
+    if not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return mxu_fft.r2c_minor_supported(n, dtype, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _rfft_minor_diff(n: int, scale: float, config: PlanConfig):
+    """Differentiable direct-rectangular rfft of the last axis.
+
+    X = x @ V is real-linear, so the VJP is two plain matmuls with V^T —
+    run as XLA dots (the backward pass is not a serving hot path)."""
+
+    @jax.custom_vjp
+    def f(x):
+        bblk = mxu_fft.choose_lane_block(n, config)
+        run = mxu_fft._build_minor_r2c(
+            n, float(scale), bblk, config.precision, bool(config.interpret),
+            mxu_fft.storage_of(x.dtype))
+        return run(x)
+
+    def fwd(x):
+        return f(x), x.dtype
+
+    def bwd(in_dtype, g):
+        gr, gi = g
+        vr, vi = mxu_fft._tables_r2c(n, float(scale))
+        gx = (jnp.dot(gr.astype(jnp.float32), jnp.asarray(vr).T)
+              + jnp.dot(gi.astype(jnp.float32), jnp.asarray(vi).T))
+        return (gx.astype(in_dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _irfft_minor_diff(n: int, scale: float, config: PlanConfig):
+    """Differentiable direct Hermitian synthesis of the last axis."""
+
+    @jax.custom_vjp
+    def f(ar, ai):
+        bblk = mxu_fft.choose_lane_block(n, config)
+        run = mxu_fft._build_minor_c2r(
+            n, float(scale), bblk, config.precision, bool(config.interpret),
+            mxu_fft.storage_of(ar.dtype))
+        return run(ar, ai)
+
+    def fwd(ar, ai):
+        return f(ar, ai), ar.dtype
+
+    def bwd(in_dtype, g):
+        cr, ci = mxu_fft._tables_c2r(n, float(scale))
+        g32 = g.astype(jnp.float32)
+        return (jnp.dot(g32, jnp.asarray(cr).T).astype(in_dtype),
+                jnp.dot(g32, jnp.asarray(ci).T).astype(in_dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def rfft_minor(ar, axis: int, n: int, scale: float, config: PlanConfig):
+    """Direct rectangular rfft along ``axis`` of the real plane ``ar``:
+    one fused MXU pass, any n <= R2C_MAX_N (odd and prime included).
+    Returns (re, im) planes packed to n//2+1."""
+    axis = axis % ar.ndim
+    moved = axis != ar.ndim - 1
+    if moved:
+        ar = jnp.moveaxis(ar, axis, -1)
+    pre = ar.shape[:-1]
+    out = _rfft_minor_diff(n, float(scale), config)(ar.reshape(-1, n))
+    outr = out[0].reshape(pre + (n // 2 + 1,))
+    outi = out[1].reshape(pre + (n // 2 + 1,))
+    if moved:
+        outr = jnp.moveaxis(outr, -1, axis)
+        outi = jnp.moveaxis(outi, -1, axis)
+    return outr, outi
+
+
+def irfft_minor(ar, ai, axis: int, n: int, scale: float, config: PlanConfig):
+    """Direct Hermitian synthesis along ``axis``: packed n//2+1 planes in,
+    length-n real plane out, one fused MXU pass."""
+    axis = axis % ar.ndim
+    moved = axis != ar.ndim - 1
+    if moved:
+        ar = jnp.moveaxis(ar, axis, -1)
+        ai = jnp.moveaxis(ai, axis, -1)
+    pre = ar.shape[:-1]
+    m1 = ar.shape[-1]
+    out = _irfft_minor_diff(n, float(scale), config)(
+        ar.reshape(-1, m1), ai.reshape(-1, m1))
+    out = out.reshape(pre + (n,))
+    if moved:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
 def _fft_axis_impl(
     ar: jnp.ndarray,
     ai: jnp.ndarray | None,

@@ -277,6 +277,176 @@ def _cmm_right(precision: str, W, xr, xi):
     return mm(xr, wr) - mm(xi, wi), mm(xi, wr) + mm(xr, wi)
 
 
+def _rmm_right(precision: str, W, x):
+    """Real x times a complex matrix: (x @ Wr, x @ Wi) — the half-cost form
+    of _cmm_right for a real input plane (r2c kernels)."""
+    if precision == "bf16x3":
+        rh, rl, ih, il = W
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        xh, xl = _split_bf16(x)
+
+        def m(wh, wl):
+            return d(xh, wh) + (d(xl, wh) + d(xh, wl))
+
+        return m(rh, rl), m(ih, il)
+    wr, wi = W
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    mm = functools.partial(jnp.dot, precision=prec,
+                           preferred_element_type=jnp.float32)
+    return mm(x, wr), mm(x, wi)
+
+
+# Largest minor-axis length served by the direct rectangular r2c/c2r
+# matmul kernels: the (n, n//2+1) table quadruples under the bf16x3 prep
+# and must stay a small VMEM constant (512 -> ~2.1 MB).
+R2C_MAX_N = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_r2c(n: int, scale: float):
+    """Rectangular DFT matrix V[j, k] = e^{-2 pi i j k / n} (n, n//2+1),
+    f64 host trig, scale folded. The WHOLE rfft is X = x @ V: no
+    deinterleave, no Hermitian untangle, any n (odd and prime included) —
+    the half-length packing trick saves FLOPs the MXU has to spare, while
+    its XLA-side lane gathers cost more than the transform itself
+    (measured (500000, 128): 16.7 ms packed vs 1.5 ms direct)."""
+    j = np.arange(n, dtype=np.float64)
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    theta = (-2.0 * np.pi / n) * np.outer(j, k)
+    f32 = lambda x: np.ascontiguousarray(x, np.float32)  # noqa: E731
+    return (f32(np.cos(theta) * scale), f32(np.sin(theta) * scale))
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_c2r(n: int, scale: float):
+    """Hermitian synthesis matrices (n//2+1, n): x = Xr @ Cr + Xi @ Ci.
+
+    Cr[k, j] = c_k cos(2 pi j k / n), Ci[k, j] = -c_k sin(2 pi j k / n)
+    with c_0 = c_{n/2} = 1 (even n) and c_k = 2 otherwise (the dropped
+    mirror half), times the caller's scale. The Ci rows for DC (and
+    Nyquist, even n) are zero — numpy's irfft treats those imaginary
+    parts as inert."""
+    m1 = n // 2 + 1
+    j = np.arange(n, dtype=np.float64)
+    k = np.arange(m1, dtype=np.float64)
+    theta = (2.0 * np.pi / n) * np.outer(k, j)
+    c = np.full(m1, 2.0)
+    c[0] = 1.0
+    if n % 2 == 0:
+        c[m1 - 1] = 1.0
+    cr = c[:, None] * np.cos(theta) * scale
+    ci = -c[:, None] * np.sin(theta) * scale
+    ci[0, :] = 0.0
+    if n % 2 == 0:
+        ci[m1 - 1, :] = 0.0
+    f32 = lambda x: np.ascontiguousarray(x, np.float32)  # noqa: E731
+    return (f32(cr), f32(ci))
+
+
+def r2c_minor_supported(n: int, dtype, cfg: PlanConfig) -> bool:
+    """Can the direct rectangular r2c/c2r kernel serve length n?"""
+    if storage_of(dtype) is None:
+        return False
+    return 2 <= n <= R2C_MAX_N and choose_lane_block(n, cfg) >= _LANE
+
+
+@functools.lru_cache(maxsize=None)
+def _build_minor_r2c(n: int, scale: float, bblk: int, precision: str,
+                     interpret: bool, storage: str = "f32"):
+    """(batch, n) real -> (batch, n//2+1) complex planes in ONE pass."""
+    m1 = n // 2 + 1
+    tables = _prep_w(_tables_r2c(n, float(scale)), precision)
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft minor-r2c: n=%d bblk=%d precision=%s storage=%s",
+                 n, bblk, precision, storage)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, or_ref, oi_ref = refs[len(tables):]
+        w = tuple(r[:] for r in t_refs)
+        zr, zi = _rmm_right(precision, w, _load_f32(xr_ref))
+        or_ref[:] = zr.astype(or_ref.dtype)
+        oi_ref[:] = zi.astype(oi_ref.dtype)
+
+    din = pl.BlockSpec((bblk, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((bblk, m1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        return pl.BlockSpec(t.shape, (lambda i: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    def run(xr):
+        batch = xr.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(batch, bblk),),
+            in_specs=[tspec(t) for t in tables] + [din],
+            out_specs=[dout, dout],
+            out_shape=[jax.ShapeDtypeStruct((batch, m1), out_dt)] * 2,
+            interpret=interpret,
+        )(*[jnp.asarray(t) for t in tables], xr)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_minor_c2r(n: int, scale: float, bblk: int, precision: str,
+                     interpret: bool, storage: str = "f32"):
+    """(batch, n//2+1) complex planes -> (batch, n) real in ONE pass."""
+    m1 = n // 2 + 1
+    tables = _prep_w(_tables_c2r(n, float(scale)), precision)
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft minor-c2r: n=%d bblk=%d precision=%s storage=%s",
+                 n, bblk, precision, storage)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, xi_ref, o_ref = refs[len(tables):]
+        w = tuple(r[:] for r in t_refs)
+        # out = Xr @ Cr + Xi @ Ci: two real products sharing the prep
+        if precision == "bf16x3":
+            rh, rl, ih, il = w
+            d = functools.partial(jnp.dot,
+                                  preferred_element_type=jnp.float32)
+            arh, arl = _split_bf16(_load_f32(xr_ref))
+            aih, ail = _split_bf16(_load_f32(xi_ref))
+
+            def m(bh, bl, wh, wl):
+                return d(bh, wh) + (d(bl, wh) + d(bh, wl))
+
+            out = m(arh, arl, rh, rl) + m(aih, ail, ih, il)
+        else:
+            cr, ci = w
+            prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                    else jax.lax.Precision.DEFAULT)
+            mm = functools.partial(jnp.dot, precision=prec,
+                                   preferred_element_type=jnp.float32)
+            out = mm(_load_f32(xr_ref), cr) + mm(_load_f32(xi_ref), ci)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+    din = pl.BlockSpec((bblk, m1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((bblk, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        return pl.BlockSpec(t.shape, (lambda i: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    def run(ar, ai):
+        batch = ar.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(batch, bblk),),
+            in_specs=[tspec(t) for t in tables] + [din, din],
+            out_specs=dout,
+            out_shape=jax.ShapeDtypeStruct((batch, n), out_dt),
+            interpret=interpret,
+        )(*[jnp.asarray(t) for t in tables], ar, ai)
+
+    return run
+
+
 def _pack_tables(n: int, inverse: bool, scale: float, precision: str):
     """Flat host-table tuple + an unpacker reconstructing the logical
     (W-groups, twiddle) structure from the kernel's refs."""
