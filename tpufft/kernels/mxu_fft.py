@@ -298,9 +298,11 @@ def _rmm_right(precision: str, W, x):
 
 
 # Largest minor-axis length served by the direct rectangular r2c/c2r
-# matmul kernels: the (n, n//2+1) table quadruples under the bf16x3 prep
-# and must stay a small VMEM constant (512 -> ~2.1 MB).
-R2C_MAX_N = 512
+# matmul kernels: the (n, n//2+1) table must stay a modest VMEM constant —
+# 4.2 MB at n=1024 under every precision (4 bf16 planes for bf16x3, 2 f32
+# planes otherwise); n=2048 would double that and crowd out the data
+# blocks.
+R2C_MAX_N = 1024
 
 
 @functools.lru_cache(maxsize=None)
