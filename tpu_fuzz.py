@@ -2,7 +2,9 @@
 through the fused kernels vs numpy. Interpret-mode CI cannot catch
 Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
 manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
-Last full pass: 2026-08-17, 42/42 OK (incl. on-chip Bluestein primes)."""
+Last full pass: 2026-08-17, 48/48 OK (incl. on-chip Bluestein primes
+and the direct rectangular r2c/c2r kernels)."""
+import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -44,6 +46,20 @@ for case in range(40):
     else:
         print(f"ok {case}: {shape} ax={axes} n={norm} i={int(inverse)} "
               f"e={err:.1e}", flush=True)
+# real-transform kernels (direct rectangular r2c/c2r) on-chip
+for n in (93, 128, 131, 1024):
+    x = rng.standard_normal((96, n)).astype(np.float32)
+    got = tpufft.rfft(jnp.asarray(x))
+    got = got.numpy() if hasattr(got, "numpy") else np.asarray(got)
+    ref = np.fft.rfft(x)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    back = np.asarray(tpufft.irfft(got.astype(np.complex64), n=n))
+    berr = np.max(np.abs(back - x))
+    ok = err < 1e-3 and berr < 1e-3
+    print(f"r2c/c2r {n}: e={err:.1e} rt={berr:.1e} {'ok' if ok else 'FAIL'}",
+          flush=True)
+    fails += not ok
+
 # a few big-prime Bluestein cases on-chip
 for n in (2053, 4099):
     x = (rng.standard_normal((64, n)) + 1j * rng.standard_normal((64, n))
