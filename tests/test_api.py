@@ -216,3 +216,32 @@ def test_hfftn_roundtrip_with_s(rng):
     ref = sfft.hfftn(x, s=s, axes=(1, 2))
     assert got.shape == ref.shape
     assert_spectrum_close(got, ref, np.complex128)
+
+
+def test_s_with_axes_none_maps_to_last_axes(rng):
+    """scipy maps ``s`` to the LAST len(s) axes when axes is None
+    (round-2 advisor, low: plan_fft used to raise len-mismatch)."""
+    sfft = pytest.importorskip("scipy.fft")
+    x = (rng.standard_normal((3, 6, 5))
+         + 1j * rng.standard_normal((3, 6, 5))).astype(np.complex128)
+    for fn, ref_fn in [(tpufft.fftn, sfft.fftn), (tpufft.ifftn, sfft.ifftn),
+                       (tpufft.hfftn, sfft.hfftn)]:
+        got = np.asarray(fn(x, s=(4, 8)))
+        ref = ref_fn(x, s=(4, 8))
+        assert got.shape == ref.shape
+        assert_spectrum_close(got, ref, np.complex128)
+    xr = rng.standard_normal((3, 6, 5))
+    got = np.asarray(tpufft.rfftn(xr, s=(4, 8)))
+    ref = sfft.rfftn(xr, s=(4, 8))
+    assert got.shape == ref.shape
+    assert_spectrum_close(got, ref, np.complex128)
+    xc = (rng.standard_normal((3, 6, 5))
+          + 1j * rng.standard_normal((3, 6, 5))).astype(np.complex128)
+    got = np.asarray(tpufft.irfftn(xc, s=(4, 8)))
+    ref = sfft.irfftn(xc, s=(4, 8))
+    assert got.shape == ref.shape
+    assert_spectrum_close(got, ref, np.complex128)
+    got = np.asarray(tpufft.ihfftn(xr, s=(4, 8)))
+    ref = sfft.ihfftn(xr, s=(4, 8))
+    assert got.shape == ref.shape
+    assert_spectrum_close(got, ref, np.complex128)

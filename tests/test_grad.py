@@ -80,6 +80,51 @@ def test_grad_fused_pair(rng):
         assert err < 1e-3, f"normalized grad err {err:.3e}"
 
 
+def test_grad_rfft_direct_kernel(rng):
+    """jax.grad through the direct rectangular r2c kernel path.
+
+    Regression: the custom_vjp fwd used to return a bare np.dtype as the
+    residual, which is not a valid JAX type (round-2 advisor, high)."""
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+
+    def loss(v):
+        out = tpufft.rfft(v, config=CFG_KERNEL)
+        if isinstance(out, SplitComplex):
+            return jnp.sum(out.re ** 2) + 2.0 * jnp.sum(out.im ** 2)
+        return jnp.sum(out.real ** 2) + 2.0 * jnp.sum(out.imag ** 2)
+
+    def loss_ref(v):
+        out = jnp.fft.rfft(v, axis=-1)
+        return jnp.sum(out.real ** 2) + 2.0 * jnp.sum(out.imag ** 2)
+
+    g = jax.grad(loss)(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_grad_irfft_direct_kernel(rng):
+    """jax.grad through the direct Hermitian-synthesis c2r kernel path."""
+    re = jnp.asarray(rng.standard_normal((4, 33)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((4, 33)), jnp.float32)
+
+    def loss(a, b):
+        out = tpufft.irfft(SplitComplex(a, b), n=64, config=CFG_KERNEL)
+        if isinstance(out, SplitComplex):
+            out = out.re
+        return jnp.sum(out ** 2)
+
+    def loss_ref(a, b):
+        out = jnp.fft.irfft(a + 1j * b, n=64, axis=-1)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(re, im)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(re, im)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_grad_real_input(rng):
     """Real-input path (elided imag plane): grad w.r.t. the real plane."""
     cfg = CFG_KERNEL

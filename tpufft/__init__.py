@@ -19,7 +19,7 @@ from .core import SplitComplex
 from .planner import (default_bases, digit_reverse, factorize,
                       next_fast_len, stage_schedule)
 from .api import (
-    Plan, plan_fft,
+    Plan, PrecisionDowngradeWarning, plan_fft,
     fft, ifft, rfft, irfft,
     fft2, ifft2, rfft2, irfft2,
     fftn, ifftn, rfftn, irfftn,
@@ -30,7 +30,8 @@ from .api import (
 __version__ = "0.2.0"
 
 __all__ = [
-    "PlanConfig", "Plan", "SplitComplex", "plan_fft",
+    "PlanConfig", "Plan", "PrecisionDowngradeWarning", "SplitComplex",
+    "plan_fft",
     "fft", "ifft", "rfft", "irfft",
     "fft2", "ifft2", "rfft2", "irfft2",
     "fftn", "ifftn", "rfftn", "irfftn",

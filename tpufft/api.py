@@ -41,6 +41,7 @@ from . import execute as _execute
 
 __all__ = [
     "Plan",
+    "PrecisionDowngradeWarning",
     "SplitComplex",
     "plan_fft",
     "fft", "ifft", "rfft", "irfft",
@@ -51,6 +52,36 @@ __all__ = [
 ]
 
 _NORMS = (None, "backward", "ortho", "forward")
+
+
+class PrecisionDowngradeWarning(UserWarning):
+    """A float64/complex128 plan will compute in float32.
+
+    Raised at plan time when ``jax_enable_x64`` is off (the on-device
+    default: TPU hardware has no f64 at all). The reference runs f64
+    through its GPU tests (fft/tests.mojo:374-390); TPU cannot — the
+    honest answer is to say so instead of silently returning the 1e-3
+    tier where 1e-6 was requested. Precision tiers on chip:
+    c64 via bf16x3 emulation (~1e-3), or bf16 planes / one-pass bf16
+    (~4e-3, opt-in via PlanConfig).
+    """
+
+
+def _check_x64_downgrade(dtype) -> None:
+    d = jnp.dtype(dtype)
+    if d in (jnp.dtype(jnp.complex128), jnp.dtype(jnp.float64)) and (
+            not jax.config.jax_enable_x64):
+        import warnings
+
+        warnings.warn(
+            f"plan dtype {d} requested but jax_enable_x64 is off: the "
+            "transform will compute and return in the float32/complex64 "
+            "tier (~1e-3, not ~1e-6). Enable x64 on CPU for true f64, or "
+            "cast the input to complex64 to silence this warning. TPU "
+            "devices have no float64 hardware.",
+            PrecisionDowngradeWarning,
+            stacklevel=3,
+        )
 
 
 def _norm_scale(norm, n_total: int, inverse: bool) -> float:
@@ -222,16 +253,23 @@ def _apply_plan_split(ar, ai, *, plan: Plan):
 
     for a, n in zip(axes, lengths):
         ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
-    # When the transform includes the array's two minor axes and the tile
-    # fits VMEM, run them as ONE fused 2D kernel pass (halves HBM traffic).
+    # When the transform includes the array's three (or two) minor axes and
+    # the tile fits VMEM, run them as ONE fused kernel pass: a whole small
+    # cube (e.g. 64^3) costs a single HBM roundtrip instead of three.
     ndim = ar.ndim
-    pair_last = (
+    cube_last = (
+        len(axes) >= 3
+        and set(axes[-3:]) == {ndim - 3, ndim - 2, ndim - 1}
+        and _execute.cube_supported(
+            ar.shape[-3], ar.shape[-2], ar.shape[-1], ar.dtype, plan.config)
+    )
+    pair_last = not cube_last and (
         len(axes) >= 2
         and set(axes[-2:]) == {ndim - 2, ndim - 1}
         and _execute.pair_supported(
             ar.shape[-2], ar.shape[-1], ar.dtype, plan.config)
     )
-    n_single = len(axes) - (2 if pair_last else 0)
+    n_single = len(axes) - (3 if cube_last else (2 if pair_last else 0))
     # Fuse the whole normalization into the last-executed stage.
     for i in range(n_single):
         axis_scale = scale if (i == len(axes) - 1) else 1.0
@@ -239,7 +277,11 @@ def _apply_plan_split(ar, ai, *, plan: Plan):
             ar, ai, axes[i], plan.bases[i], inverse=plan.inverse,
             scale=axis_scale, config=plan.config,
         )
-    if pair_last:
+    if cube_last:
+        ar, ai = _execute.fft_cube_last(
+            ar, ai, inverse=plan.inverse, scale=scale, config=plan.config,
+        )
+    elif pair_last:
         ar, ai = _execute.fft_pair_last(
             ar, ai, inverse=plan.inverse, scale=scale, config=plan.config,
         )
@@ -508,6 +550,10 @@ def plan_fft(
     ``PlanConfig``."""
     cfg = config or PlanConfig()
     shape = tuple(int(d) for d in shape)
+    _check_x64_downgrade(dtype)
+    if axes is None and s is not None and not isinstance(s, str):
+        # scipy semantics: s with axes=None applies to the LAST len(s) axes
+        axes = tuple(range(-len(s), 0))
     axes = _canon_axes(len(shape), axes)
     if isinstance(s, str):
         s = (s,) * len(axes)
@@ -586,6 +632,8 @@ def rfftn(x, s=None, axes=None, norm=None, *, bases=None, config=None):
 
 def irfftn(x, s=None, axes=None, norm=None, *, bases=None, config=None):
     shape = tuple(x.shape) if isinstance(x, SplitComplex) else np.shape(x)
+    if axes is None and s is not None and not isinstance(s, str):
+        axes = tuple(range(-len(s), 0))
     axes_c = _canon_axes(len(shape), axes)
     if s is None:
         s = tuple(shape[a] for a in axes_c[:-1]) + (
@@ -677,6 +725,8 @@ def hfftn(x, s=None, axes=None, norm=None, **kw):
     res = irfftn(_conj_any(x), s=s, axes=axes, norm=None, **kw)
     # output of irfftn carries the full (real) transform lengths
     shape = res.shape
+    if axes is None and s is not None and not isinstance(s, str):
+        axes = tuple(range(-len(s), 0))
     ax = _canon_axes(len(shape), axes)
     n_total = math.prod(shape[a] for a in ax)
     return _hfft_scale(res, n_total, norm, inverse=False)
@@ -692,6 +742,8 @@ def ihfftn(x, s=None, axes=None, norm=None, **kw):
     if norm not in _NORMS:
         raise ValueError(f"norm must be one of {_NORMS}, got {norm!r}")
     in_shape = np.shape(x)
+    if axes is None and s is not None and not isinstance(s, str):
+        axes = tuple(range(-len(s), 0))
     ax = _canon_axes(len(in_shape), axes)
     # transform lengths come from s (or the INPUT shape — the rfftn output
     # packs the last transformed axis to n//2+1, which must not enter the

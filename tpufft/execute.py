@@ -17,6 +17,7 @@ core.SplitComplex) because TPU has no complex arithmetic.
 from __future__ import annotations
 
 import functools
+import logging
 
 import numpy as np
 
@@ -30,11 +31,13 @@ from .config import PlanConfig
 from .kernels import mxu_fft
 
 __all__ = [
-    "fft_axis", "fft_pair_last", "pallas_supported", "pair_supported",
-    "choose_lane_block",
+    "fft_axis", "fft_pair_last", "fft_cube_last", "pallas_supported",
+    "pair_supported", "cube_supported", "choose_lane_block",
 ]
 
 choose_lane_block = mxu_fft.choose_lane_block
+
+logger = logging.getLogger("tpufft")
 
 
 def _is_tpu_backend() -> bool:
@@ -101,6 +104,7 @@ def _fft_axis_two_pass(ar, ai, axis, a, b, *, inverse, scale, config):
     n = a * b
     ndim = ar.ndim
     axis = axis % ndim
+    logger.debug("execute two-pass: n=%d a=%d b=%d axis=%d", n, a, b, axis)
     if ai is None:
         ai = jnp.zeros_like(ar)
     interpret = bool(config.interpret)
@@ -205,6 +209,8 @@ def _fft_axis_two_pass_flat(ar, ai, axis, a, b, *, inverse, scale, config):
     n = a * b
     ndim = ar.ndim
     axis = axis % ndim
+    logger.debug("execute two-pass-flat: n=%d a=%d b=%d axis=%d", n, a, b,
+                 axis)
     if ai is None:
         ai = jnp.zeros_like(ar)
     twr_h, twi_h = _two_pass_twiddle(a, b, inverse)
@@ -419,6 +425,52 @@ def fft_pair_last(
     return _fft_pair_diff(bool(inverse), float(scale), config)(ar, ai)
 
 
+def cube_supported(n1: int, n2: int, n3: int, dtype, cfg: PlanConfig) -> bool:
+    """Can the trailing three axes run as one fused 3D VMEM tile?"""
+    if cfg.backend == "xla":
+        return False
+    if not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return mxu_fft.cube_supported(n1, n2, n3, dtype, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_cube_diff(inverse: bool, scale: float, config: PlanConfig):
+    """custom-vjp wrapper for the fused trailing-cube kernel (same
+    conjugate-transform transpose identity as _fft_axis_diff)."""
+
+    @jax.custom_vjp
+    def f(ar, ai):
+        return mxu_fft.fft_cube_pallas(
+            ar, ai, inverse=inverse, scale=scale, config=config
+        )
+
+    def fwd(ar, ai):
+        return f(ar, ai), None
+
+    def bwd(_, g):
+        gr, gi = g
+        return _fft_cube_diff(not inverse, scale, config)(gr, gi)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fft_cube_last(
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused transform of the last three axes (single HBM pass,
+    differentiable)."""
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+    return _fft_cube_diff(bool(inverse), float(scale), config)(ar, ai)
+
+
 @functools.lru_cache(maxsize=None)
 def _fft_axis_diff(axis: int, bases: tuple[int, ...], inverse: bool,
                    scale: float, config: PlanConfig):
@@ -515,14 +567,16 @@ def _rfft_minor_diff(n: int, scale: float, config: PlanConfig):
         return run(x)
 
     def fwd(x):
-        return f(x), x.dtype
+        # Residual must be a JAX type: carry the input dtype as an empty
+        # array (a bare np.dtype raises TypeError under jax.vjp).
+        return f(x), jnp.zeros((0,), x.dtype)
 
-    def bwd(in_dtype, g):
+    def bwd(res, g):
         gr, gi = g
         vr, vi = mxu_fft._tables_r2c(n, float(scale))
         gx = (jnp.dot(gr.astype(jnp.float32), jnp.asarray(vr).T)
               + jnp.dot(gi.astype(jnp.float32), jnp.asarray(vi).T))
-        return (gx.astype(in_dtype),)
+        return (gx.astype(res.dtype),)
 
     f.defvjp(fwd, bwd)
     return f
@@ -541,13 +595,13 @@ def _irfft_minor_diff(n: int, scale: float, config: PlanConfig):
         return run(ar, ai)
 
     def fwd(ar, ai):
-        return f(ar, ai), ar.dtype
+        return f(ar, ai), jnp.zeros((0,), ar.dtype)
 
-    def bwd(in_dtype, g):
+    def bwd(res, g):
         cr, ci = mxu_fft._tables_c2r(n, float(scale))
         g32 = g.astype(jnp.float32)
-        return (jnp.dot(g32, jnp.asarray(cr).T).astype(in_dtype),
-                jnp.dot(g32, jnp.asarray(ci).T).astype(in_dtype))
+        return (jnp.dot(g32, jnp.asarray(cr).T).astype(res.dtype),
+                jnp.dot(g32, jnp.asarray(ci).T).astype(res.dtype))
 
     f.defvjp(fwd, bwd)
     return f

@@ -997,6 +997,162 @@ def fft_pair_pallas(
 
 # ----------------------------------------------------------------------------
 # Public entry
+def _tables_lane_w(n: int, lpad: int, inverse: bool, scale: float):
+    """Dense W_n zero-padded to (lpad, lpad) for the cube kernel's lane-axis
+    right-multiply. Pad rows multiply the (explicitly zeroed) pad lanes and
+    pad columns land in the masked store region, so both contribute nothing."""
+    wr, wi = _cis_outer(n, n, float(n), inverse)
+    pr = np.zeros((lpad, lpad), np.float32)
+    pi = np.zeros((lpad, lpad), np.float32)
+    pr[:n, :n] = wr * scale
+    pi[:n, :n] = wi * scale
+    return pr, pi
+
+
+# f32 plane-equivalents of VMEM working set per (n1, n2, lpad) cube tile:
+# double-buffered in/out pairs (8) plus bf16 splits and the per-axis
+# intermediates. Gates which cubes the fused kernel accepts against the
+# raised 100 MiB scoped-vmem ceiling (v5e: 128 MiB physical).
+_CUBE_PLANES = 12
+
+
+def cube_supported(n1: int, n2: int, n3: int, dtype, cfg: PlanConfig) -> bool:
+    """Can the trailing (n1, n2, n3) axes run as ONE fused VMEM tile?
+
+    All three transforms happen per tile — a 3D FFT in a single HBM pass
+    instead of three (the reference instead runs one kernel per dim plus
+    2(k-1) global transposes, fft/fft/_ndim_fft_gpu.mojo:567-642). n1/n2
+    run sublane-side (dim-0 3D dot_general + a free (1,0,2) sublane
+    transpose between them); n3 runs as a lane right-multiply, which needs
+    the dense-W "small" kind (<= 128)."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    if n1 < 2 or n2 < 2 or n3 < 2:
+        return False
+    k1, k2, k3 = kernel_factors(n1), kernel_factors(n2), kernel_factors(n3)
+    if k1 is None or k1[0] not in ("small", "four_step_bf"):
+        return False
+    if k2 is None or k2[0] not in ("small", "four_step_bf"):
+        return False
+    if k3 is None or k3[0] != "small":
+        return False
+    lpad = _ceil_lane(n3)
+    return _CUBE_PLANES * n1 * n2 * lpad * 4 <= _BIG_VMEM_LIMIT
+
+
+@functools.lru_cache(maxsize=None)
+def _build_3d(n1: int, n2: int, n3: int, inverse: bool, scale: float,
+              precision: str, interpret: bool, storage: str = "f32",
+              pblk: int = 1):
+    """(pre, n1, n2, n3) -> (pre, n1, n2, n3): all THREE trailing axes in
+    one HBM pass (the whole cube lives in VMEM).
+
+    Per tile: transform n1 as a dim-0 contraction (tail (n2, lanes)),
+    (1, 0, 2)-transpose (a free sublane permute), transform n2 the same
+    way, transpose back, then transform n3 as a right-multiply over the
+    lane axis through a major-merge (n1*n2, lanes) view (layout-preserving;
+    lane-merge reshapes are the ones Mosaic rejects). The lane block is
+    n3 rounded UP to 128 — Pallas masks the tail DMA — with pad lanes
+    zeroed in-kernel before the lane contraction (a lane contraction, unlike
+    everything else here, would let tail garbage contaminate real lanes).
+    The norm scale rides the n3 matrix. Natural order throughout."""
+    kind1 = kernel_factors(n1)
+    kind2 = kernel_factors(n2)
+    lpad = _ceil_lane(n3)
+    tables1, unpack1 = _pack_tables(n1, inverse, 1.0, precision)
+    tables2, unpack2 = _pack_tables(n2, inverse, 1.0, precision)
+    w3 = _prep_w(_tables_lane_w(n3, lpad, inverse, scale), precision)
+    logger.debug("mxu_fft 3d-cube: (%d, %d, %d) %s x %s lpad=%d pblk=%d "
+                 "inverse=%s precision=%s", n1, n2, n3, kind1, kind2, lpad,
+                 pblk, inverse, precision)
+    n_t1 = len(tables1)
+    n_t2 = len(tables2)
+    out_dt = _STORAGE_DTYPES[storage]
+
+    def kernel(*refs):
+        g1 = unpack1([r[:] for r in refs[:n_t1]])
+        g2 = unpack2([r[:] for r in refs[n_t1:n_t1 + n_t2]])
+        g3 = tuple(r[:] for r in refs[n_t1 + n_t2:n_t1 + n_t2 + len(w3)])
+        xr_ref, xi_ref, or_ref, oi_ref = refs[-4:]
+        for p in range(pblk):
+            xr = xr_ref[p].astype(jnp.float32)      # (n1, n2, lpad)
+            xi = xi_ref[p].astype(jnp.float32)
+            if lpad != n3:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, lpad), 2)
+                keep = lane < n3
+                xr = jnp.where(keep, xr, 0.0)
+                xi = jnp.where(keep, xi, 0.0)
+            xr, xi = _compute(precision, n1, kind1, g1, xr, xi,
+                              inverse=inverse)
+            xr = xr.transpose(1, 0, 2)              # (n2, n1, lpad)
+            xi = xi.transpose(1, 0, 2)
+            xr, xi = _compute(precision, n2, kind2, g2, xr, xi,
+                              inverse=inverse)
+            xr = xr.transpose(1, 0, 2)              # (n1, n2, lpad)
+            xi = xi.transpose(1, 0, 2)
+            zr, zi = _cmm_right(precision, g3, xr.reshape(n1 * n2, lpad),
+                                xi.reshape(n1 * n2, lpad))
+            or_ref[p] = zr.reshape(n1, n2, lpad).astype(or_ref.dtype)
+            oi_ref[p] = zi.reshape(n1, n2, lpad).astype(oi_ref.dtype)
+
+    data = pl.BlockSpec((pblk, n1, n2, lpad), lambda p: (p, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda p: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    all_tables = list(tables1) + list(tables2) + list(w3)
+
+    def run(ar, ai):
+        pre = ar.shape[0]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(pre, pblk),),
+            in_specs=[tspec(t) for t in all_tables] + [data, data],
+            out_specs=[data, data],
+            out_shape=[jax.ShapeDtypeStruct((pre, n1, n2, n3), out_dt)] * 2,
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in all_tables], ar, ai)
+
+    return run
+
+
+def fft_cube_pallas(
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused transform of the LAST THREE axes of ``ar``/``ai``."""
+    n1, n2, n3 = ar.shape[-3:]
+    if not cube_supported(n1, n2, n3, ar.dtype, config):
+        raise NotImplementedError(f"no fused 3D kernel for ({n1},{n2},{n3})")
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+    shape = ar.shape
+    pre = math.prod(shape[:-3]) if len(shape) > 3 else 1
+    lpad = _ceil_lane(n3)
+    tile = n1 * n2 * lpad * 4
+    # batch tiny cubes per grid step (chunky DMA), bounded by the same
+    # working-set model the support gate uses
+    pblk = max(1, min(pre, 2 * 1024 * 1024 // tile,
+                      _BIG_VMEM_LIMIT // (_CUBE_PLANES * tile)))
+    run = _build_3d(n1, n2, n3, inverse, float(scale), config.precision,
+                    bool(config.interpret), storage_of(ar.dtype), int(pblk))
+    outr, outi = run(ar.reshape(pre, n1, n2, n3), ai.reshape(pre, n1, n2, n3))
+    return outr.reshape(shape), outi.reshape(shape)
+
+
 # ----------------------------------------------------------------------------
 
 def fft_axis_pallas(
@@ -1090,3 +1246,7 @@ def fft_axis_pallas(
 
 def _round_lane(x: int) -> int:
     return max(_LANE, (x // _LANE) * _LANE)
+
+
+def _ceil_lane(x: int) -> int:
+    return ((x + _LANE - 1) // _LANE) * _LANE
