@@ -17,7 +17,13 @@ COPY bench.py bench_suite.py profile.py ./
 
 # CPU image by default; for TPU VMs use:  pip install 'jax[tpu]' -f \
 #   https://storage.googleapis.com/jax-releases/libtpu_releases.html
-RUN pip install --no-cache-dir jax numpy scipy pytest && \
+# libfftw3 + pyfftw: the FFTW_MEASURE baseline column of bench_suite.py
+# (matches the reference's benchmark-cpu-others/benchmark.py:52-57 harness;
+# bench_suite emits the column whenever pyfftw imports).
+RUN apt-get update && apt-get install -y --no-install-recommends \
+        libfftw3-dev \
+    && rm -rf /var/lib/apt/lists/*
+RUN pip install --no-cache-dir jax numpy scipy pytest pyfftw && \
     pip install --no-cache-dir -e .
 
 CMD ["python", "-m", "pytest", "tests/", "-q"]

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import math
 from typing import Sequence
 
@@ -568,10 +569,34 @@ def plan_fft(
             _resolve_fast_length(v, shape[a]) for v, a in zip(s, axes)
         )
     bases = _resolve_bases(lengths, bases, cfg)
+    _hint_alignment(shape, axes, lengths)
     return _cached_plan(
         shape, str(jnp.dtype(dtype)), axes, lengths, bases, inverse, norm,
         kind, cfg,
     )
+
+
+@functools.lru_cache(maxsize=1024)
+def _hint_alignment(shape, axes, lengths) -> None:
+    """One-time perf hint for misaligned minor axes (lru-cached per plan
+    signature so it logs once). TPU stores the trailing dim padded to a
+    multiple of 128 lanes; a transform whose minor length is far off a
+    128 multiple pays the misaligned-DMA floor — measured (1e6, 93):
+    8.2 ms vs 2.6 ms for the same bytes at width 128. ``s="fast-aligned"``
+    plans the padded length (planner.next_fast_len(aligned=True))."""
+    ndim = len(shape)
+    minor = ndim - 1
+    if minor not in axes:
+        return
+    n = lengths[axes.index(minor)]
+    if n >= 16 and n % 128:
+        logging.getLogger("tpufft").info(
+            "plan hint: minor-axis length %d is %d short of a 128-lane "
+            "multiple; on TPU this shape pays the misaligned-DMA floor "
+            "(up to ~3x). If zero-padding is acceptable, plan with "
+            "s='fast-aligned' (length %d) and keep the padded layout "
+            "across the pipeline.", n, 128 - (n % 128),
+            ((n + 127) // 128) * 128)
 
 
 def _logical_dtype(x):

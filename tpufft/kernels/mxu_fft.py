@@ -997,23 +997,54 @@ def fft_pair_pallas(
 
 # ----------------------------------------------------------------------------
 # Public entry
-def _tables_lane_w(n: int, lpad: int, inverse: bool, scale: float):
-    """Dense W_n zero-padded to (lpad, lpad) for the cube kernel's lane-axis
-    right-multiply. Pad rows multiply the (explicitly zeroed) pad lanes and
-    pad columns land in the masked store region, so both contribute nothing."""
+def _tables_block_w(n: int, inverse: bool, scale: float):
+    """Block-complex right-multiply matrix for the cube kernel's lane axis.
+
+    For a lane-fused tile ``st = [xr | xi]`` (lanes ``2n``), one REAL
+    matmul ``st @ Wb`` computes the whole complex DFT over the lane index:
+    ``Wb = [[Wr, Wi], [-Wi, Wr]]`` gives ``z = [xr Wr - xi Wi | xr Wi +
+    xi Wr]``. Full 128-lane MXU occupancy and a single (3-pass under
+    bf16x3) matmul where the split-plane form needs four."""
     wr, wi = _cis_outer(n, n, float(n), inverse)
-    pr = np.zeros((lpad, lpad), np.float32)
-    pi = np.zeros((lpad, lpad), np.float32)
-    pr[:n, :n] = wr * scale
-    pi[:n, :n] = wi * scale
-    return pr, pi
+    top = np.concatenate([wr, wi], axis=1)
+    bot = np.concatenate([-wi, wr], axis=1)
+    return np.ascontiguousarray(
+        np.concatenate([top, bot], axis=0) * scale, np.float32)
 
 
-# f32 plane-equivalents of VMEM working set per (n1, n2, lpad) cube tile:
-# double-buffered in/out pairs (8) plus bf16 splits and the per-axis
-# intermediates. Gates which cubes the fused kernel accepts against the
-# raised 100 MiB scoped-vmem ceiling (v5e: 128 MiB physical).
-_CUBE_PLANES = 12
+def _prep_real(mat: np.ndarray, precision: str):
+    """Host layout of one REAL matrix for the chosen precision (hi/lo bf16
+    pair for bf16x3, the f32 matrix otherwise)."""
+    if precision == "bf16x3":
+        return _split_bf16_host(mat)
+    return (np.ascontiguousarray(mat, np.float32),)
+
+
+def _rdot3(pack, precision, sth, stl, right=False):
+    """One REAL matmul W @ st (or st @ W when ``right``) at the kernel's
+    precision. ``(sth, stl)`` is the bf16 hi/lo split of st (stl unused
+    outside bf16x3)."""
+    if precision == "bf16x3":
+        wh, wl = pack
+        if right:
+            d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+            return d(sth, wh) + (d(stl, wh) + d(sth, wl))
+        return _dotl(wh, sth) + (_dotl(wh, stl) + _dotl(wl, sth))
+    (w,) = pack
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    if right:
+        return jnp.dot(sth, w, precision=prec,
+                       preferred_element_type=jnp.float32)
+    return _dotl(w, sth, precision=prec)
+
+
+# f32 plane-equivalents of VMEM working set per lane-fused (n1, n2, 2*n3)
+# cube tile (= 2 data planes): st + hi/lo splits + P/Q transients ~ 8
+# planes, before the double-buffered in/out DMA blocks (8 * pblk planes,
+# accounted separately in fft_cube_pallas). Gated against the raised
+# scoped-vmem ceiling (v5e: 128 MiB physical).
+_CUBE_PLANES = 10
 
 
 def cube_supported(n1: int, n2: int, n3: int, dtype, cfg: PlanConfig) -> bool:
@@ -1021,24 +1052,23 @@ def cube_supported(n1: int, n2: int, n3: int, dtype, cfg: PlanConfig) -> bool:
 
     All three transforms happen per tile — a 3D FFT in a single HBM pass
     instead of three (the reference instead runs one kernel per dim plus
-    2(k-1) global transposes, fft/fft/_ndim_fft_gpu.mojo:567-642). n1/n2
-    run sublane-side (dim-0 3D dot_general + a free (1,0,2) sublane
-    transpose between them); n3 runs as a lane right-multiply, which needs
-    the dense-W "small" kind (<= 128)."""
+    2(k-1) global transposes, fft/fft/_ndim_fft_gpu.mojo:567-642). The
+    kernel works on a LANE-FUSED tile ``st = [re | im]`` (lanes 2*n3):
+    n1/n2 as dim-0 contractions with a lane half-swap combining the Wr/Wi
+    products, n3 as one block-complex right-multiply — every MXU pass at
+    full 128-lane occupancy. Gate: dense-W lengths only, n3 a multiple of
+    64 so the half-swap sits on a vreg boundary, working set under the
+    raised VMEM ceiling."""
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
                                 jnp.dtype(jnp.bfloat16)):
         return False
-    if n1 < 2 or n2 < 2 or n3 < 2:
+    if min(n1, n2, n3) < 8 or n1 % 8 or n2 % 8 or n3 % 64:
         return False
-    k1, k2, k3 = kernel_factors(n1), kernel_factors(n2), kernel_factors(n3)
-    if k1 is None or k1[0] not in ("small", "four_step_bf"):
-        return False
-    if k2 is None or k2[0] not in ("small", "four_step_bf"):
-        return False
-    if k3 is None or k3[0] != "small":
-        return False
-    lpad = _ceil_lane(n3)
-    return _CUBE_PLANES * n1 * n2 * lpad * 4 <= _BIG_VMEM_LIMIT
+    for n in (n1, n2, n3):
+        k = kernel_factors(n)
+        if k is None or k[0] != "small":
+            return False
+    return (_CUBE_PLANES + 8) * n1 * n2 * n3 * 4 <= _BIG_VMEM_LIMIT
 
 
 @functools.lru_cache(maxsize=None)
@@ -1046,65 +1076,77 @@ def _build_3d(n1: int, n2: int, n3: int, inverse: bool, scale: float,
               precision: str, interpret: bool, storage: str = "f32",
               pblk: int = 1):
     """(pre, n1, n2, n3) -> (pre, n1, n2, n3): all THREE trailing axes in
-    one HBM pass (the whole cube lives in VMEM).
+    one HBM pass (the whole cube lives in VMEM, lane-fused).
 
-    Per tile: transform n1 as a dim-0 contraction (tail (n2, lanes)),
-    (1, 0, 2)-transpose (a free sublane permute), transform n2 the same
-    way, transpose back, then transform n3 as a right-multiply over the
-    lane axis through a major-merge (n1*n2, lanes) view (layout-preserving;
-    lane-merge reshapes are the ones Mosaic rejects). The lane block is
-    n3 rounded UP to 128 — Pallas masks the tail DMA — with pad lanes
-    zeroed in-kernel before the lane contraction (a lane contraction, unlike
-    everything else here, would let tail garbage contaminate real lanes).
-    The norm scale rides the n3 matrix. Natural order throughout."""
-    kind1 = kernel_factors(n1)
-    kind2 = kernel_factors(n2)
-    lpad = _ceil_lane(n3)
-    tables1, unpack1 = _pack_tables(n1, inverse, 1.0, precision)
-    tables2, unpack2 = _pack_tables(n2, inverse, 1.0, precision)
-    w3 = _prep_w(_tables_lane_w(n3, lpad, inverse, scale), precision)
-    logger.debug("mxu_fft 3d-cube: (%d, %d, %d) %s x %s lpad=%d pblk=%d "
-                 "inverse=%s precision=%s", n1, n2, n3, kind1, kind2, lpad,
-                 pblk, inverse, precision)
-    n_t1 = len(tables1)
-    n_t2 = len(tables2)
+    Per tile: build ``st = concat([re, im], lanes)`` (n1, n2, 2*n3) — from
+    here every MXU pass runs with FULL 128-lane occupancy, where separate
+    64-wide re/im planes would waste half the array. A complex dim-0
+    transform is two real dot_generals plus a lane half-swap:
+    ``P = Wr @ st = [Wr xr | Wr xi]``, ``Q = Wi @ st``, and
+    ``out = P + sign * roll(Q, n3)`` with sign = -1 on the re half —
+    6 MXU passes under bf16x3 where the split-plane _cmm form needs 12 on
+    2x-padded data. Axis n2 via (1, 0, 2) sublane transposes. Axis n3 is
+    ONE block-complex right-multiply ``st @ [[Wr, Wi], [-Wi, Wr]]`` over a
+    major-merged (n1*n2, 2*n3) view: 3 passes where v1 needed 12. The norm
+    scale rides the n3 block matrix. Natural order throughout."""
+    tw1 = [_prep_real(m, precision)
+           for m in _cis_outer(n1, n1, float(n1), inverse)]
+    tw2 = [_prep_real(m, precision)
+           for m in _cis_outer(n2, n2, float(n2), inverse)]
+    w3 = _prep_real(_tables_block_w(n3, inverse, scale), precision)
+    logger.debug("mxu_fft 3d-cube: (%d, %d, %d) lane-fused pblk=%d "
+                 "inverse=%s precision=%s", n1, n2, n3, pblk, inverse,
+                 precision)
+    flat_tables = [np.ascontiguousarray(t) for pair in tw1 + tw2
+                   for t in pair] + [np.ascontiguousarray(t) for t in w3]
+    n_per = len(tw1[0])  # tables per real matrix (2 for bf16x3, 1 else)
     out_dt = _STORAGE_DTYPES[storage]
+    bf3 = precision == "bf16x3"
+
+    def axis_dim0(wr_pack, wi_pack, st):
+        """Complex DFT over dim 0 of a lane-fused (n, m, 2*l) tile."""
+        l2 = st.shape[-1]
+        if bf3:
+            sth, stl = _split_bf16(st)
+        else:
+            sth, stl = st, None
+        p = _rdot3(wr_pack, precision, sth, stl)
+        q = _rdot3(wi_pack, precision, sth, stl)
+        qs = jnp.roll(q, l2 // 2, axis=-1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, qs.shape, qs.ndim - 1)
+        sign = jnp.where(lane < l2 // 2, -1.0, 1.0).astype(jnp.float32)
+        return p + qs * sign
 
     def kernel(*refs):
-        g1 = unpack1([r[:] for r in refs[:n_t1]])
-        g2 = unpack2([r[:] for r in refs[n_t1:n_t1 + n_t2]])
-        g3 = tuple(r[:] for r in refs[n_t1 + n_t2:n_t1 + n_t2 + len(w3)])
+        packs = [tuple(r[:] for r in refs[i * n_per:(i + 1) * n_per])
+                 for i in range(5)]
+        wr1, wi1, wr2, wi2, wb3 = packs
         xr_ref, xi_ref, or_ref, oi_ref = refs[-4:]
         for p in range(pblk):
-            xr = xr_ref[p].astype(jnp.float32)      # (n1, n2, lpad)
+            xr = xr_ref[p].astype(jnp.float32)      # (n1, n2, n3)
             xi = xi_ref[p].astype(jnp.float32)
-            if lpad != n3:
-                lane = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, lpad), 2)
-                keep = lane < n3
-                xr = jnp.where(keep, xr, 0.0)
-                xi = jnp.where(keep, xi, 0.0)
-            xr, xi = _compute(precision, n1, kind1, g1, xr, xi,
-                              inverse=inverse)
-            xr = xr.transpose(1, 0, 2)              # (n2, n1, lpad)
-            xi = xi.transpose(1, 0, 2)
-            xr, xi = _compute(precision, n2, kind2, g2, xr, xi,
-                              inverse=inverse)
-            xr = xr.transpose(1, 0, 2)              # (n1, n2, lpad)
-            xi = xi.transpose(1, 0, 2)
-            zr, zi = _cmm_right(precision, g3, xr.reshape(n1 * n2, lpad),
-                                xi.reshape(n1 * n2, lpad))
-            or_ref[p] = zr.reshape(n1, n2, lpad).astype(or_ref.dtype)
-            oi_ref[p] = zi.reshape(n1, n2, lpad).astype(oi_ref.dtype)
+            st = jnp.concatenate([xr, xi], axis=-1)  # (n1, n2, 2*n3)
+            st = axis_dim0(wr1, wi1, st)
+            st = st.transpose(1, 0, 2)               # (n2, n1, 2*n3)
+            st = axis_dim0(wr2, wi2, st)
+            st = st.transpose(1, 0, 2)               # (n1, n2, 2*n3)
+            flat = st.reshape(n1 * n2, 2 * n3)
+            if bf3:
+                fh, fl = _split_bf16(flat)
+            else:
+                fh, fl = flat, None
+            z = _rdot3(wb3, precision, fh, fl, right=True)
+            z = z.reshape(n1, n2, 2 * n3)
+            or_ref[p] = z[..., :n3].astype(or_ref.dtype)
+            oi_ref[p] = z[..., n3:].astype(oi_ref.dtype)
 
-    data = pl.BlockSpec((pblk, n1, n2, lpad), lambda p: (p, 0, 0, 0),
+    data = pl.BlockSpec((pblk, n1, n2, n3), lambda p: (p, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def tspec(t):
         nd = t.ndim
         return pl.BlockSpec(t.shape, (lambda p: (0,) * nd),
                             memory_space=pltpu.VMEM)
-
-    all_tables = list(tables1) + list(tables2) + list(w3)
 
     def run(ar, ai):
         pre = ar.shape[0]
@@ -1115,12 +1157,12 @@ def _build_3d(n1: int, n2: int, n3: int, inverse: bool, scale: float,
         return pl.pallas_call(
             kernel,
             grid=(pl.cdiv(pre, pblk),),
-            in_specs=[tspec(t) for t in all_tables] + [data, data],
+            in_specs=[tspec(t) for t in flat_tables] + [data, data],
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((pre, n1, n2, n3), out_dt)] * 2,
             interpret=interpret,
             **params,
-        )(*[jnp.asarray(t) for t in all_tables], ar, ai)
+        )(*[jnp.asarray(t) for t in flat_tables], ar, ai)
 
     return run
 
@@ -1141,12 +1183,12 @@ def fft_cube_pallas(
         ai = jnp.zeros_like(ar)
     shape = ar.shape
     pre = math.prod(shape[:-3]) if len(shape) > 3 else 1
-    lpad = _ceil_lane(n3)
-    tile = n1 * n2 * lpad * 4
+    tile = n1 * n2 * n3 * 4
     # batch tiny cubes per grid step (chunky DMA), bounded by the same
-    # working-set model the support gate uses
-    pblk = max(1, min(pre, 2 * 1024 * 1024 // tile,
-                      _BIG_VMEM_LIMIT // (_CUBE_PLANES * tile)))
+    # working-set model the support gate uses (8 plane-equivalents of
+    # double-buffered in/out DMA blocks per pblk)
+    pblk = max(1, min(pre, 4 * 1024 * 1024 // tile,
+                      max(1, (_BIG_VMEM_LIMIT // tile - _CUBE_PLANES) // 8)))
     run = _build_3d(n1, n2, n3, inverse, float(scale), config.precision,
                     bool(config.interpret), storage_of(ar.dtype), int(pblk))
     outr, outi = run(ar.reshape(pre, n1, n2, n3), ai.reshape(pre, n1, n2, n3))
@@ -1246,7 +1288,3 @@ def fft_axis_pallas(
 
 def _round_lane(x: int) -> int:
     return max(_LANE, (x // _LANE) * _LANE)
-
-
-def _ceil_lane(x: int) -> int:
-    return ((x + _LANE - 1) // _LANE) * _LANE

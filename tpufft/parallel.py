@@ -58,6 +58,8 @@ __all__ = [
     "split_n",
     "fft_distributed",
     "fftn_distributed",
+    "rfft_distributed",
+    "irfft_distributed",
     "fft_batch_sharded",
 ]
 
@@ -68,7 +70,9 @@ def split_n(n: int, d: int) -> tuple[int, int]:
 
     The four-step decomposition needs the slow factor divisible by the
     device count (row-block sharding of a) and the fast factor divisible too
-    (the all_to_all splits b into d blocks).
+    (the all_to_all splits b into d blocks). Lengths with d | n but
+    d^2 ∤ n cannot use this exchange pattern; ``fft_distributed`` falls
+    back to the all_gather body for those (see ``_body_gather``).
     """
     if n % (d * d) != 0:
         raise ValueError(
@@ -187,6 +191,27 @@ def _body_permuted_in(
     return scatter_a(ar), scatter_a(ai)
 
 
+def _body_gather(
+    ar, ai, *, n, d, axis_name, inverse, scale, config,
+):
+    """Fallback for lengths with d | n but d^2 ∤ n (no four-step exchange
+    pattern exists): all_gather the axis, transform locally, keep this
+    device's output block.
+
+    Communication is (d-1)/d of the axis per device (vs ~2/d for the
+    four-step) and every device computes the full transform — correct for
+    any d | n, at a bandwidth/compute premium. Natural order in and out."""
+    n_loc = n // d
+    ar = jax.lax.all_gather(ar, axis_name, axis=ar.ndim - 1, tiled=True)
+    ai = jax.lax.all_gather(ai, axis_name, axis=ai.ndim - 1, tiled=True)
+    ar, ai = fft_axis(ar, ai, ar.ndim - 1, default_bases(n),
+                      inverse=inverse, scale=scale, config=config)
+    idx = jax.lax.axis_index(axis_name)
+    ar = jax.lax.dynamic_slice_in_dim(ar, idx * n_loc, n_loc, ar.ndim - 1)
+    ai = jax.lax.dynamic_slice_in_dim(ai, idx * n_loc, n_loc, ai.ndim - 1)
+    return ar, ai
+
+
 def _norm_scale(norm, n_total: int, inverse: bool) -> float:
     from .api import _norm_scale as _ns
 
@@ -202,7 +227,27 @@ def _build_distributed_fn(
     """Jitted (re, im, twr, twi) -> (re, im) four-step executable, cached per
     static configuration (the plan-cache analog for the distributed path)."""
     d = mesh.shape[axis_name]
-    A, B = split_n(n, d) if d > 1 else (1, n)
+    gather_fallback = d > 1 and n % (d * d) != 0
+    if gather_fallback:
+        if n % d != 0:
+            raise ValueError(
+                f"distributed FFT needs d | n for even shards (n={n}, d={d})"
+            )
+        if permuted_in or permuted_out:
+            raise ValueError(
+                "permuted order requires the four-step exchange pattern "
+                f"(d^2 | n); n={n}, d={d} uses the all_gather fallback"
+            )
+        import logging
+
+        logging.getLogger("tpufft").info(
+            "distributed FFT n=%d d=%d: d^2 does not divide n — using the "
+            "all_gather fallback ((d-1)/d of the axis exchanged, full "
+            "transform per device). A length with d^2 | n runs the "
+            "four-step exchange instead.", n, d)
+        A, B = 1, n
+    else:
+        A, B = split_n(n, d) if d > 1 else (1, n)
     bases_a = default_bases(A) if A > 1 else (1,)
     bases_b = default_bases(B)
 
@@ -212,6 +257,11 @@ def _build_distributed_fn(
         if d == 1:
             outr, outi = fft_axis(
                 ar, ai, ar.ndim - 1, default_bases(n), inverse=inverse,
+                scale=scale, config=config,
+            )
+        elif gather_fallback:
+            outr, outi = _body_gather(
+                ar, ai, n=n, d=d, axis_name=axis_name, inverse=inverse,
                 scale=scale, config=config,
             )
         elif permuted_in:
@@ -341,6 +391,76 @@ def fftn_distributed(
         x, mesh, axis_name=axis_name, axis=dist_axis, inverse=inverse,
         norm=norm, batch_axis_name=batch_axis_name, config=config,
     )
+
+
+def rfft_distributed(
+    x,
+    mesh: Mesh,
+    *,
+    axis_name: str,
+    axis: int = -1,
+    norm: str | None = None,
+    batch_axis_name: str | None = None,
+    config: PlanConfig | None = None,
+) -> SplitComplex:
+    """Real-input FFT along a block-sharded ``axis``: returns the n//2+1
+    non-redundant bins as SplitComplex.
+
+    Runs the C2C four-step with a zero imaginary plane and slices the
+    Hermitian half afterwards — the XLA partitioner reshards the
+    (no-longer-even) output axis. The half-length packing trick would halve
+    the exchange payload but its stride-2 lane deinterleave costs ~10x the
+    transform on TPU (see _tables_r2c, kernels/mxu_fft.py), so the packed
+    form loses on-chip even though it wins on the wire."""
+    xr = jnp.asarray(x)
+    n = xr.shape[axis % xr.ndim]
+    out = fft_distributed(
+        SplitComplex(xr, jnp.zeros_like(xr)), mesh, axis_name=axis_name,
+        axis=axis, norm=norm, batch_axis_name=batch_axis_name, config=config,
+    )
+    sl = [slice(None)] * xr.ndim
+    sl[axis % xr.ndim] = slice(0, n // 2 + 1)
+    return SplitComplex(out.re[tuple(sl)], out.im[tuple(sl)])
+
+
+def irfft_distributed(
+    x: SplitComplex,
+    mesh: Mesh,
+    *,
+    n: int | None = None,
+    axis_name: str,
+    axis: int = -1,
+    norm: str | None = None,
+    batch_axis_name: str | None = None,
+    config: PlanConfig | None = None,
+):
+    """Inverse of ``rfft_distributed``: Hermitian input (n//2+1 bins along
+    ``axis``) -> real output of length ``n``. The full spectrum is rebuilt
+    by conjugate mirroring before the distributed C2C inverse."""
+    ax = axis % x.re.ndim
+    m = x.re.shape[ax]
+    if n is None:
+        n = 2 * (m - 1)
+    sl = [slice(None)] * x.re.ndim
+
+    def mirror(re, im):
+        lo = n - n // 2 - 1  # count of mirrored bins
+        sl[ax] = slice(1, 1 + lo)
+        rev = [slice(None)] * re.ndim
+        rev[ax] = slice(None, None, -1)
+        mr = re[tuple(sl)][tuple(rev)]
+        mi = -im[tuple(sl)][tuple(rev)]
+        sl[ax] = slice(0, n - lo)
+        return (jnp.concatenate([re[tuple(sl)], mr], axis=ax),
+                jnp.concatenate([im[tuple(sl)], mi], axis=ax))
+
+    fr, fi = mirror(x.re, x.im)
+    out = fft_distributed(
+        SplitComplex(fr, fi), mesh, axis_name=axis_name, axis=axis,
+        inverse=True, norm=norm, batch_axis_name=batch_axis_name,
+        config=config,
+    )
+    return out.re
 
 
 def fft_batch_sharded(
