@@ -170,6 +170,59 @@ def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str = "float32",
         print(f"| {shape} | {t_fused:.2f} | {t_xla:.2f} |", flush=True)
 
 
+def run_tpu_aligned(iters: int) -> None:
+    """The aligned-padding feature rows (s='fast-aligned'): misaligned
+    minor axes vs (a) the padded plan on the same input (pays the zero-pad
+    pass) and (b) the same batch already at the aligned width (the
+    keep-the-layout-across-a-pipeline scenario the plan hint points at)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import tpufft
+    from tpufft import SplitComplex
+    from tpufft.planner import next_fast_len
+
+    rng = np.random.default_rng(0)
+    print("| shape | as-is (ms) | padded plan s='fast-aligned' (ms) | "
+          "aligned-width input (ms) |")
+    print("|---|---|---|---|")
+    for shape in [(1_000_000, 93), (1, 25, 160, 160, 48)]:
+        n = shape[-1]
+        n_pad = next_fast_len(n, aligned=True)
+        axes = tuple(range(1, len(shape)))
+
+        def timed(shp, s=None):
+            x = SplitComplex(
+                jnp.asarray(rng.standard_normal(shp), jnp.float32),
+                jnp.asarray(rng.standard_normal(shp), jnp.float32))
+            plan = tpufft.plan_fft(shp, jnp.complex64, axes=axes, s=s)
+            def sync(o):
+                float(o.re.reshape(-1)[-1])
+            out = plan(x); sync(out)
+            t0 = time.perf_counter()
+            for _ in range(6):
+                float(out.re.reshape(-1)[0])
+            rtt = (time.perf_counter() - t0) / 6
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = plan(x)
+                sync(out)
+                best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+            return best * 1e3
+
+        t_asis = timed(shape)
+        s_spec = tuple("fast-aligned" if i == len(axes) - 1 else shape[a]
+                       for i, a in enumerate(axes))
+        t_padplan = timed(shape, s=s_spec)
+        t_alignin = timed(shape[:-1] + (n_pad,))
+        print(f"| {shape} | {t_asis:.2f} | {t_padplan:.2f} | "
+              f"{t_alignin:.2f} |", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
@@ -187,6 +240,9 @@ def main() -> None:
                     default="bf16x3",
                     help="MXU matmul precision ('default' = 1-pass bf16, "
                          "~4e-3 err, 3x less MXU volume)")
+    ap.add_argument("--aligned", action="store_true",
+                    help="misaligned-shape rows: padded plan "
+                         "(s='fast-aligned') vs aligned-width input")
     args = ap.parse_args()
     shapes = SHAPES
     if args.shapes is not None:
@@ -195,6 +251,8 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
         run_cpu(args.iters, args.native, shapes)
+    elif args.aligned:
+        run_tpu_aligned(args.iters)
     else:
         run_tpu(args.iters, shapes, args.plane_dtype, args.precision)
 

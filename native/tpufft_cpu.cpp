@@ -28,6 +28,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr double kTau = 6.283185307179586476925286766559;
@@ -62,10 +66,13 @@ std::vector<int64_t> factorize(int64_t n) {
   return f;
 }
 
-// Radix policy: power-of-two content becomes 8/4/2 stages (the batch path
-// has constant-folded butterflies for those — adds and ±i plane swaps, no
-// dense DFT multiplies); odd factors are greedily merged toward <=16 for
-// the generic load-once stage (same policy as tpufft/planner.py).
+// Radix policy: power-of-two content becomes 16/8/4/2 stages (the batch
+// path has constant-folded butterflies for those — adds, ±i plane swaps
+// and a few w16 constants, no dense DFT multiplies); odd factors are
+// greedily merged toward <=16 for the generic load-once stage (same policy
+// as tpufft/planner.py). Radix-16 is only emitted for batch-path lengths
+// (n <= 2048): the scalar transform_1d path runs every radix as a dense
+// accumulation, where r=16 costs 16 cmuls/point and loses to 8/8.
 std::vector<int64_t> choose_radices(int64_t n, int64_t max_radix = 16) {
   std::vector<int64_t> f = factorize(n);
   int twos = 0;
@@ -79,6 +86,18 @@ std::vector<int64_t> choose_radices(int64_t n, int64_t max_radix = 16) {
     int64_t merged = odd[0] * odd[1];
     odd.erase(odd.begin(), odd.begin() + 2);
     odd.push_back(merged);
+  }
+  if (n <= 2048) {
+    // pick the 16/8/4/2 mix minimizing (stage count, radix-2 passes, #16s)
+    int best_k = 0, best_cost = 1 << 30;
+    for (int k = 0; 4 * k <= twos; ++k) {
+      int rem = twos - 4 * k;
+      int stages = k + rem / 3 + (rem % 3 ? 1 : 0);
+      int cost = stages * 16 + (rem % 3 == 1 ? 8 : 0) + k;
+      if (cost < best_cost) { best_cost = cost; best_k = k; }
+    }
+    for (int k = 0; k < best_k; ++k) odd.push_back(16);
+    twos -= 4 * best_k;
   }
   while (twos >= 3) { odd.push_back(8); twos -= 3; }
   if (twos == 2) odd.push_back(4);
@@ -404,6 +423,64 @@ void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
             yout[j * jstep + q] = twr[j] * yi[j] + twi[j] * yr[j];
           }
         }
+      } else if (r == 16) {
+        // Constant-folded radix-16 as 4x4 Cooley-Tukey: radix-4 over the
+        // slow digit, w16 twiddles (constants c1/s1/1/sqrt2, i-swaps), then
+        // radix-4 over the fast digit. One pass replaces an 8+2 pair.
+        const T c1 = T(0.92387953251128675613);  // cos(pi/8)
+        const T s1 = T(0.38268343236508977173);  // sin(pi/8)
+        for (int64_t q = 0; q < s; ++q) {
+          Tv xr[16], xi[16];
+          for (int b = 0; b < 16; ++b) {
+            xr[b] = xin[b * bstep + q];
+            xi[b] = yin[b * bstep + q];
+          }
+          // DFT4 on slots {i0, i0+st, i0+2st, i0+3st}, results in place
+          auto dft4 = [&](int i0, int st_) {
+            const Tv t0r = xr[i0] + xr[i0 + 2 * st_];
+            const Tv t0i = xi[i0] + xi[i0 + 2 * st_];
+            const Tv t1r = xr[i0] - xr[i0 + 2 * st_];
+            const Tv t1i = xi[i0] - xi[i0 + 2 * st_];
+            const Tv t2r = xr[i0 + st_] + xr[i0 + 3 * st_];
+            const Tv t2i = xi[i0 + st_] + xi[i0 + 3 * st_];
+            const Tv t3r = -isign * (xi[i0 + st_] - xi[i0 + 3 * st_]);
+            const Tv t3i = isign * (xr[i0 + st_] - xr[i0 + 3 * st_]);
+            xr[i0] = t0r + t2r; xi[i0] = t0i + t2i;
+            xr[i0 + st_] = t1r + t3r; xi[i0 + st_] = t1i + t3i;
+            xr[i0 + 2 * st_] = t0r - t2r; xi[i0 + 2 * st_] = t0i - t2i;
+            xr[i0 + 3 * st_] = t1r - t3r; xi[i0 + 3 * st_] = t1i - t3i;
+          };
+          // multiply slot e by w16^e (wi pre-multiplied by isign)
+          auto cm = [&](int sl, T wr, T wi) {
+            const Tv vr = xr[sl], vi = xi[sl];
+            xr[sl] = wr * vr - wi * vi;
+            xi[sl] = wr * vi + wi * vr;
+          };
+          // stage A: over the slow digit n1 (stride 4); slot 4*k1+n2 then
+          // holds A[n2][k1]
+          for (int n2 = 0; n2 < 4; ++n2) dft4(n2, 4);
+          // w16^{n2*k1} twiddles (exponent = (slot>>2)*(slot&3))
+          const T rt = isq2;
+          cm(4 + 1, c1, isign * s1);            // k1=1,n2=1: w16^1
+          cm(4 + 2, rt, isign * rt);            // k1=1,n2=2: w16^2
+          cm(4 + 3, s1, isign * c1);            // k1=1,n2=3: w16^3
+          cm(8 + 1, rt, isign * rt);            // k1=2,n2=1: w16^2
+          cm(8 + 2, T(0), isign);               // k1=2,n2=2: w16^4 = i^sign
+          cm(8 + 3, -rt, isign * rt);           // k1=2,n2=3: w16^6
+          cm(12 + 1, s1, isign * c1);           // k1=3,n2=1: w16^3
+          cm(12 + 2, -rt, isign * rt);          // k1=3,n2=2: w16^6
+          cm(12 + 3, -c1, -isign * s1);         // k1=3,n2=3: w16^9
+          // stage B: over the fast digit n2 (stride 1); slot 4*k1+k2 then
+          // holds X[k1 + 4*k2]
+          for (int k1 = 0; k1 < 4; ++k1) dft4(4 * k1, 1);
+          for (int k1 = 0; k1 < 4; ++k1) {
+            for (int k2 = 0; k2 < 4; ++k2) {
+              const int j = k1 + 4 * k2, sl = 4 * k1 + k2;
+              xout[j * jstep + q] = twr[j] * xr[sl] - twi[j] * xi[sl];
+              yout[j * jstep + q] = twr[j] * xi[sl] + twi[j] * xr[sl];
+            }
+          }
+        }
       } else {
         // generic radix: dense accumulation in SIMD-register accumulators
         for (int64_t q = 0; q < s; ++q) {
@@ -437,6 +514,59 @@ void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
   }
 }
 
+// In-register 16x16 f32 transpose: 4 rounds of two-source lane shuffles
+// (vpermt2ps on AVX-512; GCC lowers __builtin_shuffle portably elsewhere).
+// Output vector j holds column bitrev4(j) — callers index through
+// kTr16Perm. Replaces the scalar gather/scatter transposes around the
+// lane-batch transform, which dominated (100000, 1024): 4 planes x n x V
+// scalar load/store pairs per group vs n/16 x 64 shuffles.
+static const int kTr16Perm[16] = {0, 8,  4, 12, 2, 10, 6, 14,
+                                  1, 9,  5, 13, 3, 11, 7, 15};
+
+template <typename Tv>
+static inline void transpose16(Tv (&r)[16]) {
+  typedef int32_t Iv __attribute__((vector_size(64)));
+  static const Iv LO1 = {0, 16, 1, 17, 2, 18, 3, 19,
+                         4, 20, 5, 21, 6, 22, 7, 23};
+  static const Iv HI1 = {8,  24, 9,  25, 10, 26, 11, 27,
+                         12, 28, 13, 29, 14, 30, 15, 31};
+  static const Iv LO2 = {0, 1, 16, 17, 2, 3, 18, 19,
+                         4, 5, 20, 21, 6, 7, 22, 23};
+  static const Iv HI2 = {8,  9,  24, 25, 10, 11, 26, 27,
+                         12, 13, 28, 29, 14, 15, 30, 31};
+  static const Iv LO4 = {0, 1, 2, 3, 16, 17, 18, 19,
+                         4, 5, 6, 7, 20, 21, 22, 23};
+  static const Iv HI4 = {8,  9,  10, 11, 24, 25, 26, 27,
+                         12, 13, 14, 15, 28, 29, 30, 31};
+  static const Iv LO8 = {0, 1, 2,  3,  4,  5,  6,  7,
+                         16, 17, 18, 19, 20, 21, 22, 23};
+  static const Iv HI8 = {8,  9,  10, 11, 12, 13, 14, 15,
+                         24, 25, 26, 27, 28, 29, 30, 31};
+  Tv t[16];
+  for (int i = 0; i < 16; i += 2) {
+    t[i] = __builtin_shuffle(r[i], r[i + 1], LO1);
+    t[i + 1] = __builtin_shuffle(r[i], r[i + 1], HI1);
+  }
+  Tv u[16];
+  for (int g = 0; g < 16; g += 4) {
+    for (int i = g; i < g + 2; ++i) {
+      u[i] = __builtin_shuffle(t[i], t[i + 2], LO2);
+      u[i + 2] = __builtin_shuffle(t[i], t[i + 2], HI2);
+    }
+  }
+  Tv w[16];
+  for (int g = 0; g < 16; g += 8) {
+    for (int i = g; i < g + 4; ++i) {
+      w[i] = __builtin_shuffle(u[i], u[i + 4], LO4);
+      w[i + 4] = __builtin_shuffle(u[i], u[i + 4], HI4);
+    }
+  }
+  for (int i = 0; i < 8; ++i) {
+    r[i] = __builtin_shuffle(w[i], w[i + 8], LO8);
+    r[i + 8] = __builtin_shuffle(w[i], w[i + 8], HI8);
+  }
+}
+
 // Contiguous batched transforms via the lane-batch path for modest n.
 template <typename T>
 int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
@@ -460,22 +590,97 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
       const T* src_re = in_re + g * V * dist_in;
       const T* src_im = in_im + g * V * dist_in;
       // gather-transpose V rows -> (n, V)
-      for (int64_t v = 0; v < V; ++v) {
-        const T* rr = src_re + v * dist_in;
-        const T* ri = src_im + v * dist_in;
-        for (int64_t i = 0; i < n; ++i) {
-          sa_re[i * V + v] = rr[i];
-          sa_im[i * V + v] = ri[i];
+      if constexpr (sizeof(T) == 4) {
+        typedef typename VecOf<T, V>::type Tv;
+        const int64_t nb = n - n % 16;
+        for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+          for (int p = 0; p < 2; ++p) {
+            const T* src = p ? src_im : src_re;
+            T* dst = p ? sa_im.data() : sa_re.data();
+            Tv blk[16];
+            for (int v = 0; v < V; ++v)
+              blk[v] = *(const Tv*)(src + v * dist_in + i0);
+            transpose16(blk);
+            for (int j = 0; j < 16; ++j)
+              *(Tv*)(dst + (i0 + kTr16Perm[j]) * V) = blk[j];
+          }
+        }
+        for (int64_t v = 0; v < V; ++v) {   // n % 16 tail
+          const T* rr = src_re + v * dist_in;
+          const T* ri = src_im + v * dist_in;
+          for (int64_t i = nb; i < n; ++i) {
+            sa_re[i * V + v] = rr[i];
+            sa_im[i * V + v] = ri[i];
+          }
+        }
+      } else {
+        for (int64_t v = 0; v < V; ++v) {
+          const T* rr = src_re + v * dist_in;
+          const T* ri = src_im + v * dist_in;
+          for (int64_t i = 0; i < n; ++i) {
+            sa_re[i * V + v] = rr[i];
+            sa_im[i * V + v] = ri[i];
+          }
         }
       }
       transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(), sb_re.data(),
                               sb_im.data(), scale, gscratch);
-      for (int64_t v = 0; v < V; ++v) {
-        T* wr = out_re + (g * V + v) * dist_out;
-        T* wi = out_im + (g * V + v) * dist_out;
-        for (int64_t i = 0; i < n; ++i) {
-          wr[i] = sa_re[i * V + v];
-          wi[i] = sa_im[i * V + v];
+      if constexpr (sizeof(T) == 4) {
+        typedef typename VecOf<T, V>::type Tv;
+        T* dst_re = out_re + g * V * dist_out;
+        T* dst_im = out_im + g * V * dist_out;
+        const int64_t nb = n - n % 16;
+#if defined(__AVX512F__)
+        // Non-temporal stores skip the read-for-ownership and keep the
+        // 400MB-class output streams out of L2 (the Stockham ping-pong
+        // scratch stays resident): scatter measured 203 -> ~100 ms on
+        // (100000, 1024). Requires 64B-aligned store targets.
+        const bool stream =
+            ((reinterpret_cast<uintptr_t>(dst_re) |
+              reinterpret_cast<uintptr_t>(dst_im)) & 63) == 0 &&
+            (dist_out & 15) == 0;
+#else
+        const bool stream = false;
+#endif
+        for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+          for (int pl = 0; pl < 2; ++pl) {
+            const T* src = pl ? sa_im.data() : sa_re.data();
+            T* dst = pl ? dst_im : dst_re;
+            Tv blk[16];
+            for (int j = 0; j < 16; ++j)
+              blk[j] = *(const Tv*)(src + (i0 + j) * V);
+            transpose16(blk);
+#if defined(__AVX512F__)
+            if (stream) {
+              for (int j = 0; j < 16; ++j)
+                _mm512_stream_ps(dst + kTr16Perm[j] * dist_out + i0,
+                                 (__m512)blk[j]);
+              continue;
+            }
+#endif
+            for (int j = 0; j < 16; ++j)
+              *(Tv*)(dst + kTr16Perm[j] * dist_out + i0) = blk[j];
+          }
+        }
+#if defined(__AVX512F__)
+        if (stream) _mm_sfence();
+#endif
+        for (int64_t v = 0; v < V; ++v) {   // n % 16 tail
+          T* wr = dst_re + v * dist_out;
+          T* wi = dst_im + v * dist_out;
+          for (int64_t i = nb; i < n; ++i) {
+            wr[i] = sa_re[i * V + v];
+            wi[i] = sa_im[i * V + v];
+          }
+        }
+      } else {
+        for (int64_t v = 0; v < V; ++v) {
+          T* wr = out_re + (g * V + v) * dist_out;
+          T* wi = out_im + (g * V + v) * dist_out;
+          for (int64_t i = 0; i < n; ++i) {
+            wr[i] = sa_re[i * V + v];
+            wi[i] = sa_im[i * V + v];
+          }
         }
       }
     }

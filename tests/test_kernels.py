@@ -246,3 +246,71 @@ def test_kernel_default_precision_error_bound(rng):
     ref = np.fft.fft(x)
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     assert err < 1e-2, f"default-precision error {err:.2e} out of bound"
+
+
+def test_kernel_fused_cube_dispatch(rng, caplog):
+    """All THREE trailing axes of a small cube run as ONE fused kernel pass
+    (lane-fused st=[re|im] design), pinned via the kernel debug log."""
+    x = (rng.standard_normal((3, 16, 32, 64))
+         + 1j * rng.standard_normal((3, 16, 32, 64))).astype(np.complex64)
+    with caplog.at_level(logging.DEBUG, logger="tpufft"):
+        got = tpufft.fftn(x, axes=(1, 2, 3), config=CFG_AUTO)
+    assert_spectrum_close(got, np.fft.fftn(x, axes=(1, 2, 3)), np.complex64)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("3d-cube" in m for m in msgs), msgs
+    back = tpufft.ifftn(got, axes=(1, 2, 3), config=CFG_AUTO)
+    assert_spectrum_close(back, x, np.complex64)
+
+
+def test_kernel_cube_4d_and_norm(rng):
+    """4D: leading axis + fused trailing cube; ortho norm folded in."""
+    x = (rng.standard_normal((2, 8, 16, 16, 64))
+         + 1j * rng.standard_normal((2, 8, 16, 16, 64))).astype(np.complex64)
+    got = tpufft.fftn(x, axes=(1, 2, 3, 4), norm="ortho", config=CFG_AUTO)
+    assert_spectrum_close(
+        got, np.fft.fftn(x, axes=(1, 2, 3, 4), norm="ortho"), np.complex64)
+
+
+def test_kernel_cube_grid_tail_canary(rng):
+    """pre not divisible by the cube pblk: the masked tail grid step must
+    not leak garbage into valid cubes (NaN-canary discipline)."""
+    from tpufft.kernels.mxu_fft import fft_cube_pallas
+    import jax.numpy as jnp
+
+    cfg = PlanConfig(interpret=True, backend="pallas")
+    x = (rng.standard_normal((5, 16, 16, 64))
+         + 1j * rng.standard_normal((5, 16, 16, 64))).astype(np.complex64)
+    ar = jnp.asarray(np.ascontiguousarray(x.real), jnp.float32)
+    ai = jnp.asarray(np.ascontiguousarray(x.imag), jnp.float32)
+    zr, zi = fft_cube_pallas(ar, ai, inverse=False, scale=1.0, config=cfg)
+    got = np.asarray(zr) + 1j * np.asarray(zi)
+    assert np.all(np.isfinite(got))
+    assert_spectrum_close(got, np.fft.fftn(x, axes=(1, 2, 3)), np.complex64)
+
+
+def test_kernel_cube_grad(rng):
+    """jax.grad flows through the fused cube via the conjugate-transpose
+    custom VJP."""
+    import jax
+    import jax.numpy as jnp
+    from tpufft import SplitComplex
+
+    cfg = PlanConfig(interpret=True, backend="pallas")
+    plan = tpufft.plan_fft((2, 8, 16, 64), np.complex64, axes=(1, 2, 3),
+                           config=cfg)
+    re = jnp.asarray(rng.standard_normal((2, 8, 16, 64)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((2, 8, 16, 64)), jnp.float32)
+
+    def loss(a, b):
+        out = plan(SplitComplex(a, b))
+        return jnp.sum(out.re ** 2) + 2.0 * jnp.sum(out.im ** 2)
+
+    def loss_ref(a, b):
+        out = jnp.fft.fftn(a + 1j * b, axes=(1, 2, 3))
+        return jnp.sum(out.real ** 2) + 2.0 * jnp.sum(out.imag ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(re, im)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(re, im)
+    for a, b in zip(g, g_ref):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-3

@@ -2,9 +2,9 @@
 through the fused kernels vs numpy. Interpret-mode CI cannot catch
 Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
 manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
-Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 2 Bluestein
-primes + 3 two-pass lengths = 49. Last full pass: see RESULT line in
-the most recent run log / working notes."""
+Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
+lengths + 3 fused-cube shapes + 2 Bluestein primes = 52. Last full
+pass: see RESULT line in the most recent run log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -70,6 +70,19 @@ for n in (4096, 16384, 7680):
     ref = np.fft.fft(x)
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"two-pass {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    fails += err >= 1e-3
+
+# fused whole-cube kernel shapes (lane-fused design: concat/roll/slice
+# lane ops are Mosaic-only behaviors interpret mode cannot vet)
+for shape in ((7, 64, 64, 64), (3, 16, 32, 128), (2, 8, 64, 64, 64)):
+    axes = tuple(range(1, len(shape)))
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    got = np.asarray(tpufft.fftn(x, axes=axes))
+    ref = np.fft.fftn(x, axes=axes)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    print(f"cube {shape}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
     fails += err >= 1e-3
 

@@ -1183,12 +1183,10 @@ def fft_cube_pallas(
         ai = jnp.zeros_like(ar)
     shape = ar.shape
     pre = math.prod(shape[:-3]) if len(shape) > 3 else 1
-    tile = n1 * n2 * n3 * 4
-    # batch tiny cubes per grid step (chunky DMA), bounded by the same
-    # working-set model the support gate uses (8 plane-equivalents of
-    # double-buffered in/out DMA blocks per pblk)
-    pblk = max(1, min(pre, 4 * 1024 * 1024 // tile,
-                      max(1, (_BIG_VMEM_LIMIT // tile - _CUBE_PLANES) // 8)))
+    # One cube per grid step. Measured on chip (100, 64^3, bf16x3):
+    # pblk=1 3.89 ms, pblk=2 4.04, pblk=4 4.36 — larger batches lose to
+    # VMEM pressure on the pipelined in/out buffers despite chunkier DMA.
+    pblk = 1
     run = _build_3d(n1, n2, n3, inverse, float(scale), config.precision,
                     bool(config.interpret), storage_of(ar.dtype), int(pblk))
     outr, outi = run(ar.reshape(pre, n1, n2, n3), ai.reshape(pre, n1, n2, n3))
