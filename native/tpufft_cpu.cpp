@@ -294,8 +294,10 @@ struct VecOf {
 // each input is loaded once per stage instead of r times. Other radices
 // use a load-once generic stage (inputs gathered to locals, then the
 // dense radix-r accumulation from SIMD-register accumulators).
+// Returns true when the result landed in the b planes (odd stage count) —
+// callers read from there instead of paying a full copy-back pass.
 template <typename T, int V>
-void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
+bool transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
                        double scale, std::vector<T>& gscratch) {
   const int64_t n = plan.n;
   T* cur_re = a_re;
@@ -310,7 +312,7 @@ void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
         a_im[i] = T(a_im[i] * scale);
       }
     }
-    return;
+    return false;
   }
   typedef typename VecOf<T, V>::type Tv;
   const T isq2 = T(0.70710678118654752440);
@@ -508,10 +510,116 @@ void transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
     std::swap(cur_re, nxt_re);
     std::swap(cur_im, nxt_im);
   }
-  if (cur_re != a_re) {
-    std::memcpy(a_re, cur_re, sizeof(T) * n * V);
-    std::memcpy(a_im, cur_im, sizeof(T) * n * V);
+  return cur_re != a_re;
+}
+
+// Four-step split n = na * nb for the lane-batch path: two L1-resident
+// tiny-transform passes over the (n, V) scratch replace log_r(n) full
+// Stockham passes (the 64KB-per-plane working set streams through L1 once
+// per stage; for n = 1024 that is 4 passes of 256KB — the measured
+// transform bottleneck). Pass 1: strided columns p, na-point transforms,
+// inter-factor twiddle folded into the store. Pass 2: contiguous blocks,
+// nb-point transforms, scale folded, natural-order strided store.
+int64_t fourstep_split(int64_t n) {
+  // n <= 2048 measured FASTER direct ([16,8,8] Stockham: 257 ms transform
+  // vs 328 four-step on (100000,1024) — the per-column memcpy/twiddle
+  // overhead beats the locality win); the four-step's value is extending
+  // the lane-batch path past the scratch-bound 2048 ceiling.
+  if (n <= 2048 || n > 16384) return 0;
+  int64_t best = 0;
+  for (int64_t d = 2; d * d <= n; ++d) {
+    if (n % d == 0) best = d;  // largest divisor <= sqrt(n)
   }
+  if (best == 0) return 0;                  // prime
+  if (best > 2048 || n / best > 2048) return 0;
+  return best;
+}
+
+struct FourStepTw {
+  std::vector<double> re, im;  // [ka * nb + p]
+};
+
+const FourStepTw& fourstep_twiddle(int64_t na, int64_t nb, bool inverse) {
+  static std::mutex mu;
+  static std::unordered_map<int64_t, FourStepTw> cache;
+  std::lock_guard<std::mutex> lock(mu);
+  int64_t key = (na * 100000 + nb) * 2 + (inverse ? 1 : 0);
+  auto it = cache.find(key);
+  if (it == cache.end()) {
+    FourStepTw tw;
+    const double sign = inverse ? 1.0 : -1.0;
+    const double den = double(na * nb);
+    tw.re.resize(na * nb);
+    tw.im.resize(na * nb);
+    for (int64_t ka = 0; ka < na; ++ka) {
+      for (int64_t p = 0; p < nb; ++p) {
+        double th = sign * kTau * double(ka) * double(p) / den;
+        tw.re[ka * nb + p] = std::cos(th);
+        tw.im[ka * nb + p] = std::sin(th);
+      }
+    }
+    it = cache.emplace(key, std::move(tw)).first;
+  }
+  return it->second;
+}
+
+// a/b: (n, V) scratch planes; result left in B (returns like
+// transform_batch_v's in-b flag, always true). tiny: 4 * max(na, nb) * V
+// elements of per-thread sub-transform scratch.
+template <typename T, int V>
+bool transform_batch_fourstep(int64_t n, int64_t na, bool inverse,
+                              double scale, T* a_re, T* a_im, T* b_re,
+                              T* b_im, std::vector<T>& tiny,
+                              std::vector<T>& gscratch) {
+  const int64_t nb = n / na;
+  const Plan& plan_a = cached_plan(na, inverse);
+  const Plan& plan_b = cached_plan(nb, inverse);
+  const FourStepTw& tw = fourstep_twiddle(na, nb, inverse);
+  const int64_t tlen = std::max(na, nb) * V;
+  if ((int64_t)tiny.size() < 4 * tlen) tiny.resize(4 * tlen);
+  T* t_re = tiny.data();
+  T* t_im = tiny.data() + tlen;
+  T* u_re = tiny.data() + 2 * tlen;
+  T* u_im = tiny.data() + 3 * tlen;
+  // pass 1: columns p (rows {a * nb + p}), na-point, twiddle at store,
+  // in place (the row set per p is closed)
+  for (int64_t p = 0; p < nb; ++p) {
+    for (int64_t a = 0; a < na; ++a) {
+      std::memcpy(t_re + a * V, a_re + (a * nb + p) * V, sizeof(T) * V);
+      std::memcpy(t_im + a * V, a_im + (a * nb + p) * V, sizeof(T) * V);
+    }
+    const bool in_u = transform_batch_v<T, V>(plan_a, t_re, t_im, u_re,
+                                              u_im, 1.0, gscratch);
+    const T* sr0 = in_u ? u_re : t_re;
+    const T* si0 = in_u ? u_im : t_im;
+    for (int64_t ka = 0; ka < na; ++ka) {
+      const T wr = T(tw.re[ka * nb + p]);
+      const T wi = T(tw.im[ka * nb + p]);
+      T* dr = a_re + (ka * nb + p) * V;
+      T* di = a_im + (ka * nb + p) * V;
+      const T* sr = sr0 + ka * V;
+      const T* si = si0 + ka * V;
+      for (int v = 0; v < V; ++v) {
+        dr[v] = wr * sr[v] - wi * si[v];
+        di[v] = wr * si[v] + wi * sr[v];
+      }
+    }
+  }
+  // pass 2: contiguous blocks [ka * nb, (ka+1) * nb), nb-point with the
+  // norm scale, natural-order strided store into b
+  for (int64_t ka = 0; ka < na; ++ka) {
+    std::memcpy(t_re, a_re + ka * nb * V, sizeof(T) * nb * V);
+    std::memcpy(t_im, a_im + ka * nb * V, sizeof(T) * nb * V);
+    const bool in_u = transform_batch_v<T, V>(plan_b, t_re, t_im, u_re,
+                                              u_im, scale, gscratch);
+    const T* sr0 = in_u ? u_re : t_re;
+    const T* si0 = in_u ? u_im : t_im;
+    for (int64_t kp = 0; kp < nb; ++kp) {
+      std::memcpy(b_re + (kp * na + ka) * V, sr0 + kp * V, sizeof(T) * V);
+      std::memcpy(b_im + (kp * na + ka) * V, si0 + kp * V, sizeof(T) * V);
+    }
+  }
+  return true;
 }
 
 // In-register 16x16 f32 transpose: 4 rounds of two-source lane shuffles
@@ -574,6 +682,7 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
                   bool inverse, double scale, int nthreads) {
   constexpr int V = 16;
   const Plan& plan = cached_plan(n, inverse);
+  const int64_t na_fs = fourstep_split(n);
 #ifdef _OPENMP
   if (nthreads > 0) omp_set_num_threads(nthreads);
 #pragma omp parallel
@@ -581,7 +690,7 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
   {
     std::vector<T> sa_re(n * V), sa_im(n * V), sb_re(n * V), sb_im(n * V);
     std::vector<T> s1a_re(n), s1a_im(n), s1b_re(n), s1b_im(n), pscratch;
-    std::vector<T> gscratch;
+    std::vector<T> gscratch, tiny;
     const int64_t groups = count / V;
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
@@ -623,8 +732,19 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
           }
         }
       }
-      transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(), sb_re.data(),
-                              sb_im.data(), scale, gscratch);
+      const T* res_re = sa_re.data();
+      const T* res_im = sa_im.data();
+      const bool res_in_b =
+          na_fs ? transform_batch_fourstep<T, V>(
+                      n, na_fs, inverse, scale, sa_re.data(), sa_im.data(),
+                      sb_re.data(), sb_im.data(), tiny, gscratch)
+                : transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(),
+                                          sb_re.data(), sb_im.data(), scale,
+                                          gscratch);
+      if (res_in_b) {  // odd stage count / four-step: result in b
+        res_re = sb_re.data();
+        res_im = sb_im.data();
+      }
       if constexpr (sizeof(T) == 4) {
         typedef typename VecOf<T, V>::type Tv;
         T* dst_re = out_re + g * V * dist_out;
@@ -644,7 +764,7 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
 #endif
         for (int64_t i0 = 0; i0 < nb; i0 += 16) {
           for (int pl = 0; pl < 2; ++pl) {
-            const T* src = pl ? sa_im.data() : sa_re.data();
+            const T* src = pl ? res_im : res_re;
             T* dst = pl ? dst_im : dst_re;
             Tv blk[16];
             for (int j = 0; j < 16; ++j)
@@ -669,8 +789,8 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
           T* wr = dst_re + v * dist_out;
           T* wi = dst_im + v * dist_out;
           for (int64_t i = nb; i < n; ++i) {
-            wr[i] = sa_re[i * V + v];
-            wi[i] = sa_im[i * V + v];
+            wr[i] = res_re[i * V + v];
+            wi[i] = res_im[i * V + v];
           }
         }
       } else {
@@ -678,8 +798,8 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
           T* wr = out_re + (g * V + v) * dist_out;
           T* wi = out_im + (g * V + v) * dist_out;
           for (int64_t i = 0; i < n; ++i) {
-            wr[i] = sa_re[i * V + v];
-            wi[i] = sa_im[i * V + v];
+            wr[i] = res_re[i * V + v];
+            wi[i] = res_im[i * V + v];
           }
         }
       }
@@ -732,13 +852,16 @@ int fft_lines_batched_v(const T* in_re, const T* in_im, T* out_re,
         std::memcpy(&sa_re[i * V], src_re + i * stride, sizeof(T) * V);
         std::memcpy(&sa_im[i * V], src_im + i * stride, sizeof(T) * V);
       }
-      transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(), sb_re.data(),
-                              sb_im.data(), scale, gscratch);
+      const bool in_b = transform_batch_v<T, V>(
+          plan, sa_re.data(), sa_im.data(), sb_re.data(), sb_im.data(),
+          scale, gscratch);
+      const T* res_re = in_b ? sb_re.data() : sa_re.data();
+      const T* res_im = in_b ? sb_im.data() : sa_im.data();
       T* dst_re = out_re + g * V;
       T* dst_im = out_im + g * V;
       for (int64_t i = 0; i < n; ++i) {
-        std::memcpy(dst_re + i * stride, &sa_re[i * V], sizeof(T) * V);
-        std::memcpy(dst_im + i * stride, &sa_im[i * V], sizeof(T) * V);
+        std::memcpy(dst_re + i * stride, res_re + i * V, sizeof(T) * V);
+        std::memcpy(dst_im + i * stride, res_im + i * V, sizeof(T) * V);
       }
     }
     // remainder lines: per-line scalar path
@@ -774,8 +897,9 @@ int fft_strided(const T* in_re, const T* in_im, T* out_re, T* out_im,
                 int64_t dist_out, bool inverse, double scale, int nthreads) {
   if (n < 1 || count < 0) return 1;
   // lane-batch path: contiguous transforms, small length (where the
-  // per-transform path cannot vectorize its tiny m/s loops), enough batch
-  if (stride == 1 && n <= 2048 && count >= 64) {
+  // per-transform path cannot vectorize its tiny m/s loops) or a
+  // four-step-splittable longer one, enough batch
+  if (stride == 1 && (n <= 2048 || fourstep_split(n)) && count >= 64) {
     return fft_batched_v<T>(in_re, in_im, out_re, out_im, count, n, dist_in,
                             dist_out, inverse, scale, nthreads);
   }
