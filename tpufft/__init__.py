@@ -26,8 +26,11 @@ from .api import (
     hfft, ihfft, hfft2, ihfft2, hfftn, ihfftn,
     fftfreq, rfftfreq, fftshift, ifftshift,
 )
+from .realtrans import (
+    dct, idct, dst, idst, dctn, idctn, dstn, idstn,
+)
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "PlanConfig", "Plan", "PrecisionDowngradeWarning", "SplitComplex",
@@ -36,6 +39,8 @@ __all__ = [
     "fft2", "ifft2", "rfft2", "irfft2",
     "fftn", "ifftn", "rfftn", "irfftn",
     "hfft", "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn",
+    "dct", "idct", "dst", "idst",
+    "dctn", "idctn", "dstn", "idstn",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",
     "stage_schedule",
