@@ -70,10 +70,13 @@ std::vector<int64_t> factorize(int64_t n) {
 // path has constant-folded butterflies for those — adds, ±i plane swaps
 // and a few w16 constants, no dense DFT multiplies); odd factors are
 // greedily merged toward <=16 for the generic load-once stage (same policy
-// as tpufft/planner.py). Radix-16 is only emitted for batch-path lengths
-// (n <= 2048): the scalar transform_1d path runs every radix as a dense
-// accumulation, where r=16 costs 16 cmuls/point and loses to 8/8.
-std::vector<int64_t> choose_radices(int64_t n, int64_t max_radix = 16) {
+// as tpufft/planner.py). Radix-16 is only emitted for batch-path plans
+// (``vec16``): the scalar transform_1d path runs every radix as a dense
+// accumulation, where r=16 costs 16 cmuls/point and loses to 8/8 — so the
+// two paths get separately cached plans (the vec16 flag is part of the
+// plan-cache key).
+std::vector<int64_t> choose_radices(int64_t n, bool vec16,
+                                    int64_t max_radix = 16) {
   std::vector<int64_t> f = factorize(n);
   int twos = 0;
   std::vector<int64_t> odd;
@@ -87,7 +90,7 @@ std::vector<int64_t> choose_radices(int64_t n, int64_t max_radix = 16) {
     odd.erase(odd.begin(), odd.begin() + 2);
     odd.push_back(merged);
   }
-  if (n <= 2048) {
+  if (vec16) {
     // pick the 16/8/4/2 mix minimizing (stage count, radix-2 passes, #16s)
     int best_k = 0, best_cost = 1 << 30;
     for (int k = 0; 4 * k <= twos; ++k) {
@@ -106,14 +109,14 @@ std::vector<int64_t> choose_radices(int64_t n, int64_t max_radix = 16) {
   return odd;
 }
 
-Plan build_plan(int64_t n, bool inverse) {
+Plan build_plan(int64_t n, bool inverse, bool vec16) {
   Plan plan;
   plan.n = n;
   plan.inverse = inverse;
   if (n <= 1) return plan;
   const double sign = inverse ? 1.0 : -1.0;
   int64_t s = 1;
-  for (int64_t r : choose_radices(n)) {
+  for (int64_t r : choose_radices(n, vec16)) {
     Stage st;
     st.radix = r;
     st.s = s;
@@ -143,13 +146,15 @@ Plan build_plan(int64_t n, bool inverse) {
   return plan;
 }
 
-const Plan& cached_plan(int64_t n, bool inverse) {
+// vec16: plan for the vectorized lane-batch path (radix-16 allowed).
+const Plan& cached_plan(int64_t n, bool inverse, bool vec16 = false) {
   static std::mutex mu;
-  static std::unordered_map<int64_t, Plan> cache;  // key: n * 2 + inverse
+  static std::unordered_map<int64_t, Plan> cache;
   std::lock_guard<std::mutex> lock(mu);
-  int64_t key = n * 2 + (inverse ? 1 : 0);
+  int64_t key = (n * 2 + (inverse ? 1 : 0)) * 2 + (vec16 ? 1 : 0);
   auto it = cache.find(key);
-  if (it == cache.end()) it = cache.emplace(key, build_plan(n, inverse)).first;
+  if (it == cache.end())
+    it = cache.emplace(key, build_plan(n, inverse, vec16)).first;
   return it->second;
 }
 
@@ -572,8 +577,8 @@ bool transform_batch_fourstep(int64_t n, int64_t na, bool inverse,
                               T* b_im, std::vector<T>& tiny,
                               std::vector<T>& gscratch) {
   const int64_t nb = n / na;
-  const Plan& plan_a = cached_plan(na, inverse);
-  const Plan& plan_b = cached_plan(nb, inverse);
+  const Plan& plan_a = cached_plan(na, inverse, true);
+  const Plan& plan_b = cached_plan(nb, inverse, true);
   const FourStepTw& tw = fourstep_twiddle(na, nb, inverse);
   const int64_t tlen = std::max(na, nb) * V;
   if ((int64_t)tiny.size() < 4 * tlen) tiny.resize(4 * tlen);
@@ -681,7 +686,7 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
                   int64_t count, int64_t n, int64_t dist_in, int64_t dist_out,
                   bool inverse, double scale, int nthreads) {
   constexpr int V = 16;
-  const Plan& plan = cached_plan(n, inverse);
+  const Plan& plan = cached_plan(n, inverse, true);
   const int64_t na_fs = fourstep_split(n);
 #ifdef _OPENMP
   if (nthreads > 0) omp_set_num_threads(nthreads);
@@ -809,10 +814,11 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
 #pragma omp single
 #endif
     {
+      const Plan& splan = cached_plan(n, inverse);  // scalar-path radices
       for (int64_t c = groups * V; c < count; ++c) {
         std::memcpy(s1a_re.data(), in_re + c * dist_in, sizeof(T) * n);
         std::memcpy(s1a_im.data(), in_im + c * dist_in, sizeof(T) * n);
-        transform_1d(plan, s1a_re.data(), s1a_im.data(), s1b_re.data(),
+        transform_1d(splan, s1a_re.data(), s1a_im.data(), s1b_re.data(),
                      s1b_im.data(), scale, pscratch);
         std::memcpy(out_re + c * dist_out, s1a_re.data(), sizeof(T) * n);
         std::memcpy(out_im + c * dist_out, s1a_im.data(), sizeof(T) * n);
@@ -833,7 +839,7 @@ int fft_lines_batched_v(const T* in_re, const T* in_im, T* out_re,
                         T* out_im, int64_t count, int64_t n, int64_t stride,
                         bool inverse, double scale, int nthreads) {
   constexpr int V = 16;
-  const Plan& plan = cached_plan(n, inverse);
+  const Plan& plan = cached_plan(n, inverse, true);
 #ifdef _OPENMP
   if (nthreads > 0) omp_set_num_threads(nthreads);
 #pragma omp parallel
@@ -870,6 +876,7 @@ int fft_lines_batched_v(const T* in_re, const T* in_im, T* out_re,
 #endif
     {
       std::vector<T> s1a_re(n), s1a_im(n), s1b_re(n), s1b_im(n), pscratch;
+      const Plan& splan = cached_plan(n, inverse);  // scalar-path radices
       for (int64_t c = groups * V; c < count; ++c) {
         const T* rr = in_re + c;
         const T* ri = in_im + c;
@@ -877,7 +884,7 @@ int fft_lines_batched_v(const T* in_re, const T* in_im, T* out_re,
           s1a_re[i] = rr[i * stride];
           s1a_im[i] = ri[i * stride];
         }
-        transform_1d(plan, s1a_re.data(), s1a_im.data(), s1b_re.data(),
+        transform_1d(splan, s1a_re.data(), s1a_im.data(), s1b_re.data(),
                      s1b_im.data(), scale, pscratch);
         T* wr = out_re + c;
         T* wi = out_im + c;

@@ -143,3 +143,63 @@ def test_planes_api_normalizes_odd_dtypes():
     outr, outi = native.fft_planes(ri, np.zeros_like(ri))
     ref = np.fft.fft(ri.astype(np.float64))
     assert np.max(np.abs((outr + 1j * outi) - ref)) < 1e-9
+
+
+def test_native_fourstep_lengths(rng):
+    """2048 < n <= 16384 runs the vectorized four-step lane-batch path
+    (round-3: these lengths used to fall to the scalar per-row path).
+    Covers even/odd batch counts (SIMD groups + scalar remainder rows),
+    both directions and f64."""
+    native = pytest.importorskip("tpufft.native")
+    if not native.available():
+        pytest.skip("no native toolchain")
+    for n in (4096, 6144, 16384, 3000):
+        x = (rng.standard_normal((67, n))
+             + 1j * rng.standard_normal((67, n))).astype(np.complex64)
+        got = native.fft(x)
+        ref = np.fft.fft(x, axis=1)
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(got - ref)) / scale < 3e-6, n
+        back = native.ifft(got)
+        assert np.max(np.abs(back - x)) < 3e-6, n
+    xd = (rng.standard_normal((66, 4096))
+          + 1j * rng.standard_normal((66, 4096)))
+    got = native.fft(xd, dtype=np.float64)
+    assert np.max(np.abs(got - np.fft.fft(xd, axis=1))) < 1e-9
+
+
+def test_native_radix16_plans(rng):
+    """Lengths whose vectorized plan includes radix-16 stages ([16,8,8] at
+    1024, [16,16] at 256, [16] at 16) and the scalar path (small batch)
+    that must NOT use them — both agree with numpy."""
+    native = pytest.importorskip("tpufft.native")
+    if not native.available():
+        pytest.skip("no native toolchain")
+    for n in (16, 256, 1024, 2048):
+        # big batch -> vectorized path (radix-16 plans)
+        x = (rng.standard_normal((80, n))
+             + 1j * rng.standard_normal((80, n))).astype(np.complex64)
+        got = native.fft(x)
+        ref = np.fft.fft(x, axis=1)
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 2e-6, n
+        # small batch -> scalar path (8/4/2-only plans, separate cache key)
+        xs = x[:5]
+        gots = native.fft(xs)
+        assert np.max(np.abs(gots - ref[:5])) / np.max(np.abs(ref)) < 2e-6, n
+
+
+def test_native_streaming_scatter_alignment(rng):
+    """The AVX-512 streaming-store scatter needs 64B-aligned outputs; the
+    unaligned fallback must produce identical results. Offsetting the
+    batch start exercises both branches."""
+    native = pytest.importorskip("tpufft.native")
+    if not native.available():
+        pytest.skip("no native toolchain")
+    n = 1024
+    x = (rng.standard_normal((65, n))
+         + 1j * rng.standard_normal((65, n))).astype(np.complex64)
+    ref = np.fft.fft(x, axis=1)
+    got_all = native.fft(x)          # aligned base (numpy allocation)
+    got_off = native.fft(x[1:])      # row-offset view: base + 8KB (aligned)
+    assert np.max(np.abs(got_all - ref)) / np.max(np.abs(ref)) < 2e-6
+    assert np.max(np.abs(got_off - ref[1:])) / np.max(np.abs(ref)) < 2e-6

@@ -248,3 +248,21 @@ def test_distributed_rfft_irfft(rng):
                      jnp.asarray(sp.imag, jnp.float32)),
         mesh, axis_name="sp", n=1000)
     np.testing.assert_allclose(np.asarray(back3), x3, atol=2e-3, rtol=2e-3)
+
+
+def test_distributed_irfft_padded_spectrum(rng):
+    """n larger than 2*(m-1): the spectrum must be zero-padded to n//2+1
+    bins (numpy semantics) — round-3 review: silent slice-clamping used to
+    produce a wrong-length transform."""
+    from tpufft.parallel import irfft_distributed
+
+    mesh = _mesh((8,), ("sp",))
+    sp = (rng.standard_normal((2, 5)) + 1j * rng.standard_normal((2, 5)))
+    sp[:, 0] = sp[:, 0].real
+    got = irfft_distributed(
+        SplitComplex(jnp.asarray(sp.real, jnp.float32),
+                     jnp.asarray(sp.imag, jnp.float32)),
+        mesh, axis_name="sp", n=16)
+    ref = np.fft.irfft(sp, n=16, axis=-1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-6)

@@ -102,10 +102,24 @@ def test_errors():
         tpufft.dct(x, type=5)
     with pytest.raises(ValueError, match="norm"):
         tpufft.dct(x, norm="bogus")
-    with pytest.raises(TypeError, match="real"):
-        tpufft.dct(x.astype(np.complex64))
     with pytest.raises(ValueError, match="n > 1"):
-        tpufft.dst(np.zeros((2, 1)), type=1)
+        tpufft.dct(np.zeros((2, 1)), type=1)  # only DCT-I needs n > 1
+    with pytest.raises(ValueError, match="unique"):
+        tpufft.dctn(x, axes=(1, 1))  # scipy raises on duplicate axes too
+
+
+def test_scipy_edge_compat(rng):
+    """Edge behaviors scipy supports that round-3 review flagged: DST-I at
+    n=1, and complex input transformed by linearity."""
+    one = rng.standard_normal((3, 1))
+    np.testing.assert_allclose(np.asarray(tpufft.dst(one, type=1)),
+                               sfft.dst(one, type=1), atol=1e-12)
+    z = (rng.standard_normal((4, 12))
+         + 1j * rng.standard_normal((4, 12)))
+    np.testing.assert_allclose(np.asarray(tpufft.dct(z, norm="ortho")),
+                               sfft.dct(z, norm="ortho"), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(tpufft.idst(z, type=3)),
+                               sfft.idst(z, type=3), atol=1e-10)
 
 
 def test_f64_precision(rng):

@@ -534,6 +534,14 @@ def _resolve_fast_length(v, current: int) -> int:
     return int(v)
 
 
+def _axes_from_s(s, axes):
+    """scipy semantics: ``s`` given with ``axes=None`` applies to the LAST
+    len(s) axes."""
+    if axes is None and s is not None and not isinstance(s, str):
+        return tuple(range(-len(s), 0))
+    return axes
+
+
 def plan_fft(
     shape: Sequence[int],
     dtype=jnp.complex64,
@@ -552,9 +560,7 @@ def plan_fft(
     cfg = config or PlanConfig()
     shape = tuple(int(d) for d in shape)
     _check_x64_downgrade(dtype)
-    if axes is None and s is not None and not isinstance(s, str):
-        # scipy semantics: s with axes=None applies to the LAST len(s) axes
-        axes = tuple(range(-len(s), 0))
+    axes = _axes_from_s(s, axes)
     axes = _canon_axes(len(shape), axes)
     if isinstance(s, str):
         s = (s,) * len(axes)
@@ -657,8 +663,7 @@ def rfftn(x, s=None, axes=None, norm=None, *, bases=None, config=None):
 
 def irfftn(x, s=None, axes=None, norm=None, *, bases=None, config=None):
     shape = tuple(x.shape) if isinstance(x, SplitComplex) else np.shape(x)
-    if axes is None and s is not None and not isinstance(s, str):
-        axes = tuple(range(-len(s), 0))
+    axes = _axes_from_s(s, axes)
     axes_c = _canon_axes(len(shape), axes)
     if s is None:
         s = tuple(shape[a] for a in axes_c[:-1]) + (
@@ -750,9 +755,7 @@ def hfftn(x, s=None, axes=None, norm=None, **kw):
     res = irfftn(_conj_any(x), s=s, axes=axes, norm=None, **kw)
     # output of irfftn carries the full (real) transform lengths
     shape = res.shape
-    if axes is None and s is not None and not isinstance(s, str):
-        axes = tuple(range(-len(s), 0))
-    ax = _canon_axes(len(shape), axes)
+    ax = _canon_axes(len(shape), _axes_from_s(s, axes))
     n_total = math.prod(shape[a] for a in ax)
     return _hfft_scale(res, n_total, norm, inverse=False)
 
@@ -767,9 +770,7 @@ def ihfftn(x, s=None, axes=None, norm=None, **kw):
     if norm not in _NORMS:
         raise ValueError(f"norm must be one of {_NORMS}, got {norm!r}")
     in_shape = np.shape(x)
-    if axes is None and s is not None and not isinstance(s, str):
-        axes = tuple(range(-len(s), 0))
-    ax = _canon_axes(len(in_shape), axes)
+    ax = _canon_axes(len(in_shape), _axes_from_s(s, axes))
     # transform lengths come from s (or the INPUT shape — the rfftn output
     # packs the last transformed axis to n//2+1, which must not enter the
     # norm scale)

@@ -441,6 +441,11 @@ def irfft_distributed(
     m = x.re.shape[ax]
     if n is None:
         n = 2 * (m - 1)
+    m1 = n // 2 + 1
+    if m < m1:  # numpy semantics: zero-pad the spectrum to n//2+1 bins
+        pad = [(0, 0)] * x.re.ndim
+        pad[ax] = (0, m1 - m)
+        x = SplitComplex(jnp.pad(x.re, pad), jnp.pad(x.im, pad))
     sl = [slice(None)] * x.re.ndim
 
     def mirror(re, im):

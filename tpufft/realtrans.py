@@ -51,8 +51,10 @@ def _mat(kind: str, type_: int, n: int, norm: str, inverse: bool):
         raise ValueError(f"norm must be in {_NORMS}, got {norm!r}")
     if type_ not in (1, 2, 3, 4):
         raise ValueError(f"type must be 1, 2, 3 or 4, got {type_}")
-    if type_ == 1 and n < 2:
-        raise ValueError(f"{kind} type 1 needs n > 1, got {n}")
+    if kind == "dct" and type_ == 1 and n < 2:
+        # only DCT-I divides by n-1; DST-I is well-defined at n=1 (scipy
+        # accepts it)
+        raise ValueError(f"dct type 1 needs n > 1, got {n}")
     if inverse:
         partner = {1: 1, 2: 3, 3: 2, 4: 4}[type_]
         if norm == "ortho":
@@ -185,18 +187,13 @@ def _build_minor_r2r(kind: str, type_: int, n: int, norm: str,
 
 
 def _r2r_kernel_ok(n: int, cfg: PlanConfig) -> bool:
+    from .execute import _is_tpu_backend
+
     if cfg.backend == "xla":
         return False
-    if not (cfg.interpret or _is_tpu()):
+    if not (cfg.interpret or _is_tpu_backend()):
         return False
     return 2 <= n <= R2R_KERNEL_MAX_N
-
-
-def _is_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
 
 
 @functools.lru_cache(maxsize=None)
@@ -240,11 +237,20 @@ def _apply_r2r(x, kind, type_, n, axis, norm, inverse, config):
     if norm not in ("backward", "ortho", "forward"):
         raise ValueError(f"norm must be one of {_NORMS}, got {norm!r}")
     if isinstance(x, SplitComplex):
-        raise TypeError(f"{kind} is a real transform; pass a real array")
+        # transform the planes by linearity (the matrices are real)
+        re = _apply_r2r(x.re, kind, type_, n, axis, norm, inverse, config)
+        im = _apply_r2r(x.im, kind, type_, n, axis, norm, inverse, config)
+        return SplitComplex(re, im)
     is_np = not isinstance(x, jax.Array)
     xj = jnp.asarray(x)
     if jnp.issubdtype(xj.dtype, jnp.complexfloating):
-        raise TypeError(f"{kind} input must be real, got {xj.dtype}")
+        # scipy transforms complex input by linearity
+        re = _apply_r2r(xj.real, kind, type_, n, axis, norm, inverse,
+                        config)
+        im = _apply_r2r(xj.imag, kind, type_, n, axis, norm, inverse,
+                        config)
+        out = jnp.asarray(re) + 1j * jnp.asarray(im)
+        return np.asarray(out) if is_np else out
     in_dt = xj.dtype
     f64 = in_dt == jnp.dtype(jnp.float64)
     axis = axis % xj.ndim
@@ -297,6 +303,8 @@ def _apply_nd(fn, x, type, s, axes, norm, config):
         axes = (tuple(range(-len(s), 0)) if s is not None
                 else tuple(range(ndim)))
     axes = tuple(a % ndim for a in axes)
+    if len(set(axes)) != len(axes):
+        raise ValueError(f"all axes must be unique, got {axes}")
     if s is None:
         s = tuple(shape[a] for a in axes)
     if len(s) != len(axes):
