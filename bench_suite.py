@@ -188,7 +188,7 @@ def run_tpu_aligned(iters: int) -> None:
     print("| shape | as-is (ms) | padded plan s='fast-aligned' (ms) | "
           "aligned-width input (ms) |")
     print("|---|---|---|---|")
-    for shape in [(1_000_000, 93), (1, 25, 160, 160, 48)]:
+    for shape in [(1_000_000, 93), (100, 640, 480), (1, 25, 160, 160, 48)]:
         n = shape[-1]
         n_pad = next_fast_len(n, aligned=True)
         axes = tuple(range(1, len(shape)))

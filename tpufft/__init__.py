@@ -17,7 +17,7 @@ PARITY.md for the reference component map.
 from .config import PlanConfig
 from .core import SplitComplex
 from .planner import (default_bases, digit_reverse, factorize,
-                      next_fast_len, stage_schedule)
+                      next_fast_len, prev_fast_len, stage_schedule)
 from .api import (
     Plan, PrecisionDowngradeWarning, plan_fft,
     fft, ifft, rfft, irfft,
@@ -29,6 +29,8 @@ from .api import (
 from .realtrans import (
     dct, idct, dst, idst, dctn, idctn, dstn, idstn,
 )
+from .fhtlog import fht, ifht, fhtoffset
+from .backend import set_workers, get_workers, scipy_backend
 
 __version__ = "0.3.0"
 
@@ -41,8 +43,10 @@ __all__ = [
     "hfft", "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn",
     "dct", "idct", "dst", "idst",
     "dctn", "idctn", "dstn", "idstn",
+    "fht", "ifht", "fhtoffset",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
+    "set_workers", "get_workers", "scipy_backend",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",
-    "stage_schedule",
+    "prev_fast_len", "stage_schedule",
     "__version__",
 ]

@@ -864,7 +864,7 @@ def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
 @functools.lru_cache(maxsize=None)
 def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
               precision: str, interpret: bool, storage: str = "f32",
-              pblk: int = 1):
+              pblk: int = 1, vmem_limit: int | None = None):
     """(pre, n1, n2) -> (pre, n1, n2): both trailing axes in ONE HBM pass.
 
     A 2D transform tile lives entirely in VMEM. For small n2 (dense-W
@@ -921,6 +921,10 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
 
     def run(ar, ai):
         pre = ar.shape[0]
+        params = {}
+        if vmem_limit is not None and not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit))
         return pl.pallas_call(
             kernel,
             grid=(pl.cdiv(pre, pblk),),
@@ -929,6 +933,7 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
             out_shape=[jax.ShapeDtypeStruct((pre, n1, n2),
                                             _STORAGE_DTYPES[storage])] * 2,
             interpret=interpret,
+            **params,
         )(*[jnp.asarray(t) for t in all_tables], ar, ai)
 
     return run

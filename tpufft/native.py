@@ -111,6 +111,15 @@ def _norm_scale(norm, n_total, inverse):
     return _ns(norm, n_total, inverse)
 
 
+def _threads(nthreads: int) -> int:
+    """Explicit nthreads wins; otherwise the set_workers() context value
+    (0 = OpenMP runtime default, all cores)."""
+    if nthreads:
+        return int(nthreads)
+    from .backend import get_workers
+    return get_workers()
+
+
 def fft(x, *, inverse: bool = False, norm=None, dtype=np.float32,
         nthreads: int = 0) -> np.ndarray:
     """Batched 1D C2C along the last axis (native CPU engine)."""
@@ -130,7 +139,7 @@ def fft(x, *, inverse: bool = False, norm=None, dtype=np.float32,
     scale = _norm_scale(norm, n, inverse)
     rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
             out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
-            count, n, 1, n, n, int(inverse), float(scale), int(nthreads))
+            count, n, 1, n, n, int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fft failed (rc={rc})")
     return _combine(out_re, out_im)
@@ -161,7 +170,7 @@ def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
     rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
             out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
             dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(dims), int(inverse), float(scale), int(nthreads))
+            len(dims), int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fftn failed (rc={rc})")
     return _combine(out_re, out_im)
@@ -205,7 +214,7 @@ def fft_planes(re: np.ndarray, im: np.ndarray, *, inverse: bool = False,
     scale = _norm_scale(norm, n, inverse)
     rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
             out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
-            count, n, 1, n, n, int(inverse), float(scale), int(nthreads))
+            count, n, 1, n, n, int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fft failed (rc={rc})")
     return out_re, out_im
@@ -229,7 +238,7 @@ def fftn_planes(re: np.ndarray, im: np.ndarray, *, inverse: bool = False,
     rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
             out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
             dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(dims), int(inverse), float(scale), int(nthreads))
+            len(dims), int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fftn failed (rc={rc})")
     return out_re, out_im

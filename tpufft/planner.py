@@ -155,6 +155,32 @@ def next_fast_len(n: int, *, aligned: bool = False) -> int:
     return m
 
 
+def prev_fast_len(n: int, *, aligned: bool = False) -> int:
+    """Largest length <= n that the fused MXU kernel handles well — the
+    scipy.fft.prev_fast_len analog of :func:`next_fast_len` (same "fast"
+    predicate: n = A * B with both factors in the four-step envelope, or a
+    two-pass split of such lengths; ``aligned=True`` additionally requires
+    a multiple of 128, the full-bandwidth DMA lane width)."""
+    if n <= 1:
+        return max(n, 1)
+    from .kernels.mxu_fft import kernel_factors, _divisors  # local: no cycle
+
+    def fast(m: int) -> bool:
+        if kernel_factors(m) is not None:
+            return True
+        return any(
+            kernel_factors(d) is not None
+            and kernel_factors(m // d) is not None
+            for d in _divisors(m) if 1 < d * d <= m
+        )
+
+    step = 128 if aligned else 1
+    m = (n // step) * step
+    while m >= step and not fast(m):
+        m -= step
+    return max(m, 1)
+
+
 def digit_reverse(index: int, bases: Sequence[int]) -> int:
     """Mixed-radix digit reversal of ``index`` over the ordered base list.
 
