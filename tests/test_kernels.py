@@ -139,6 +139,55 @@ def test_kernel_two_pass_large_n(n, rng, caplog):
     assert any("two-pass" in m for m in msgs), msgs
 
 
+@pytest.mark.parametrize("n", [4096, 4320])
+def test_kernel_big_single_pass(n, rng):
+    """Big-n single-pass kernels (forced 128-lane blocks, raised VMEM
+    ceiling): the dispatch for traffic-dominated arrays where halving HBM
+    passes beats the two-pass (production for (1, 7680, 4320)-class
+    shapes). Minor and inner layouts vs the numpy oracle."""
+    from tpufft.kernels import mxu_fft
+    import jax.numpy as jnp
+
+    cfg = PlanConfig(interpret=True, backend="auto")
+    assert mxu_fft.big_pass_supported(n, jnp.float32, cfg)
+    assert not mxu_fft.pallas_supported(n, jnp.float32, cfg)
+
+    x = (rng.standard_normal((4, n))
+         + 1j * rng.standard_normal((4, n))).astype(np.complex64)
+    ar, ai = mxu_fft.fft_axis_pallas(
+        jnp_f32(x.real), jnp_f32(x.imag), 1, (), inverse=False, scale=1.0,
+        config=cfg, big_pass=True)
+    got = np.asarray(ar) + 1j * np.asarray(ai)
+    assert_spectrum_close(got, np.fft.fft(x, axis=1), np.complex64)
+
+    # inner layout with a masked lane tail (post < 128)
+    y = (rng.standard_normal((2, n, 40))
+         + 1j * rng.standard_normal((2, n, 40))).astype(np.complex64)
+    ar, ai = mxu_fft.fft_axis_pallas(
+        jnp_f32(y.real), jnp_f32(y.imag), 1, (), inverse=True,
+        scale=1.0 / n, config=cfg, big_pass=True)
+    got = np.asarray(ar) + 1j * np.asarray(ai)
+    assert_spectrum_close(got, np.fft.ifft(y, axis=1), np.complex64)
+
+
+def test_kernel_big_pass_dispatch(rng, caplog, monkeypatch):
+    """The plan routes a big-n axis through the single pass (not the
+    two-pass) once the plane crosses the traffic threshold."""
+    from tpufft.kernels import mxu_fft
+
+    monkeypatch.setattr(mxu_fft, "_BIG_PASS_MIN_BYTES", 1)
+    mxu_fft._build_minor.cache_clear()  # the build log is emitted per build
+    cfg = PlanConfig(interpret=True, backend="auto")
+    x = (rng.standard_normal((4, 4320))
+         + 1j * rng.standard_normal((4, 4320))).astype(np.complex64)
+    with caplog.at_level(logging.DEBUG, logger="tpufft"):
+        got = tpufft.fft(x, config=cfg)
+    assert_spectrum_close(got, np.fft.fft(x), np.complex64)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("minor: n=4320" in m for m in msgs), msgs
+    assert not any("two-pass" in m for m in msgs), msgs
+
+
 def test_kernel_two_pass_flat_variant(rng):
     """The lane-split flat fallback (`_fft_axis_two_pass_flat`) — reached in
     production when a factor is not nd-kernel-able or the folded twiddle

@@ -668,6 +668,21 @@ def _fft_axis_impl(
             if config.backend == "pallas":
                 raise
     elif kernel_ok and mxu_fft.storage_of(ar.dtype) is not None:
+        # Traffic-dominated big-n axes: ONE full-length kernel pass under
+        # the raised VMEM ceiling halves the HBM traffic of the sublane
+        # two-pass (measured v5e: (1, 7680, 4320) 8.0 -> ~6.2 ms). Small
+        # arrays keep the two-pass — its cheaper butterfly compute wins
+        # when everything is resident anyway ((100, 16384): 0.07 ms).
+        plane_bytes = ar.size * jnp.dtype(ar.dtype).itemsize
+        if (plane_bytes >= mxu_fft._BIG_PASS_MIN_BYTES
+                and mxu_fft.big_pass_supported(n, ar.dtype, config)):
+            try:
+                return mxu_fft.fft_axis_pallas(
+                    ar, ai, axis, bases, inverse=inverse, scale=scale,
+                    config=config, big_pass=True,
+                )
+            except NotImplementedError:
+                pass
         two = _split_large(n, ar.dtype, config)
         if two is not None:
             return _fft_axis_two_pass(

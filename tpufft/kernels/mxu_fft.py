@@ -142,6 +142,31 @@ def pallas_supported(n: int, dtype, cfg: PlanConfig) -> bool:
     return choose_lane_block(n, cfg) >= _LANE
 
 
+# Plane-byte threshold above which a big-n axis prefers ONE full-length
+# kernel pass (raised VMEM ceiling, 128-wide lane blocks) over the sublane
+# two-pass: halving HBM traffic beats the denser Kronecker matmuls only
+# once the array is large enough to be traffic-dominated. Measured on v5e:
+# (1, 7680, 4320) f32 dropped 8.0 -> ~6.2 ms; (100, 16384) (6.5 MB planes)
+# stays two-pass at its 0.07 ms floor.
+_BIG_PASS_MIN_BYTES = 64 * 1024 * 1024
+
+
+def big_pass_supported(n: int, dtype, cfg: PlanConfig) -> bool:
+    """Can length n run as ONE kernel pass under the raised VMEM ceiling
+    when the default VMEM model rejects it (choose_lane_block == 0)?
+
+    The (n, 128) working set (~10 f32 plane blocks) must fit the raised
+    scoped-vmem ceiling, and the length needs any kernel factorization
+    (the Kronecker four-step's lane reshapes are satisfied by the forced
+    128-wide lane blocks)."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    if kernel_factors(n) is None:
+        return False
+    return 10 * n * _LANE * 4 <= _BIG_VMEM_LIMIT
+
+
 # ----------------------------------------------------------------------------
 # Tables
 # ----------------------------------------------------------------------------
@@ -617,13 +642,17 @@ def _load_f32(ref):
 
 @functools.lru_cache(maxsize=None)
 def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
-                 precision: str, interpret: bool, storage: str = "f32"):
+                 precision: str, interpret: bool, storage: str = "f32",
+                 vmem_limit: int | None = None):
     """(batch, n) -> (batch, n): transform along the minor axis.
 
     ``storage``: HBM plane dtype ("f32" or "bf16"). bf16 planes halve all
     DMA traffic (the memory-bound regime for every large shape); blocks are
     upcast to f32 at load, all compute stays f32, and the store rounds
-    back. ~3.9e-3 relative error from the storage rounding alone."""
+    back. ~3.9e-3 relative error from the storage rounding alone.
+
+    ``vmem_limit``: raise Mosaic's scoped-vmem ceiling so big-n single-pass
+    blocks fit (the big-pass dispatch, see ``big_pass_supported``)."""
     kind = kernel_factors(n)
     tables, unpack = _pack_tables(n, inverse, scale, precision)
     out_dt = _STORAGE_DTYPES[storage]
@@ -655,6 +684,10 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
     def run(ar, ai):
         batch = ar.shape[0]
         grid = (pl.cdiv(batch, bblk), 1)
+        params = {}
+        if vmem_limit is not None and not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit))
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -662,6 +695,7 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((batch, n), out_dt)] * 2,
             interpret=interpret,
+            **params,
         )(*[jnp.asarray(t) for t in tables], ar, ai)
 
     return run
@@ -669,7 +703,8 @@ def _build_minor(n: int, inverse: bool, scale: float, bblk: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
-                 precision: str, interpret: bool, storage: str = "f32"):
+                 precision: str, interpret: bool, storage: str = "f32",
+                 vmem_limit: int | None = None):
     """(pre, n, L) -> (pre, n, L): transform along the middle axis.
 
     The transform axis is already on sublanes with trailing lanes — the
@@ -708,6 +743,10 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
     def run(ar, ai):
         pre, _, L = ar.shape
         grid = (pl.cdiv(pre, pblk), pl.cdiv(L, lblk))
+        params = {}
+        if vmem_limit is not None and not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit))
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -715,6 +754,7 @@ def _build_inner(n: int, inverse: bool, scale: float, lblk: int, pblk: int,
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((pre, n, L), out_dt)] * 2,
             interpret=interpret,
+            **params,
         )(*[jnp.asarray(t) for t in tables], ar, ai)
 
     return run
@@ -1209,16 +1249,26 @@ def fft_axis_pallas(
     inverse: bool,
     scale: float,
     config: PlanConfig,
+    big_pass: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused-kernel transform along ``axis``. ``bases`` is advisory here:
     the kernel picks its own MXU factorization (the result is the same DFT).
     Raises NotImplementedError when the config is outside the kernel's
-    envelope so the caller can fall back to the XLA path."""
+    envelope so the caller can fall back to the XLA path.
+
+    ``big_pass``: run a length the default VMEM model rejects as ONE
+    full-length pass with forced 128-wide lane blocks under the raised
+    scoped-vmem ceiling (see ``big_pass_supported``) — half the HBM
+    traffic of the sublane two-pass, for traffic-dominated arrays."""
     ndim = ar.ndim
     axis = axis % ndim
     n = ar.shape[axis]
-    if not pallas_supported(n, ar.dtype, config):
+    if big_pass:
+        if not big_pass_supported(n, ar.dtype, config):
+            raise NotImplementedError(f"no big-pass kernel for n={n}")
+    elif not pallas_supported(n, ar.dtype, config):
         raise NotImplementedError(f"no fused kernel for n={n}")
+    vmem_limit = _BIG_VMEM_LIMIT if big_pass else None
     if ai is None:
         ai = jnp.zeros_like(ar)
 
@@ -1240,9 +1290,9 @@ def fft_axis_pallas(
             ar = jnp.moveaxis(ar, axis, -1)
             ai = jnp.moveaxis(ai, axis, -1)
         moved_shape = ar.shape
-        bblk = choose_lane_block(n, config)
+        bblk = _LANE if big_pass else choose_lane_block(n, config)
         run = _build_minor(n, inverse, float(scale), bblk, precision,
-                           interpret, storage)
+                           interpret, storage, vmem_limit)
         outr, outi = run(ar.reshape(-1, n), ai.reshape(-1, n))
         outr = outr.reshape(moved_shape)
         outi = outi.reshape(moved_shape)
@@ -1277,14 +1327,17 @@ def fft_axis_pallas(
             return outr.reshape(shape), outi.reshape(shape)
 
     # inner-axis layout (pre, n, post): transpose-free
-    lblk = min(choose_lane_block(n, config), _round_lane(post))
-    # amortize small tiles over several pre-elements per grid step
-    # (~>=0.5 MB per input plane block), bounded by the VMEM model
-    tile = n * min(lblk, post) * 4
-    pblk = max(1, min(pre, 512 * 1024 // tile,
-                      config.vmem_budget_bytes // (10 * n * lblk * 4)))
+    if big_pass:
+        lblk, pblk = _LANE, 1
+    else:
+        lblk = min(choose_lane_block(n, config), _round_lane(post))
+        # amortize small tiles over several pre-elements per grid step
+        # (~>=0.5 MB per input plane block), bounded by the VMEM model
+        tile = n * min(lblk, post) * 4
+        pblk = max(1, min(pre, 512 * 1024 // tile,
+                          config.vmem_budget_bytes // (10 * n * lblk * 4)))
     run = _build_inner(n, inverse, float(scale), lblk, int(pblk),
-                       precision, interpret, storage)
+                       precision, interpret, storage, vmem_limit)
     outr, outi = run(ar.reshape(pre, n, post), ai.reshape(pre, n, post))
     return outr.reshape(shape), outi.reshape(shape)
 
