@@ -3,8 +3,9 @@ through the fused kernels vs numpy. Interpret-mode CI cannot catch
 Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
 manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
 Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
-lengths + 3 fused-cube shapes + 2 Bluestein primes = 52. Last full
-pass: see RESULT line in the most recent run log / working notes."""
+lengths + 2 big-pass shapes + 3 fused-cube shapes + 2 Bluestein
+primes = 54. Last full pass: see RESULT line in the most recent run
+log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -71,6 +72,19 @@ for n in (4096, 16384, 7680):
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"two-pass {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    fails += err >= 1e-3
+
+# big-pass shapes (plane >= 64 MB routes ONE full-length kernel pass
+# under the raised VMEM ceiling instead of the two-pass — Mosaic-only
+# behaviors: big-tile four_step reshapes, forced 128-lane blocks)
+for shape, ax in (((4096, 4320), 1), ((2, 7680, 2048), 1)):
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    got = np.asarray(tpufft.fft(x, axis=ax))
+    ref = np.fft.fft(x, axis=ax)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    print(f"big-pass {shape} ax={ax}: e={err:.1e} "
+          f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
     fails += err >= 1e-3
 
 # fused whole-cube kernel shapes (lane-fused design: concat/roll/slice
