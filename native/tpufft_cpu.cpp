@@ -840,13 +840,14 @@ int fft_lines_batched_v(const T* in_re, const T* in_im, T* out_re,
                         bool inverse, double scale, int nthreads) {
   constexpr int V = 16;
   const Plan& plan = cached_plan(n, inverse, true);
+  const int64_t na_fs = fourstep_split(n);
 #ifdef _OPENMP
   if (nthreads > 0) omp_set_num_threads(nthreads);
 #pragma omp parallel
 #endif
   {
     std::vector<T> sa_re(n * V), sa_im(n * V), sb_re(n * V), sb_im(n * V);
-    std::vector<T> gscratch;
+    std::vector<T> gscratch, tiny;
     const int64_t groups = count / V;
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
@@ -858,9 +859,17 @@ int fft_lines_batched_v(const T* in_re, const T* in_im, T* out_re,
         std::memcpy(&sa_re[i * V], src_re + i * stride, sizeof(T) * V);
         std::memcpy(&sa_im[i * V], src_im + i * stride, sizeof(T) * V);
       }
-      const bool in_b = transform_batch_v<T, V>(
-          plan, sa_re.data(), sa_im.data(), sb_re.data(), sb_im.data(),
-          scale, gscratch);
+      // long n (> the scratch-bound direct ceiling): the same L1-resident
+      // four-step the contiguous path uses — without it, non-minor axes
+      // like 3840/4320 fell to the per-line scalar path (measured 4x
+      // slower than PocketFFT on (1, 3840, 2160))
+      const bool in_b =
+          na_fs ? transform_batch_fourstep<T, V>(
+                      n, na_fs, inverse, scale, sa_re.data(), sa_im.data(),
+                      sb_re.data(), sb_im.data(), tiny, gscratch)
+                : transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(),
+                                          sb_re.data(), sb_im.data(), scale,
+                                          gscratch);
       const T* res_re = in_b ? sb_re.data() : sa_re.data();
       const T* res_im = in_b ? sb_im.data() : sa_im.data();
       T* dst_re = out_re + g * V;
@@ -911,9 +920,10 @@ int fft_strided(const T* in_re, const T* in_im, T* out_re, T* out_im,
                             dist_out, inverse, scale, nthreads);
   }
   // consecutive-lines lane batch (ND non-minor axes): lines advance by one
-  // element while the transform walks `stride` — vector loads, no gather
-  if (stride != 1 && dist_in == 1 && dist_out == 1 && n <= 2048 &&
-      count >= 16) {
+  // element while the transform walks `stride` — vector loads, no gather;
+  // long lengths go through the same four-step as the contiguous path
+  if (stride != 1 && dist_in == 1 && dist_out == 1 &&
+      (n <= 2048 || fourstep_split(n)) && count >= 16) {
     return fft_lines_batched_v<T>(in_re, in_im, out_re, out_im, count, n,
                                   stride, inverse, scale, nthreads);
   }

@@ -252,37 +252,75 @@ def _apply_plan_split(ar, ai, *, plan: Plan):
     if plan.kind == "c2r":
         return _apply_c2r(ar, ai, plan, scale)
 
-    for a, n in zip(axes, lengths):
-        ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
     # When the transform includes the array's three (or two) minor axes and
     # the tile fits VMEM, run them as ONE fused kernel pass: a whole small
     # cube (e.g. 64^3) costs a single HBM roundtrip instead of three.
+    # (Fusion decisions use the post-resize target shape.)
     ndim = ar.ndim
+    tgt = list(ar.shape)
+    for a, n in zip(axes, lengths):
+        tgt[a] = n
     cube_last = (
         len(axes) >= 3
         and set(axes[-3:]) == {ndim - 3, ndim - 2, ndim - 1}
         and _execute.cube_supported(
-            ar.shape[-3], ar.shape[-2], ar.shape[-1], ar.dtype, plan.config)
+            tgt[-3], tgt[-2], tgt[-1], ar.dtype, plan.config)
     )
     pair_last = not cube_last and (
         len(axes) >= 2
         and set(axes[-2:]) == {ndim - 2, ndim - 1}
         and _execute.pair_supported(
-            ar.shape[-2], ar.shape[-1], ar.dtype, plan.config)
+            tgt[-2], tgt[-1], ar.dtype, plan.config)
     )
     n_single = len(axes) - (3 if cube_last else (2 if pair_last else 0))
-    # Fuse the whole normalization into the last-executed stage.
-    for i in range(n_single):
-        axis_scale = scale if (i == len(axes) - 1) else 1.0
-        ar, ai = _execute.fft_axis(
-            ar, ai, axes[i], plan.bases[i], inverse=plan.inverse,
-            scale=axis_scale, config=plan.config,
+    # Zero-padded axes served by the per-axis loop fuse the pad INTO the
+    # transform (one rectangular kernel pass — the XLA zero-pad of a
+    # misaligned layout costs more than the transform, see
+    # execute.pad_axis_ok); everything else crops/pads here.
+    pad_fused = set()
+    pair_pad = None
+    for i, (a, n) in enumerate(zip(axes, lengths)):
+        cur = ar.shape[a]
+        if (i < n_single and cur < n
+                and _execute.pad_axis_ok(cur, n, ar.dtype, plan.config)):
+            pad_fused.add(i)
+            continue
+        if (pair_last and i >= n_single and a == ndim - 1 and cur < n
+                and _execute.pair_pad_ok(tgt[-2], cur, n, ar.dtype,
+                                         plan.config)):
+            pair_pad = n
+            continue
+        ar, ai = _resize_axis(ar, n, a), _resize_axis(ai, n, a)
+    # Pad-fused stages run FIRST so every later pass reads the ALIGNED
+    # layout (that is the point of an aligned-padding plan); the whole
+    # normalization is fused into exactly one stage.
+    pair_first = pair_last and pair_pad is not None
+    if pair_first:
+        ar, ai = _execute.fft_pair_last(
+            ar, ai, inverse=plan.inverse, scale=scale, config=plan.config,
+            n2_out=pair_pad,
         )
+    single_order = ([i for i in range(n_single) if i in pad_fused]
+                    + [i for i in range(n_single) if i not in pad_fused])
+    for k, i in enumerate(single_order):
+        takes_scale = (not cube_last and not pair_last
+                       and k == len(single_order) - 1)
+        axis_scale = scale if takes_scale else 1.0
+        if i in pad_fused:
+            ar, ai = _execute.fft_axis_padded(
+                ar, ai, axes[i], lengths[i], inverse=plan.inverse,
+                scale=axis_scale, config=plan.config,
+            )
+        else:
+            ar, ai = _execute.fft_axis(
+                ar, ai, axes[i], plan.bases[i], inverse=plan.inverse,
+                scale=axis_scale, config=plan.config,
+            )
     if cube_last:
         ar, ai = _execute.fft_cube_last(
             ar, ai, inverse=plan.inverse, scale=scale, config=plan.config,
         )
-    elif pair_last:
+    elif pair_last and not pair_first:
         ar, ai = _execute.fft_pair_last(
             ar, ai, inverse=plan.inverse, scale=scale, config=plan.config,
         )

@@ -389,14 +389,18 @@ def pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _fft_pair_diff(inverse: bool, scale: float, config: PlanConfig):
+def _fft_pair_diff(inverse: bool, scale: float, config: PlanConfig,
+                   n2_io: tuple[int, int] | None = None):
     """custom-vjp wrapper for the fused trailing-pair kernel (same
-    conjugate-transform transpose identity as _fft_axis_diff)."""
+    conjugate-transform transpose identity as _fft_axis_diff). With
+    ``n2_io = (m_in, m_out)`` the minor axis is the rectangular zero-pad
+    DFT; its adjoint is the conjugate pair with the swapped rectangle."""
 
     @jax.custom_vjp
     def f(ar, ai):
         return mxu_fft.fft_pair_pallas(
-            ar, ai, inverse=inverse, scale=scale, config=config
+            ar, ai, inverse=inverse, scale=scale, config=config,
+            n2_io=n2_io,
         )
 
     def fwd(ar, ai):
@@ -404,7 +408,8 @@ def _fft_pair_diff(inverse: bool, scale: float, config: PlanConfig):
 
     def bwd(_, g):
         gr, gi = g
-        return _fft_pair_diff(not inverse, scale, config)(gr, gi)
+        adj_io = None if n2_io is None else (n2_io[1], n2_io[0])
+        return _fft_pair_diff(not inverse, scale, config, adj_io)(gr, gi)
 
     f.defvjp(fwd, bwd)
     return f
@@ -417,12 +422,27 @@ def fft_pair_last(
     inverse: bool,
     scale: float,
     config: PlanConfig,
+    n2_out: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused transform of the last two axes (single HBM pass,
-    differentiable)."""
+    differentiable). ``n2_out``: zero-pad the minor axis to this length
+    inside the pass (rectangular right-multiply — no pad pass)."""
     if ai is None:
         ai = jnp.zeros_like(ar)
-    return _fft_pair_diff(bool(inverse), float(scale), config)(ar, ai)
+    n2_io = None
+    if n2_out is not None and n2_out != ar.shape[-1]:
+        n2_io = (int(ar.shape[-1]), int(n2_out))
+    return _fft_pair_diff(bool(inverse), float(scale), config, n2_io)(ar, ai)
+
+
+def pair_pad_ok(n1: int, n2_in: int, n2: int, dtype,
+                cfg: PlanConfig) -> bool:
+    """Can the trailing pair fuse the minor-axis zero-pad (n2_in -> n2)?"""
+    if cfg.backend == "xla":
+        return False
+    if not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return mxu_fft.pair_pad_supported(n1, n2_in, n2, dtype, cfg)
 
 
 def cube_supported(n1: int, n2: int, n3: int, dtype, cfg: PlanConfig) -> bool:
@@ -549,6 +569,87 @@ def r2c_minor_supported(n: int, dtype, cfg: PlanConfig) -> bool:
     if not (cfg.interpret or _is_tpu_backend()):
         return False
     return mxu_fft.r2c_minor_supported(n, dtype, cfg)
+
+
+def pad_axis_ok(n_in: int, n_out: int, dtype, cfg: PlanConfig) -> bool:
+    """Can a zero-padded axis (plan length n_out > input length n_in) run
+    as ONE fused rectangular pad-DFT matmul instead of an XLA zero-pad
+    pass followed by a transform? The pad-pass elimination is what makes
+    ``s="fast-aligned"`` plans fast on as-is inputs: the XLA pad of a
+    misaligned layout costs more than the transform itself (measured
+    (1000000, 93): the pad pass alone ~5 ms)."""
+    if cfg.backend == "xla":
+        return False
+    if not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return mxu_fft.pad_minor_supported(n_in, n_out, dtype, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_fft_minor_diff(n_in: int, n_out: int, inverse: bool, scale: float,
+                        config: PlanConfig):
+    """Differentiable fused zero-pad DFT of the last axis (rectangular
+    X = x @ W[:n_in, :]). The VJP is the adjoint crop-DFT g @ W^H — plain
+    XLA dots (the backward pass is not a serving hot path)."""
+
+    @jax.custom_vjp
+    def f(ar, ai):
+        bblk = mxu_fft.choose_lane_block(n_out, config)
+        run = mxu_fft._build_minor_rect(
+            n_in, n_out, n_out, inverse, float(scale), bblk,
+            config.precision, bool(config.interpret),
+            mxu_fft.storage_of(ar.dtype))
+        return run(ar, ai)
+
+    def fwd(ar, ai):
+        return f(ar, ai), jnp.zeros((0,), ar.dtype)
+
+    def bwd(res, g):
+        gr, gi = g
+        wr, wi = mxu_fft._tables_rect(n_in, n_out, n_out, inverse,
+                                      float(scale))
+        wrT = jnp.asarray(wr).T
+        wiT = jnp.asarray(wi).T
+        gr32 = gr.astype(jnp.float32)
+        gi32 = gi.astype(jnp.float32)
+        dxr = jnp.dot(gr32, wrT) + jnp.dot(gi32, wiT)
+        dxi = jnp.dot(gi32, wrT) - jnp.dot(gr32, wiT)
+        return dxr.astype(res.dtype), dxi.astype(res.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fft_axis_padded(
+    ar: jnp.ndarray,
+    ai: jnp.ndarray | None,
+    axis: int,
+    n_out: int,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-pad ``axis`` to length ``n_out`` AND transform it, fused into
+    one rectangular kernel pass (pad_axis_ok must hold)."""
+    axis = axis % ar.ndim
+    n_in = ar.shape[axis]
+    if ai is None:
+        ai = jnp.zeros_like(ar)
+    moved = axis != ar.ndim - 1
+    if moved:
+        ar = jnp.moveaxis(ar, axis, -1)
+        ai = jnp.moveaxis(ai, axis, -1)
+    pre = ar.shape[:-1]
+    outr, outi = _pad_fft_minor_diff(n_in, n_out, bool(inverse),
+                                     float(scale), config)(
+        ar.reshape(-1, n_in), ai.reshape(-1, n_in))
+    outr = outr.reshape(pre + (n_out,))
+    outi = outi.reshape(pre + (n_out,))
+    if moved:
+        outr = jnp.moveaxis(outr, -1, axis)
+        outi = jnp.moveaxis(outi, -1, axis)
+    return outr, outi
 
 
 @functools.lru_cache(maxsize=None)

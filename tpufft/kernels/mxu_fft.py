@@ -474,6 +474,83 @@ def _build_minor_c2r(n: int, scale: float, bblk: int, precision: str,
     return run
 
 
+# Largest transform length served by the rectangular pad-DFT kernel: the
+# dense (n_in, n_out) table must stay a modest VMEM constant (same budget
+# math as the r2c kernels — 4 MB at 1024x1024 under bf16x3).
+PAD_MAX_N = 1024
+
+
+def pad_minor_supported(n_in: int, n_out: int, dtype, cfg: PlanConfig) -> bool:
+    """Can a zero-padded transform (length n_in input, length n_out DFT)
+    run as ONE fused rectangular matmul on the minor axis?"""
+    if storage_of(dtype) is None:
+        return False
+    if not (2 <= n_in < n_out <= PAD_MAX_N):
+        return False
+    return choose_lane_block(n_out, cfg) >= _LANE
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_rect(m_in: int, m_out: int, den: int, inverse: bool,
+                 scale: float):
+    wr, wi = _cis_outer(m_in, m_out, float(den), inverse)
+    return (np.ascontiguousarray(wr * scale, np.float32),
+            np.ascontiguousarray(wi * scale, np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_minor_rect(m_in: int, m_out: int, den: int, inverse: bool,
+                      scale: float, bblk: int, precision: str,
+                      interpret: bool, storage: str = "f32"):
+    """(batch, m_in) -> (batch, m_out): one rectangular complex matmul
+    X = x @ W with W[j, k] = e(-+2pi i jk/den) * scale.
+
+    With m_in < m_out = den this IS the DFT of the zero-padded input — the
+    pad never touches HBM (the aligned-padding plan's fast path: a
+    misaligned minor axis is read once at its native width and written
+    once at the aligned width; measured (1000000, 93 -> 128): 8.9 ms as-is
+    vs ~2 ms fused — the XLA zero-pad pass alone costs ~5 ms on that
+    layout). With m_in > m_out it is the adjoint crop-DFT (the VJP).
+    Same design as the rectangular r2c kernels (_build_minor_r2c)."""
+    tables = _prep_w(_tables_rect(m_in, m_out, den, inverse, scale),
+                     precision)
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft minor-rect: (%d -> %d)/%d bblk=%d inverse=%s "
+                 "precision=%s storage=%s", m_in, m_out, den, bblk, inverse,
+                 precision, storage)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
+        w = tuple(r[:] for r in t_refs)
+        zr, zi = _cmm_right(precision, w, _load_f32(xr_ref),
+                            _load_f32(xi_ref))
+        or_ref[:] = zr.astype(or_ref.dtype)
+        oi_ref[:] = zi.astype(oi_ref.dtype)
+
+    din = pl.BlockSpec((bblk, m_in), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((bblk, m_out), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        return pl.BlockSpec(t.shape, (lambda i: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    def run(ar, ai):
+        batch = ar.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(batch, bblk),),
+            in_specs=[tspec(t) for t in tables] + [din, din],
+            out_specs=[dout, dout],
+            out_shape=[jax.ShapeDtypeStruct((batch, m_out), out_dt)] * 2,
+            interpret=interpret,
+        )(*[jnp.asarray(t) for t in tables], ar, ai)
+
+    return run
+
+
 def _pack_tables(n: int, inverse: bool, scale: float, precision: str):
     """Flat host-table tuple + an unpacker reconstructing the logical
     (W-groups, twiddle) structure from the kernel's refs."""
@@ -904,7 +981,8 @@ def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
 @functools.lru_cache(maxsize=None)
 def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
               precision: str, interpret: bool, storage: str = "f32",
-              pblk: int = 1, vmem_limit: int | None = None):
+              pblk: int = 1, vmem_limit: int | None = None,
+              n2_io: tuple[int, int] | None = None):
     """(pre, n1, n2) -> (pre, n1, n2): both trailing axes in ONE HBM pass.
 
     A 2D transform tile lives entirely in VMEM. For small n2 (dense-W
@@ -918,15 +996,30 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
     ``pblk`` batches several (n1, n2) tiles per grid step (unrolled loop)
     so small tiles still move in chunky DMAs — the narrow-trailing-dim
     regime (e.g. (160, 48) of the 5D reference shape) is descriptor-bound
-    at one tile per step."""
+    at one tile per step.
+
+    ``n2_io = (m_in, m_out)``: the axis-2 transform is a length-n2 DFT
+    with a SHORT input (zero-pad fused, m_in < n2) or a SHORT output
+    (adjoint crop, m_out < n2) — input tiles are (n1, m_in), output
+    (n1, m_out). An aligned-padding plan's trailing pair thus reads the
+    misaligned native width ONCE and every downstream pass runs aligned.
+    Small-kind n2 uses a rectangular dense right-multiply; four-step n2
+    pads/crops in VMEM around the square transform (sublane concat /
+    lane slice — both free next to the matmuls)."""
     kind1 = kernel_factors(n1)
     kind2 = kernel_factors(n2)
     right2 = kind2[0] == "small"
+    m_in, m_out = n2_io if n2_io is not None else (n2, n2)
     tables1, unpack1 = _pack_tables(n1, inverse, 1.0, precision)
-    tables2, unpack2 = _pack_tables(n2, inverse, scale, precision)
+    if n2_io is not None and right2:
+        tables2 = _prep_w(_tables_rect(m_in, m_out, n2, inverse, scale),
+                          precision)
+        unpack2 = lambda vals: (tuple(vals),)  # noqa: E731
+    else:
+        tables2, unpack2 = _pack_tables(n2, inverse, scale, precision)
     logger.debug("mxu_fft 2d-pair: (%d, %d) %s x %s right=%s pblk=%d "
-                 "inverse=%s precision=%s", n1, n2, kind1, kind2, right2,
-                 pblk, inverse, precision)
+                 "io=(%d->%d) inverse=%s precision=%s", n1, n2, kind1,
+                 kind2, right2, pblk, m_in, m_out, inverse, precision)
     n_t1 = len(tables1)
     n_t2 = len(tables2)
 
@@ -935,21 +1028,30 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
         g2 = unpack2([r[:] for r in refs[n_t1:n_t1 + n_t2]])
         xr_ref, xi_ref, or_ref, oi_ref = refs[-4:]
         for p in range(pblk):
-            xr = xr_ref[p].astype(jnp.float32)     # (n1, n2)
+            xr = xr_ref[p].astype(jnp.float32)     # (n1, m_in)
             xi = xi_ref[p].astype(jnp.float32)
             xr, xi = _compute(precision, n1, kind1, g1, xr, xi,
                               inverse=inverse)
             if right2:
                 xr, xi = _cmm_right(precision, g2[0], xr, xi)
             else:
-                xr, xi = xr.T, xi.T                # (n2, n1)
+                xr, xi = xr.T, xi.T                # (m_in, n1)
+                if m_in < n2:   # zero-pad fused: sublane concat in VMEM
+                    zp = jnp.zeros((n2 - m_in, xr.shape[-1]), jnp.float32)
+                    xr = jnp.concatenate([xr, zp], axis=0)
+                    xi = jnp.concatenate([xi, zp], axis=0)
                 xr, xi = _compute(precision, n2, kind2, g2, xr, xi,
                                   inverse=inverse)
-                xr, xi = xr.T, xi.T
+                xr, xi = xr.T, xi.T                # (n1, n2)
+                if m_out < n2:  # adjoint crop: lane slice at offset 0
+                    xr = xr[:, :m_out]
+                    xi = xi[:, :m_out]
             or_ref[p] = xr.astype(or_ref.dtype)
             oi_ref[p] = xi.astype(oi_ref.dtype)
 
-    data = pl.BlockSpec((pblk, n1, n2), lambda p: (p, 0, 0),
+    din = pl.BlockSpec((pblk, n1, m_in), lambda p: (p, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((pblk, n1, m_out), lambda p: (p, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def tspec(t):
@@ -968,9 +1070,9 @@ def _build_2d(n1: int, n2: int, inverse: bool, scale: float,
         return pl.pallas_call(
             kernel,
             grid=(pl.cdiv(pre, pblk),),
-            in_specs=[tspec(t) for t in all_tables] + [data, data],
-            out_specs=[data, data],
-            out_shape=[jax.ShapeDtypeStruct((pre, n1, n2),
+            in_specs=[tspec(t) for t in all_tables] + [din, din],
+            out_specs=[dout, dout],
+            out_shape=[jax.ShapeDtypeStruct((pre, n1, m_out),
                                             _STORAGE_DTYPES[storage])] * 2,
             interpret=interpret,
             **params,
@@ -1012,6 +1114,19 @@ def pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
     return planes * n1 * n2 * 4 <= cfg.vmem_budget_bytes
 
 
+def pair_pad_supported(n1: int, n2_in: int, n2: int, dtype,
+                       cfg: PlanConfig) -> bool:
+    """Can the trailing pair fuse a minor-axis zero-pad (n2_in -> n2)?
+    Small-kind n2 runs a rectangular dense right-multiply; four-step n2
+    pads in VMEM around the square transform (see _build_2d)."""
+    if not (pair_supported(n1, n2, dtype, cfg) and 2 <= n2_in < n2):
+        return False
+    # A Kronecker-kind n1 needs its lane batch 128-aligned at the ACTUAL
+    # (unpadded) input width, not just the target width.
+    k1 = kernel_factors(n1)
+    return not (k1[0] == "four_step" and n2_in % _LANE != 0)
+
+
 def fft_pair_pallas(
     ar: jnp.ndarray,
     ai: jnp.ndarray | None,
@@ -1019,25 +1134,42 @@ def fft_pair_pallas(
     inverse: bool,
     scale: float,
     config: PlanConfig,
+    n2_io: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused transform of the LAST TWO axes of ``ar``/``ai``."""
+    """Fused transform of the LAST TWO axes of ``ar``/``ai``.
+
+    ``n2_io = (m_in, m_out)``: the minor axis runs a rectangular
+    length-``m_out`` zero-pad DFT (forward) or its adjoint crop — the
+    input's last dim is m_in and the output's is m_out (see _build_2d)."""
     n1, n2 = ar.shape[-2:]
-    if not pair_supported(n1, n2, ar.dtype, config):
-        raise NotImplementedError(f"no fused 2D kernel for ({n1}, {n2})")
+    if n2_io is not None:
+        m_in, m_out = n2_io
+        n2 = max(m_in, m_out)  # the DFT length of the rectangular axis
+        if not pair_pad_supported(n1, min(m_in, m_out), n2, ar.dtype,
+                                  config):
+            raise NotImplementedError(
+                f"no fused padded 2D kernel for ({n1}, {m_in}->{m_out})")
+    else:
+        m_in = m_out = n2
+        if not pair_supported(n1, n2, ar.dtype, config):
+            raise NotImplementedError(f"no fused 2D kernel for ({n1}, {n2})")
     if ai is None:
         ai = jnp.zeros_like(ar)
     shape = ar.shape
     pre = math.prod(shape[:-2]) if len(shape) > 2 else 1
     # Batch small tiles per grid step (chunky DMA); bounded by the VMEM
     # model (lane dim pads to 128 in VMEM).
-    lanes = ((n2 + _LANE - 1) // _LANE) * _LANE
+    lanes = ((max(m_in, m_out) + _LANE - 1) // _LANE) * _LANE
     tile = n1 * lanes * 4
     pblk = max(1, min(pre, 512 * 1024 // tile,
                       config.vmem_budget_bytes // (10 * tile)))
     run = _build_2d(n1, n2, inverse, float(scale), config.precision,
-                    bool(config.interpret), storage_of(ar.dtype), int(pblk))
-    outr, outi = run(ar.reshape(pre, n1, n2), ai.reshape(pre, n1, n2))
-    return outr.reshape(shape), outi.reshape(shape)
+                    bool(config.interpret), storage_of(ar.dtype), int(pblk),
+                    n2_io=(None if n2_io is None else (int(m_in),
+                                                      int(m_out))))
+    outr, outi = run(ar.reshape(pre, n1, m_in), ai.reshape(pre, n1, m_in))
+    out_shape = shape[:-1] + (m_out,)
+    return outr.reshape(out_shape), outi.reshape(out_shape)
 
 
 # ----------------------------------------------------------------------------
