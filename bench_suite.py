@@ -201,18 +201,21 @@ def run_tpu_aligned(iters: int) -> None:
             def sync(o):
                 float(o.re.reshape(-1)[-1])
             out = plan(x); sync(out)
-            t0 = time.perf_counter()
-            for _ in range(6):
-                float(out.re.reshape(-1)[0])
-            rtt = (time.perf_counter() - t0) / 6
             best = float("inf")
             for _ in range(3):
+                # re-sample RTT per rep — the tunnel RTT drifts on the
+                # seconds scale, and a stale sample can exceed the whole
+                # chain time for fast shapes (negative row)
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    float(out.re.reshape(-1)[0])
+                rtt = (time.perf_counter() - t0) / 4
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     out = plan(x)
                 sync(out)
                 best = min(best, (time.perf_counter() - t0 - rtt) / iters)
-            return best * 1e3
+            return max(best, 1e-5) * 1e3
 
         t_asis = timed(shape)
         s_spec = tuple("fast-aligned" if i == len(axes) - 1 else shape[a]

@@ -3,9 +3,9 @@ through the fused kernels vs numpy. Interpret-mode CI cannot catch
 Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
 manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
 Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
-lengths + 2 big-pass shapes + 3 fused-cube shapes + 2 Bluestein
-primes = 54. Last full pass: see RESULT line in the most recent run
-log / working notes."""
+lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
++ 2 Bluestein primes = 57. Last full pass: see RESULT line in the most
+recent run log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -84,6 +84,20 @@ for shape, ax in (((4096, 4320), 1), ((2, 7680, 2048), 1)):
     ref = np.fft.fft(x, axis=ax)
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"big-pass {shape} ax={ax}: e={err:.1e} "
+          f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+    fails += err >= 1e-3
+
+# fused zero-pad cases (rectangular pad-DFT minor kernel; pair kernel
+# with rectangular right-multiply; pair .T-form with in-VMEM sublane pad)
+for shape, s, axes in (((512, 93), (128,), (1,)),
+                       ((3, 160, 48), (160, 128), (1, 2)),
+                       ((2, 640, 480), (640, 512), (1, 2))):
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    got = np.asarray(tpufft.fftn(x, s=s, axes=axes))
+    ref = np.fft.fftn(x, s=s, axes=axes)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    print(f"fused-pad {shape}->{s}: e={err:.1e} "
           f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
     fails += err >= 1e-3
 
