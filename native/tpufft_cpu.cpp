@@ -686,7 +686,16 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
                   int64_t count, int64_t n, int64_t dist_in, int64_t dist_out,
                   bool inverse, double scale, int nthreads) {
   constexpr int V = 16;
-  const Plan& plan = cached_plan(n, inverse, true);
+  // The 16x16 in-register transpose gather/scatter (and the radix-16
+  // stages that pair with it) win only for long rows whose row-to-row
+  // step keeps the 16-float blocks on one 64B line: measured crossover
+  // between n=256 and n=512 (vector 258/251 ms vs scalar 245/420 at 64M
+  // points), while rows off the 16-element grid (n=93: 899 vs 707 ms)
+  // and short rows (n=128: 264 vs 225) lose to the scalar
+  // row-sequential loops.
+  const bool use_vec =
+      sizeof(T) == 4 && n >= 512 && dist_in % 16 == 0 && dist_out % 16 == 0;
+  const Plan& plan = cached_plan(n, inverse, use_vec);
   const int64_t na_fs = fourstep_split(n);
 #ifdef _OPENMP
   if (nthreads > 0) omp_set_num_threads(nthreads);
@@ -703,39 +712,41 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
     for (int64_t g = 0; g < groups; ++g) {
       const T* src_re = in_re + g * V * dist_in;
       const T* src_im = in_im + g * V * dist_in;
-      // gather-transpose V rows -> (n, V)
-      if constexpr (sizeof(T) == 4) {
-        typedef typename VecOf<T, V>::type Tv;
-        const int64_t nb = n - n % 16;
-        for (int64_t i0 = 0; i0 < nb; i0 += 16) {
-          for (int p = 0; p < 2; ++p) {
-            const T* src = p ? src_im : src_re;
-            T* dst = p ? sa_im.data() : sa_re.data();
-            Tv blk[16];
-            for (int v = 0; v < V; ++v)
-              blk[v] = *(const Tv*)(src + v * dist_in + i0);
-            transpose16(blk);
-            for (int j = 0; j < 16; ++j)
-              *(Tv*)(dst + (i0 + kTr16Perm[j]) * V) = blk[j];
-          }
-        }
-        for (int64_t v = 0; v < V; ++v) {   // n % 16 tail
-          const T* rr = src_re + v * dist_in;
-          const T* ri = src_im + v * dist_in;
-          for (int64_t i = nb; i < n; ++i) {
-            sa_re[i * V + v] = rr[i];
-            sa_im[i * V + v] = ri[i];
-          }
-        }
-      } else {
+      // gather-transpose V rows -> (n, V); scalar from i0 (vector path
+      // covers [0, nb), the scalar loop its tail — or everything when the
+      // vector transpose doesn't pay, see use_vec)
+      const auto gather_scalar = [&](int64_t i0) {
         for (int64_t v = 0; v < V; ++v) {
           const T* rr = src_re + v * dist_in;
           const T* ri = src_im + v * dist_in;
-          for (int64_t i = 0; i < n; ++i) {
+          for (int64_t i = i0; i < n; ++i) {
             sa_re[i * V + v] = rr[i];
             sa_im[i * V + v] = ri[i];
           }
         }
+      };
+      if constexpr (sizeof(T) == 4) {
+        if (use_vec) {
+          typedef typename VecOf<T, V>::type Tv;
+          const int64_t nb = n - n % 16;
+          for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+            for (int p = 0; p < 2; ++p) {
+              const T* src = p ? src_im : src_re;
+              T* dst = p ? sa_im.data() : sa_re.data();
+              Tv blk[16];
+              for (int v = 0; v < V; ++v)
+                blk[v] = *(const Tv*)(src + v * dist_in + i0);
+              transpose16(blk);
+              for (int j = 0; j < 16; ++j)
+                *(Tv*)(dst + (i0 + kTr16Perm[j]) * V) = blk[j];
+            }
+          }
+          gather_scalar(nb);
+        } else {
+          gather_scalar(0);
+        }
+      } else {
+        gather_scalar(0);
       }
       const T* res_re = sa_re.data();
       const T* res_im = sa_im.data();
@@ -750,63 +761,63 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
         res_re = sb_re.data();
         res_im = sb_im.data();
       }
-      if constexpr (sizeof(T) == 4) {
-        typedef typename VecOf<T, V>::type Tv;
-        T* dst_re = out_re + g * V * dist_out;
-        T* dst_im = out_im + g * V * dist_out;
-        const int64_t nb = n - n % 16;
-#if defined(__AVX512F__)
-        // Non-temporal stores skip the read-for-ownership and keep the
-        // 400MB-class output streams out of L2 (the Stockham ping-pong
-        // scratch stays resident): scatter measured 203 -> ~100 ms on
-        // (100000, 1024). Requires 64B-aligned store targets.
-        const bool stream =
-            ((reinterpret_cast<uintptr_t>(dst_re) |
-              reinterpret_cast<uintptr_t>(dst_im)) & 63) == 0 &&
-            (dist_out & 15) == 0;
-#else
-        const bool stream = false;
-#endif
-        for (int64_t i0 = 0; i0 < nb; i0 += 16) {
-          for (int pl = 0; pl < 2; ++pl) {
-            const T* src = pl ? res_im : res_re;
-            T* dst = pl ? dst_im : dst_re;
-            Tv blk[16];
-            for (int j = 0; j < 16; ++j)
-              blk[j] = *(const Tv*)(src + (i0 + j) * V);
-            transpose16(blk);
-#if defined(__AVX512F__)
-            if (stream) {
-              for (int j = 0; j < 16; ++j)
-                _mm512_stream_ps(dst + kTr16Perm[j] * dist_out + i0,
-                                 (__m512)blk[j]);
-              continue;
-            }
-#endif
-            for (int j = 0; j < 16; ++j)
-              *(Tv*)(dst + kTr16Perm[j] * dist_out + i0) = blk[j];
-          }
-        }
-#if defined(__AVX512F__)
-        if (stream) _mm_sfence();
-#endif
-        for (int64_t v = 0; v < V; ++v) {   // n % 16 tail
-          T* wr = dst_re + v * dist_out;
-          T* wi = dst_im + v * dist_out;
-          for (int64_t i = nb; i < n; ++i) {
-            wr[i] = res_re[i * V + v];
-            wi[i] = res_im[i * V + v];
-          }
-        }
-      } else {
+      const auto scatter_scalar = [&](int64_t i0) {
         for (int64_t v = 0; v < V; ++v) {
           T* wr = out_re + (g * V + v) * dist_out;
           T* wi = out_im + (g * V + v) * dist_out;
-          for (int64_t i = 0; i < n; ++i) {
+          for (int64_t i = i0; i < n; ++i) {
             wr[i] = res_re[i * V + v];
             wi[i] = res_im[i * V + v];
           }
         }
+      };
+      if constexpr (sizeof(T) == 4) {
+        if (use_vec) {
+          typedef typename VecOf<T, V>::type Tv;
+          T* dst_re = out_re + g * V * dist_out;
+          T* dst_im = out_im + g * V * dist_out;
+          const int64_t nb = n - n % 16;
+#if defined(__AVX512F__)
+          // Non-temporal stores skip the read-for-ownership and keep the
+          // 400MB-class output streams out of L2 (the Stockham ping-pong
+          // scratch stays resident): scatter measured 203 -> ~100 ms on
+          // (100000, 1024). They require 64B-aligned store targets
+          // (use_vec only guarantees the 64B row-to-row step).
+          const bool stream =
+              ((reinterpret_cast<uintptr_t>(dst_re) |
+                reinterpret_cast<uintptr_t>(dst_im)) & 63) == 0;
+#else
+          const bool stream = false;
+#endif
+          for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+            for (int pl = 0; pl < 2; ++pl) {
+              const T* src = pl ? res_im : res_re;
+              T* dst = pl ? dst_im : dst_re;
+              Tv blk[16];
+              for (int j = 0; j < 16; ++j)
+                blk[j] = *(const Tv*)(src + (i0 + j) * V);
+              transpose16(blk);
+#if defined(__AVX512F__)
+              if (stream) {
+                for (int j = 0; j < 16; ++j)
+                  _mm512_stream_ps(dst + kTr16Perm[j] * dist_out + i0,
+                                   (__m512)blk[j]);
+                continue;
+              }
+#endif
+              for (int j = 0; j < 16; ++j)
+                *(Tv*)(dst + kTr16Perm[j] * dist_out + i0) = blk[j];
+            }
+          }
+#if defined(__AVX512F__)
+          if (stream) _mm_sfence();
+#endif
+          scatter_scalar(nb);
+        } else {
+          scatter_scalar(0);
+        }
+      } else {
+        scatter_scalar(0);
       }
     }
     // remainder rows: per-transform path
