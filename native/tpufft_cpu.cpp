@@ -687,14 +687,13 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
                   bool inverse, double scale, int nthreads) {
   constexpr int V = 16;
   // The 16x16 in-register transpose gather/scatter (and the radix-16
-  // stages that pair with it) win only for long rows whose row-to-row
-  // step keeps the 16-float blocks on one 64B line: measured crossover
-  // between n=256 and n=512 (vector 258/251 ms vs scalar 245/420 at 64M
-  // points), while rows off the 16-element grid (n=93: 899 vs 707 ms)
-  // and short rows (n=128: 264 vs 225) lose to the scalar
-  // row-sequential loops.
-  const bool use_vec =
-      sizeof(T) == 4 && n >= 512 && dist_in % 16 == 0 && dist_out % 16 == 0;
+  // stages that pair with it) win for rows n >= 256 regardless of the
+  // row-to-row step's alignment (unaligned vector moves are cheap;
+  // interleaved A/B: n=480 232 vs 303 ms scalar, n=1080 162 vs 254,
+  // n=256 ~tie), while short rows lose to the scalar row-sequential
+  // loops (n=93: 803 vs 927, n=128: 260 vs 270). Only the AVX-512
+  // streaming stores need real 64B alignment — gated separately below.
+  const bool use_vec = sizeof(T) == 4 && n >= 256;
   const Plan& plan = cached_plan(n, inverse, use_vec);
   const int64_t na_fs = fourstep_split(n);
 #ifdef _OPENMP
@@ -781,11 +780,13 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
           // Non-temporal stores skip the read-for-ownership and keep the
           // 400MB-class output streams out of L2 (the Stockham ping-pong
           // scratch stays resident): scatter measured 203 -> ~100 ms on
-          // (100000, 1024). They require 64B-aligned store targets
-          // (use_vec only guarantees the 64B row-to-row step).
+          // (100000, 1024). They require truly 64B-aligned store
+          // targets: base pointers AND the row-to-row step (use_vec no
+          // longer implies the latter).
           const bool stream =
               ((reinterpret_cast<uintptr_t>(dst_re) |
-                reinterpret_cast<uintptr_t>(dst_im)) & 63) == 0;
+                reinterpret_cast<uintptr_t>(dst_im)) & 63) == 0 &&
+              (dist_out & 15) == 0;
 #else
           const bool stream = false;
 #endif
