@@ -681,7 +681,15 @@ static inline void transpose16(Tv (&r)[16]) {
 }
 
 // Contiguous batched transforms via the lane-batch path for modest n.
-template <typename T>
+//
+// ES_IN / ES_OUT are the element strides of the IO layouts: 1 = split
+// planes (in_im an independent pointer), 2 = interleaved complex
+// (in_im = in_re + 1) — the numpy-facing layout. Folding the
+// de/re-interleave into the gather/scatter removes the standalone
+// complex<->planes conversion passes entirely (they cost as much as the
+// transform itself on gather-bound shapes: 157 + 71 ms around a ~700 ms
+// (1000000, 93) transform). `dist_*` stays in units of COMPLEX elements.
+template <typename T, int ES_IN = 1, int ES_OUT = 1>
 int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
                   int64_t count, int64_t n, int64_t dist_in, int64_t dist_out,
                   bool inverse, double scale, int nthreads) {
@@ -693,7 +701,12 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
   // n=256 ~tie), while short rows lose to the scalar row-sequential
   // loops (n=93: 803 vs 927, n=128: 260 vs 270). Only the AVX-512
   // streaming stores need real 64B alignment — gated separately below.
-  const bool use_vec = sizeof(T) == 4 && n >= 256;
+#if defined(__AVX512F__)
+  constexpr bool kVecIO = true;  // interleaved IO has AVX-512 de/interleave
+#else
+  constexpr bool kVecIO = ES_IN == 1 && ES_OUT == 1;
+#endif
+  const bool use_vec = sizeof(T) == 4 && n >= 256 && kVecIO;
   const Plan& plan = cached_plan(n, inverse, use_vec);
   const int64_t na_fs = fourstep_split(n);
 #ifdef _OPENMP
@@ -709,18 +722,18 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
 #pragma omp for schedule(static) nowait
 #endif
     for (int64_t g = 0; g < groups; ++g) {
-      const T* src_re = in_re + g * V * dist_in;
-      const T* src_im = in_im + g * V * dist_in;
+      const T* src_re = in_re + g * V * dist_in * ES_IN;
+      const T* src_im = in_im + g * V * dist_in * ES_IN;
       // gather-transpose V rows -> (n, V); scalar from i0 (vector path
       // covers [0, nb), the scalar loop its tail — or everything when the
       // vector transpose doesn't pay, see use_vec)
       const auto gather_scalar = [&](int64_t i0) {
         for (int64_t v = 0; v < V; ++v) {
-          const T* rr = src_re + v * dist_in;
-          const T* ri = src_im + v * dist_in;
+          const T* rr = src_re + v * dist_in * ES_IN;
+          const T* ri = src_im + v * dist_in * ES_IN;
           for (int64_t i = i0; i < n; ++i) {
-            sa_re[i * V + v] = rr[i];
-            sa_im[i * V + v] = ri[i];
+            sa_re[i * V + v] = rr[i * ES_IN];
+            sa_im[i * V + v] = ri[i * ES_IN];
           }
         }
       };
@@ -728,13 +741,34 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
         if (use_vec) {
           typedef typename VecOf<T, V>::type Tv;
           const int64_t nb = n - n % 16;
+#if defined(__AVX512F__)
+          alignas(64) static const int kEvn[16] = {0, 2, 4, 6, 8, 10, 12,
+                                                   14, 16, 18, 20, 22, 24,
+                                                   26, 28, 30};
+          const __m512i vevn = _mm512_load_si512(kEvn);
+#endif
           for (int64_t i0 = 0; i0 < nb; i0 += 16) {
             for (int p = 0; p < 2; ++p) {
               const T* src = p ? src_im : src_re;
               T* dst = p ? sa_im.data() : sa_re.data();
               Tv blk[16];
-              for (int v = 0; v < V; ++v)
-                blk[v] = *(const Tv*)(src + v * dist_in + i0);
+              if constexpr (ES_IN == 1) {
+                for (int v = 0; v < V; ++v)
+                  blk[v] = *(const Tv*)(src + v * dist_in + i0);
+              } else {
+#if defined(__AVX512F__)
+                // Interleaved rows: 32 consecutive floats hold 16
+                // complex; the even lanes of a load at the plane's base
+                // (re, or re+1 for im) are that plane's 16 elements.
+                for (int v = 0; v < V; ++v) {
+                  const float* q =
+                      (const float*)(src + v * dist_in * 2 + 2 * i0);
+                  const __m512 a = _mm512_loadu_ps(q);
+                  const __m512 b = _mm512_loadu_ps(q + 16);
+                  blk[v] = (Tv)_mm512_permutex2var_ps(a, vevn, b);
+                }
+#endif
+              }
               transpose16(blk);
               for (int j = 0; j < 16; ++j)
                 *(Tv*)(dst + (i0 + kTr16Perm[j]) * V) = blk[j];
@@ -762,19 +796,19 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
       }
       const auto scatter_scalar = [&](int64_t i0) {
         for (int64_t v = 0; v < V; ++v) {
-          T* wr = out_re + (g * V + v) * dist_out;
-          T* wi = out_im + (g * V + v) * dist_out;
+          T* wr = out_re + (g * V + v) * dist_out * ES_OUT;
+          T* wi = out_im + (g * V + v) * dist_out * ES_OUT;
           for (int64_t i = i0; i < n; ++i) {
-            wr[i] = res_re[i * V + v];
-            wi[i] = res_im[i * V + v];
+            wr[i * ES_OUT] = res_re[i * V + v];
+            wi[i * ES_OUT] = res_im[i * V + v];
           }
         }
       };
       if constexpr (sizeof(T) == 4) {
         if (use_vec) {
           typedef typename VecOf<T, V>::type Tv;
-          T* dst_re = out_re + g * V * dist_out;
-          T* dst_im = out_im + g * V * dist_out;
+          T* dst_re = out_re + g * V * dist_out * ES_OUT;
+          T* dst_im = out_im + g * V * dist_out * ES_OUT;
           const int64_t nb = n - n % 16;
 #if defined(__AVX512F__)
           // Non-temporal stores skip the read-for-ownership and keep the
@@ -784,31 +818,76 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
           // targets: base pointers AND the row-to-row step (use_vec no
           // longer implies the latter).
           const bool stream =
-              ((reinterpret_cast<uintptr_t>(dst_re) |
-                reinterpret_cast<uintptr_t>(dst_im)) & 63) == 0 &&
-              (dist_out & 15) == 0;
+              ES_OUT == 1
+                  ? (((reinterpret_cast<uintptr_t>(dst_re) |
+                       reinterpret_cast<uintptr_t>(dst_im)) & 63) == 0 &&
+                     (dist_out & 15) == 0)
+                  // interleaved: dst_im = dst_re + 1 by construction; the
+                  // combined 32-float row stores only need dst_re's phase
+                  : ((reinterpret_cast<uintptr_t>(dst_re) & 63) == 0 &&
+                     ((dist_out * 2) & 15) == 0);
 #else
           const bool stream = false;
 #endif
-          for (int64_t i0 = 0; i0 < nb; i0 += 16) {
-            for (int pl = 0; pl < 2; ++pl) {
-              const T* src = pl ? res_im : res_re;
-              T* dst = pl ? dst_im : dst_re;
-              Tv blk[16];
-              for (int j = 0; j < 16; ++j)
-                blk[j] = *(const Tv*)(src + (i0 + j) * V);
-              transpose16(blk);
-#if defined(__AVX512F__)
-              if (stream) {
+          if constexpr (ES_OUT == 1) {
+            for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+              for (int pl = 0; pl < 2; ++pl) {
+                const T* src = pl ? res_im : res_re;
+                T* dst = pl ? dst_im : dst_re;
+                Tv blk[16];
                 for (int j = 0; j < 16; ++j)
-                  _mm512_stream_ps(dst + kTr16Perm[j] * dist_out + i0,
-                                   (__m512)blk[j]);
-                continue;
-              }
+                  blk[j] = *(const Tv*)(src + (i0 + j) * V);
+                transpose16(blk);
+#if defined(__AVX512F__)
+                if (stream) {
+                  for (int j = 0; j < 16; ++j)
+                    _mm512_stream_ps(dst + kTr16Perm[j] * dist_out + i0,
+                                     (__m512)blk[j]);
+                  continue;
+                }
 #endif
-              for (int j = 0; j < 16; ++j)
-                *(Tv*)(dst + kTr16Perm[j] * dist_out + i0) = blk[j];
+                for (int j = 0; j < 16; ++j)
+                  *(Tv*)(dst + kTr16Perm[j] * dist_out + i0) = blk[j];
+              }
             }
+          } else {
+#if defined(__AVX512F__)
+            // Interleaved output: transpose both planes, then each row j
+            // interleaves into 32 consecutive floats — a pure streaming
+            // write pattern (no strided plane stores at all).
+            alignas(64) static const int kILo[16] = {0, 16, 1, 17, 2, 18,
+                                                     3, 19, 4, 20, 5, 21,
+                                                     6, 22, 7, 23};
+            alignas(64) static const int kIHi[16] = {8, 24, 9, 25, 10, 26,
+                                                     11, 27, 12, 28, 13,
+                                                     29, 14, 30, 15, 31};
+            const __m512i vl = _mm512_load_si512(kILo);
+            const __m512i vh = _mm512_load_si512(kIHi);
+            for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+              Tv blkR[16], blkI[16];
+              for (int j = 0; j < 16; ++j) {
+                blkR[j] = *(const Tv*)(res_re + (i0 + j) * V);
+                blkI[j] = *(const Tv*)(res_im + (i0 + j) * V);
+              }
+              transpose16(blkR);
+              transpose16(blkI);
+              for (int j = 0; j < 16; ++j) {
+                float* q = (float*)(dst_re + kTr16Perm[j] * dist_out * 2 +
+                                    2 * i0);
+                const __m512 lo = _mm512_permutex2var_ps(
+                    (__m512)blkR[j], vl, (__m512)blkI[j]);
+                const __m512 hi = _mm512_permutex2var_ps(
+                    (__m512)blkR[j], vh, (__m512)blkI[j]);
+                if (stream) {
+                  _mm512_stream_ps(q, lo);
+                  _mm512_stream_ps(q + 16, hi);
+                } else {
+                  _mm512_storeu_ps(q, lo);
+                  _mm512_storeu_ps(q + 16, hi);
+                }
+              }
+            }
+#endif
           }
 #if defined(__AVX512F__)
           if (stream) _mm_sfence();
@@ -828,12 +907,30 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
     {
       const Plan& splan = cached_plan(n, inverse);  // scalar-path radices
       for (int64_t c = groups * V; c < count; ++c) {
-        std::memcpy(s1a_re.data(), in_re + c * dist_in, sizeof(T) * n);
-        std::memcpy(s1a_im.data(), in_im + c * dist_in, sizeof(T) * n);
+        if constexpr (ES_IN == 1) {
+          std::memcpy(s1a_re.data(), in_re + c * dist_in, sizeof(T) * n);
+          std::memcpy(s1a_im.data(), in_im + c * dist_in, sizeof(T) * n);
+        } else {
+          const T* rr = in_re + c * dist_in * ES_IN;
+          const T* ri = in_im + c * dist_in * ES_IN;
+          for (int64_t i = 0; i < n; ++i) {
+            s1a_re[i] = rr[i * ES_IN];
+            s1a_im[i] = ri[i * ES_IN];
+          }
+        }
         transform_1d(splan, s1a_re.data(), s1a_im.data(), s1b_re.data(),
                      s1b_im.data(), scale, pscratch);
-        std::memcpy(out_re + c * dist_out, s1a_re.data(), sizeof(T) * n);
-        std::memcpy(out_im + c * dist_out, s1a_im.data(), sizeof(T) * n);
+        if constexpr (ES_OUT == 1) {
+          std::memcpy(out_re + c * dist_out, s1a_re.data(), sizeof(T) * n);
+          std::memcpy(out_im + c * dist_out, s1a_im.data(), sizeof(T) * n);
+        } else {
+          T* wr = out_re + c * dist_out * ES_OUT;
+          T* wi = out_im + c * dist_out * ES_OUT;
+          for (int64_t i = 0; i < n; ++i) {
+            wr[i * ES_OUT] = s1a_re[i];
+            wi[i * ES_OUT] = s1a_im[i];
+          }
+        }
       }
     }
   }
@@ -1025,9 +1122,161 @@ int fft_nd(const T* in_re, const T* in_im, T* out_re, T* out_im,
   return 0;
 }
 
+// Interleaved-complex <-> split-plane conversion. The engine's data model
+// is split planes (the same contract as the TPU path's SplitComplex), but
+// numpy users hand us interleaved complex buffers; converting through
+// numpy costs FOUR strided passes (x.real copy, x.imag copy, out.real
+// assign, out.imag assign — measured 327 + 381 ms around a ~700 ms
+// (1000000, 93) transform). One fused pass each way reads the interleaved
+// buffer once for both planes; -O3 -march=native vectorizes the stride-2
+// pattern with permute ops, and OpenMP splits the range on multicore.
+template <typename T>
+void split_c2p(const T* inter, T* re, T* im, int64_t n, int nthreads) {
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel
+#endif
+  {
+    int64_t lo = 0, hi = n;
+#ifdef _OPENMP
+    const int nt = omp_get_num_threads(), t = omp_get_thread_num();
+    const int64_t chunk = (n / nt + 15) & ~int64_t(15);
+    lo = t * chunk;
+    hi = std::min<int64_t>(n, lo + chunk);
+#endif
+    int64_t i = lo;
+#if defined(__AVX512F__)
+    if constexpr (sizeof(T) == 4) {
+      // Even/odd-lane deinterleave of 32 floats (16 complex) per step.
+      alignas(64) static const int kEven[16] = {0, 2, 4, 6, 8, 10, 12, 14,
+                                                16, 18, 20, 22, 24, 26, 28,
+                                                30};
+      alignas(64) static const int kOdd[16] = {1, 3, 5, 7, 9, 11, 13, 15,
+                                               17, 19, 21, 23, 25, 27, 29,
+                                               31};
+      const __m512i ve = _mm512_load_si512(kEven);
+      const __m512i vo = _mm512_load_si512(kOdd);
+      // Non-temporal plane stores skip the read-for-ownership — a third
+      // of the pass's traffic — when both targets sit on the same 64B
+      // phase (numpy's large allocations are 64B-aligned in practice).
+      const bool stream =
+          ((reinterpret_cast<uintptr_t>(re + lo) |
+            reinterpret_cast<uintptr_t>(im + lo)) & 63) == 0;
+      if (stream) {
+        for (; i + 16 <= hi; i += 16) {
+          const __m512 a = _mm512_loadu_ps((const float*)inter + 2 * i);
+          const __m512 b =
+              _mm512_loadu_ps((const float*)inter + 2 * i + 16);
+          _mm512_stream_ps((float*)re + i,
+                           _mm512_permutex2var_ps(a, ve, b));
+          _mm512_stream_ps((float*)im + i,
+                           _mm512_permutex2var_ps(a, vo, b));
+        }
+      } else {
+        for (; i + 16 <= hi; i += 16) {
+          const __m512 a = _mm512_loadu_ps((const float*)inter + 2 * i);
+          const __m512 b =
+              _mm512_loadu_ps((const float*)inter + 2 * i + 16);
+          _mm512_storeu_ps((float*)re + i,
+                           _mm512_permutex2var_ps(a, ve, b));
+          _mm512_storeu_ps((float*)im + i,
+                           _mm512_permutex2var_ps(a, vo, b));
+        }
+      }
+    }
+#endif
+    for (; i < hi; ++i) {
+      re[i] = inter[2 * i];
+      im[i] = inter[2 * i + 1];
+    }
+  }
+#if defined(__AVX512F__)
+  if constexpr (sizeof(T) == 4) _mm_sfence();
+#endif
+}
+
+template <typename T>
+void combine_p2c(const T* re, const T* im, T* inter, int64_t n,
+                 int nthreads) {
+#ifdef _OPENMP
+  if (nthreads > 0) omp_set_num_threads(nthreads);
+#pragma omp parallel
+#endif
+  {
+    int64_t lo = 0, hi = n;
+#ifdef _OPENMP
+    const int nt = omp_get_num_threads(), t = omp_get_thread_num();
+    const int64_t chunk = (n / nt + 15) & ~int64_t(15);
+    lo = t * chunk;
+    hi = std::min<int64_t>(n, lo + chunk);
+#endif
+    int64_t i = lo;
+#if defined(__AVX512F__)
+    if constexpr (sizeof(T) == 4) {
+      alignas(64) static const int kLo[16] = {0, 16, 1, 17, 2, 18, 3, 19,
+                                              4, 20, 5, 21, 6, 22, 7, 23};
+      alignas(64) static const int kHi[16] = {8, 24, 9, 25, 10, 26, 11, 27,
+                                              12, 28, 13, 29, 14, 30, 15,
+                                              31};
+      const __m512i vl = _mm512_load_si512(kLo);
+      const __m512i vh = _mm512_load_si512(kHi);
+      // Scalar head until the interleaved write target is 64B-aligned so
+      // the body can use non-temporal stores: the 2x-sized output stream
+      // is pure write traffic, and skipping its read-for-ownership is a
+      // third of the pass's bytes.
+      for (; i < hi &&
+             ((reinterpret_cast<uintptr_t>(inter + 2 * i) & 63) != 0);
+           ++i) {
+        inter[2 * i] = re[i];
+        inter[2 * i + 1] = im[i];
+      }
+      for (; i + 16 <= hi; i += 16) {
+        const __m512 a = _mm512_loadu_ps((const float*)re + i);
+        const __m512 b = _mm512_loadu_ps((const float*)im + i);
+        _mm512_stream_ps((float*)inter + 2 * i,
+                         _mm512_permutex2var_ps(a, vl, b));
+        _mm512_stream_ps((float*)inter + 2 * i + 16,
+                         _mm512_permutex2var_ps(a, vh, b));
+      }
+    }
+#endif
+    for (; i < hi; ++i) {
+      inter[2 * i] = re[i];
+      inter[2 * i + 1] = im[i];
+    }
+  }
+#if defined(__AVX512F__)
+  if constexpr (sizeof(T) == 4) _mm_sfence();
+#endif
+}
+
 }  // namespace
 
 extern "C" {
+
+int tpufft_split_c2p_f32(const float* inter, float* re, float* im,
+                         int64_t n, int nthreads) {
+  split_c2p<float>(inter, re, im, n, nthreads);
+  return 0;
+}
+
+int tpufft_split_c2p_f64(const double* inter, double* re, double* im,
+                         int64_t n, int nthreads) {
+  split_c2p<double>(inter, re, im, n, nthreads);
+  return 0;
+}
+
+int tpufft_combine_p2c_f32(const float* re, const float* im, float* inter,
+                           int64_t n, int nthreads) {
+  combine_p2c<float>(re, im, inter, n, nthreads);
+  return 0;
+}
+
+int tpufft_combine_p2c_f64(const double* re, const double* im,
+                           double* inter, int64_t n, int nthreads) {
+  combine_p2c<double>(re, im, inter, n, nthreads);
+  return 0;
+}
 
 int tpufft_fft_strided_f32(const float* in_re, const float* in_im,
                            float* out_re, float* out_im, int64_t count,
@@ -1045,6 +1294,30 @@ int tpufft_fft_strided_f64(const double* in_re, const double* in_im,
                            int nthreads) {
   return fft_strided<double>(in_re, in_im, out_re, out_im, count, n, stride,
                              dist_in, dist_out, inverse != 0, scale, nthreads);
+}
+
+// Interleaved-complex batched 1D (numpy's native layout): the
+// de/re-interleave rides inside the gather/scatter — no conversion
+// passes. Returns 2 when the shape isn't lane-batch eligible; the caller
+// then falls back to the split-plane path.
+int tpufft_fft_c64(const float* in, float* out, int64_t count, int64_t n,
+                   int64_t dist_in, int64_t dist_out, int inverse,
+                   double scale, int nthreads) {
+  if (!(n >= 1 && count >= 64 && (n <= 2048 || fourstep_split(n))))
+    return 2;
+  return fft_batched_v<float, 2, 2>(in, in + 1, out, out + 1, count, n,
+                                    dist_in, dist_out, inverse != 0, scale,
+                                    nthreads);
+}
+
+int tpufft_fft_c128(const double* in, double* out, int64_t count, int64_t n,
+                    int64_t dist_in, int64_t dist_out, int inverse,
+                    double scale, int nthreads) {
+  if (!(n >= 1 && count >= 64 && (n <= 2048 || fourstep_split(n))))
+    return 2;
+  return fft_batched_v<double, 2, 2>(in, in + 1, out, out + 1, count, n,
+                                     dist_in, dist_out, inverse != 0, scale,
+                                     nthreads);
 }
 
 int tpufft_fft_nd_f32(const float* in_re, const float* in_im, float* out_re,

@@ -220,3 +220,55 @@ def test_native_lines_fourstep_long_n(rng):
     got = native.ifftn(y)
     ref = np.fft.ifftn(y, axes=(1, 2))
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-3
+
+
+def test_native_interleaved_fast_path(rng):
+    """Contiguous complex input takes the interleaved engine entry
+    (tpufft_fft_c64/c128): the de/re-interleave rides inside the
+    gather/scatter with NO conversion passes. Non-contiguous or
+    mixed-width calls fall back to the split-plane path; both must give
+    the same answer."""
+    for n, cnt in [(93, 67), (256, 80), (1024, 70), (4096, 65)]:
+        x = (rng.standard_normal((cnt, n))
+             + 1j * rng.standard_normal((cnt, n)))
+        ref = np.fft.fft(x)
+        got = native.fft(x.astype(np.complex64))         # interleaved c64
+        g64 = native.fft(x, dtype=np.float64)            # interleaved c128
+        gv = native.fft(x[::2].astype(np.complex64))     # strided: fallback
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(got - ref)) / scale < 2e-6, n
+        assert np.max(np.abs(g64 - ref)) / scale < 1e-12, n
+        assert np.max(np.abs(gv - ref[::2])) / scale < 2e-6, n
+    # below the lane-batch count gate (count < 64) -> rc=2 fallback
+    xs = (rng.standard_normal((8, 128))
+          + 1j * rng.standard_normal((8, 128))).astype(np.complex64)
+    assert np.max(np.abs(native.fft(xs) - np.fft.fft(xs))) < 1e-3
+
+
+def test_native_split_combine_roundtrip(rng):
+    """The C split/combine conversion entries (AVX-512 de/interleave with
+    streaming stores) must be exact for any length, including misaligned
+    tails and the scalar head before the 64B-aligned body."""
+    lib = native._lib()
+    for total in (1, 7, 15, 16, 17, 1000, 9999):
+        x = (rng.standard_normal(total)
+             + 1j * rng.standard_normal(total)).astype(np.complex64)
+        re, im, pooled = native._planes(x, np.float32)
+        assert pooled
+        assert np.array_equal(re, x.real) and np.array_equal(im, x.imag)
+        assert np.array_equal(native._combine(re, im), x)
+        x64 = x.astype(np.complex128)
+        re, im, _ = native._planes(x64, np.float64)
+        assert np.array_equal(re, x64.real) and np.array_equal(im, x64.imag)
+        assert np.array_equal(native._combine(re, im), x64)
+
+
+def test_native_scratch_pool_reuse(rng):
+    """Pooled scratch planes must never leak stale data into results."""
+    x = (rng.standard_normal((70, 93))
+         + 1j * rng.standard_normal((70, 93))).astype(np.complex64)
+    first = native.fftn(x[:, None, :])   # ND path uses pooled planes
+    again = native.fftn(x[:, None, :])
+    assert np.array_equal(first, again)
+    ref = np.fft.fft(x)[:, None, :]
+    assert np.max(np.abs(first - ref)) / np.max(np.abs(ref)) < 2e-6

@@ -77,6 +77,20 @@ def _lib():
         fn = getattr(lib, name)
         fn.restype = i32
         fn.argtypes = [ptr, ptr, ptr, ptr, i64p, i32, i32, dbl, i32]
+    for name, ptr in (("tpufft_split_c2p_f32", f32p),
+                      ("tpufft_split_c2p_f64", f64p),
+                      ("tpufft_combine_p2c_f32", f32p),
+                      ("tpufft_combine_p2c_f64", f64p)):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = i32
+            fn.argtypes = [ptr, ptr, ptr, i64, i32]
+    for name, ptr in (("tpufft_fft_c64", f32p),
+                      ("tpufft_fft_c128", f64p)):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = i32
+            fn.argtypes = [ptr, ptr, i64, i64, i64, i64, i32, dbl, i32]
     lib.tpufft_num_threads.restype = i32
     lib.tpufft_num_threads.argtypes = []
     return lib
@@ -91,17 +105,69 @@ def num_threads() -> int:
     return int(lib.tpufft_num_threads()) if lib else 0
 
 
+_POOL: dict[tuple, list[np.ndarray]] = {}
+_POOL_CAP_BYTES = 4 << 30
+
+
+def _scratch(shape, dtype) -> np.ndarray:
+    """Reusable intermediate plane (input/output re/im). Fresh 400MB-class
+    np.empty buffers cost ~150 ms of first-touch page faults PER BUFFER on
+    every call (glibc munmaps them on free); recycling them across calls
+    keeps the pages warm. Only internal planes use the pool — arrays
+    returned to the caller are always freshly allocated."""
+    key = (tuple(shape), np.dtype(dtype).str)
+    lst = _POOL.get(key)
+    if lst:
+        return lst.pop()
+    return np.empty(shape, dtype)
+
+
+def _recycle(*arrays: np.ndarray) -> None:
+    total = sum(sum(a.nbytes for a in lst) for lst in _POOL.values())
+    for a in arrays:
+        if total + a.nbytes > _POOL_CAP_BYTES:
+            continue
+        _POOL.setdefault((a.shape, a.dtype.str), []).append(a)
+        total += a.nbytes
+
+
 def _planes(x: np.ndarray, dtype):
     x = np.asarray(x)
+    dtype = np.dtype(dtype)
     if np.issubdtype(x.dtype, np.complexfloating):
+        # Same-width contiguous complex: ONE fused C pass (the numpy
+        # .real/.imag route is two strided passes — 327 ms on (1M, 93)).
+        lib = _lib()
+        want = np.complex64 if dtype == np.float32 else np.complex128
+        if (lib is not None and x.dtype == want
+                and x.flags["C_CONTIGUOUS"]):
+            re = _scratch(x.shape, dtype)
+            im = _scratch(x.shape, dtype)
+            f32 = dtype == np.float32
+            fn = (lib.tpufft_split_c2p_f32 if f32
+                  else lib.tpufft_split_c2p_f64)
+            cptr = ctypes.POINTER(ctypes.c_float if f32
+                                  else ctypes.c_double)
+            fn(x.ctypes.data_as(cptr), re.ctypes.data_as(cptr),
+               im.ctypes.data_as(cptr), x.size, 0)
+            return re, im, True
         return (np.ascontiguousarray(x.real, dtype),
-                np.ascontiguousarray(x.imag, dtype))
-    return (np.ascontiguousarray(x, dtype), np.zeros(x.shape, dtype))
+                np.ascontiguousarray(x.imag, dtype), False)
+    return (np.ascontiguousarray(x, dtype), np.zeros(x.shape, dtype), False)
 
 
 def _combine(re: np.ndarray, im: np.ndarray) -> np.ndarray:
-    out = np.empty(re.shape,
-                   np.complex64 if re.dtype == np.float32 else np.complex128)
+    f32 = re.dtype == np.float32
+    out = np.empty(re.shape, np.complex64 if f32 else np.complex128)
+    lib = _lib()
+    if lib is not None and re.flags["C_CONTIGUOUS"] \
+            and im.flags["C_CONTIGUOUS"]:
+        fn = (lib.tpufft_combine_p2c_f32 if f32
+              else lib.tpufft_combine_p2c_f64)
+        cptr = ctypes.POINTER(ctypes.c_float if f32 else ctypes.c_double)
+        fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
+           out.ctypes.data_as(cptr), re.size, 0)
+        return out
     out.real, out.imag = re, im
     return out
 
@@ -127,11 +193,34 @@ def fft(x, *, inverse: bool = False, norm=None, dtype=np.float32,
     if lib is None:
         raise RuntimeError("native engine unavailable (no g++?)")
     dtype = np.dtype(dtype)
-    re, im = _planes(x, dtype)
+    # Interleaved fast path: numpy complex in/out straight through the
+    # engine's lane-batch gather/scatter — no plane conversion passes.
+    want = np.complex64 if dtype == np.float32 else np.complex128
+    xa = np.asarray(x)
+    if (xa.dtype == want and xa.flags["C_CONTIGUOUS"] and xa.ndim >= 1
+            and xa.shape[-1] >= 1):
+        n = xa.shape[-1]
+        count = xa.size // n
+        f32 = dtype == np.float32
+        cfn = getattr(lib, "tpufft_fft_c64" if f32 else "tpufft_fft_c128",
+                      None)
+        if cfn is not None:
+            out = np.empty(xa.shape, want)
+            cptr = ctypes.POINTER(ctypes.c_float if f32
+                                  else ctypes.c_double)
+            scale = _norm_scale(norm, n, inverse)
+            rc = cfn(xa.ctypes.data_as(cptr), out.ctypes.data_as(cptr),
+                     count, n, n, n, int(inverse), float(scale),
+                     _threads(nthreads))
+            if rc == 0:
+                return out
+            if rc != 2:  # 2 = shape not lane-batch eligible: fall back
+                raise RuntimeError(f"native fft failed (rc={rc})")
+    re, im, pooled = _planes(x, dtype)
     n = re.shape[-1]
     count = re.size // n
-    out_re = np.empty_like(re)
-    out_im = np.empty_like(im)
+    out_re = _scratch(re.shape, dtype)
+    out_im = _scratch(im.shape, dtype)
     fn = (lib.tpufft_fft_strided_f32 if dtype == np.float32
           else lib.tpufft_fft_strided_f64)
     cptr = ctypes.POINTER(ctypes.c_float if dtype == np.float32
@@ -142,7 +231,9 @@ def fft(x, *, inverse: bool = False, norm=None, dtype=np.float32,
             count, n, 1, n, n, int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fft failed (rc={rc})")
-    return _combine(out_re, out_im)
+    out = _combine(out_re, out_im)
+    _recycle(out_re, out_im, *((re, im) if pooled else ()))
+    return out
 
 
 def ifft(x, **kw) -> np.ndarray:
@@ -157,10 +248,10 @@ def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
     if lib is None:
         raise RuntimeError("native engine unavailable (no g++?)")
     dtype = np.dtype(dtype)
-    re, im = _planes(x, dtype)
+    re, im, pooled = _planes(x, dtype)
     dims = np.asarray(re.shape, np.int64)
-    out_re = np.empty_like(re)
-    out_im = np.empty_like(im)
+    out_re = _scratch(re.shape, dtype)
+    out_im = _scratch(im.shape, dtype)
     fn = (lib.tpufft_fft_nd_f32 if dtype == np.float32
           else lib.tpufft_fft_nd_f64)
     cptr = ctypes.POINTER(ctypes.c_float if dtype == np.float32
@@ -173,7 +264,9 @@ def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
             len(dims), int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fftn failed (rc={rc})")
-    return _combine(out_re, out_im)
+    out = _combine(out_re, out_im)
+    _recycle(out_re, out_im, *((re, im) if pooled else ()))
+    return out
 
 
 def ifftn(x, **kw) -> np.ndarray:
