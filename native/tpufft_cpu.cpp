@@ -1083,8 +1083,9 @@ int fft_strided(const T* in_re, const T* in_im, T* out_re, T* out_im,
 template <typename T>
 int fft_nd(const T* in_re, const T* in_im, T* out_re, T* out_im,
            const int64_t* dims, int rank, bool inverse, double scale,
-           int nthreads) {
+           int nthreads, bool skip_minor = false) {
   if (rank < 2) return 1;
+  if (skip_minor && rank < 3) return 1;  // nothing left to do
   int64_t total = 1;
   for (int i = 0; i < rank; ++i) total *= dims[i];
   // work in-place in `out` after one copy
@@ -1096,7 +1097,9 @@ int fft_nd(const T* in_re, const T* in_im, T* out_re, T* out_im,
   stride[rank - 1] = 1;
   for (int i = rank - 2; i >= 0; --i) stride[i] = stride[i + 1] * dims[i + 1];
 
-  for (int ax = rank - 1; ax >= 1; --ax) {
+  // skip_minor: the minor axis was already transformed by an
+  // interleaved-input lane-batch pass (tpufft_fft_c2p_*)
+  for (int ax = rank - 1 - (skip_minor ? 1 : 0); ax >= 1; --ax) {
     const int64_t n = dims[ax];
     const double ax_scale = (ax == 1) ? scale : 1.0;
     const int64_t st = stride[ax];
@@ -1332,6 +1335,42 @@ int tpufft_fft_nd_f64(const double* in_re, const double* in_im,
                       int rank, int inverse, double scale, int nthreads) {
   return fft_nd<double>(in_re, in_im, out_re, out_im, dims, rank, inverse != 0,
                         scale, nthreads);
+}
+
+// Minor-axis lane-batch transform reading interleaved complex input and
+// writing split planes — the first pass of an ND transform fused with the
+// input deinterleave. Pair with tpufft_fft_nd_*(..., skip_minor) via
+// tpufft_fft_nd_skipminor_*. Returns 2 when not lane-batch eligible.
+int tpufft_fft_c2p_f32(const float* inter, float* out_re, float* out_im,
+                       int64_t count, int64_t n, int inverse, double scale,
+                       int nthreads) {
+  if (!(n >= 1 && count >= 64 && (n <= 2048 || fourstep_split(n))))
+    return 2;
+  return fft_batched_v<float, 2, 1>(inter, inter + 1, out_re, out_im, count,
+                                    n, n, n, inverse != 0, scale, nthreads);
+}
+
+int tpufft_fft_c2p_f64(const double* inter, double* out_re, double* out_im,
+                       int64_t count, int64_t n, int inverse, double scale,
+                       int nthreads) {
+  if (!(n >= 1 && count >= 64 && (n <= 2048 || fourstep_split(n))))
+    return 2;
+  return fft_batched_v<double, 2, 1>(inter, inter + 1, out_re, out_im, count,
+                                     n, n, n, inverse != 0, scale, nthreads);
+}
+
+int tpufft_fft_nd_skipminor_f32(float* re, float* im, const int64_t* dims,
+                                int rank, int inverse, double scale,
+                                int nthreads) {
+  return fft_nd<float>(re, im, re, im, dims, rank, inverse != 0, scale,
+                       nthreads, /*skip_minor=*/true);
+}
+
+int tpufft_fft_nd_skipminor_f64(double* re, double* im, const int64_t* dims,
+                                int rank, int inverse, double scale,
+                                int nthreads) {
+  return fft_nd<double>(re, im, re, im, dims, rank, inverse != 0, scale,
+                        nthreads, /*skip_minor=*/true);
 }
 
 int tpufft_num_threads() {

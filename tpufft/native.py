@@ -91,6 +91,18 @@ def _lib():
         if fn is not None:
             fn.restype = i32
             fn.argtypes = [ptr, ptr, i64, i64, i64, i64, i32, dbl, i32]
+    for name, ptr in (("tpufft_fft_c2p_f32", f32p),
+                      ("tpufft_fft_c2p_f64", f64p)):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = i32
+            fn.argtypes = [ptr, ptr, ptr, i64, i64, i32, dbl, i32]
+    for name, ptr in (("tpufft_fft_nd_skipminor_f32", f32p),
+                      ("tpufft_fft_nd_skipminor_f64", f64p)):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = i32
+            fn.argtypes = [ptr, ptr, i64p, i32, i32, dbl, i32]
     lib.tpufft_num_threads.restype = i32
     lib.tpufft_num_threads.argtypes = []
     return lib
@@ -248,24 +260,59 @@ def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
     if lib is None:
         raise RuntimeError("native engine unavailable (no g++?)")
     dtype = np.dtype(dtype)
+    f32 = dtype == np.float32
+    cptr = ctypes.POINTER(ctypes.c_float if f32 else ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    xa = np.asarray(x)
+    want = np.complex64 if f32 else np.complex128
+    n_total = int(np.prod(xa.shape[1:]))
+    scale = _norm_scale(norm, n_total, inverse)
+    # Interleaved fast path: the minor-axis pass reads the complex input
+    # directly (deinterleave fused into the gather), the remaining axes
+    # run in place on pooled planes — saves the split pass AND the
+    # nd-entry's initial plane copy.
+    if (xa.dtype == want and xa.flags["C_CONTIGUOUS"] and xa.ndim >= 3):
+        c2p = getattr(lib, "tpufft_fft_c2p_f32" if f32
+                      else "tpufft_fft_c2p_f64", None)
+        ndsm = getattr(lib, "tpufft_fft_nd_skipminor_f32" if f32
+                       else "tpufft_fft_nd_skipminor_f64", None)
+        if c2p is not None and ndsm is not None:
+            n = xa.shape[-1]
+            re = _scratch(xa.shape, dtype)
+            im = _scratch(xa.shape, dtype)
+            rc = c2p(xa.ctypes.data_as(cptr), re.ctypes.data_as(cptr),
+                     im.ctypes.data_as(cptr), xa.size // n, n,
+                     int(inverse), 1.0, _threads(nthreads))
+            if rc == 0:
+                dims = np.asarray(xa.shape, np.int64)
+                rc = ndsm(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
+                          dims.ctypes.data_as(i64p), len(dims),
+                          int(inverse), float(scale), _threads(nthreads))
+                if rc:
+                    raise RuntimeError(f"native fftn failed (rc={rc})")
+                out = _combine(re, im)
+                _recycle(re, im)
+                return out
+            if rc != 2:
+                raise RuntimeError(f"native fftn failed (rc={rc})")
     re, im, pooled = _planes(x, dtype)
     dims = np.asarray(re.shape, np.int64)
-    out_re = _scratch(re.shape, dtype)
-    out_im = _scratch(im.shape, dtype)
-    fn = (lib.tpufft_fft_nd_f32 if dtype == np.float32
-          else lib.tpufft_fft_nd_f64)
-    cptr = ctypes.POINTER(ctypes.c_float if dtype == np.float32
-                          else ctypes.c_double)
-    n_total = int(np.prod(dims[1:]))
-    scale = _norm_scale(norm, n_total, inverse)
+    fn = lib.tpufft_fft_nd_f32 if f32 else lib.tpufft_fft_nd_f64
+    if pooled:
+        # planes are disposable scratch: transform in place (the nd entry
+        # skips its initial copy when in == out)
+        out_re, out_im = re, im
+    else:
+        out_re = _scratch(re.shape, dtype)
+        out_im = _scratch(im.shape, dtype)
     rc = fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
             out_re.ctypes.data_as(cptr), out_im.ctypes.data_as(cptr),
-            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dims.ctypes.data_as(i64p),
             len(dims), int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fftn failed (rc={rc})")
     out = _combine(out_re, out_im)
-    _recycle(out_re, out_im, *((re, im) if pooled else ()))
+    _recycle(out_re, out_im)
     return out
 
 
