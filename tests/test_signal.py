@@ -1,0 +1,215 @@
+"""signal module: fused circular filters and scipy-compatible fftconvolve.
+
+The filter plan folds fft -> diag(H) -> ifft into ONE circulant-matrix
+matmul (kernels/mxu_fft.build_minor_dense); these tests pin it against the
+explicit three-step numpy pipeline on both the XLA path and the fused
+kernel path (interpret mode), plus scipy.signal oracles for fftconvolve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as ss
+
+import tpufft
+from tpufft import PlanConfig, SplitComplex
+
+CFG_KERNEL = PlanConfig(interpret=True)
+CFG_XLA = PlanConfig(backend="xla")
+
+
+@pytest.mark.parametrize("cfg", [CFG_KERNEL, CFG_XLA],
+                         ids=["kernel", "xla"])
+@pytest.mark.parametrize("n", [16, 93, 128, 480])
+def test_filter_matches_fft_pipeline(rng, cfg, n):
+    x = rng.standard_normal((7, n)) + 1j * rng.standard_normal((7, n))
+    H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ref = np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
+    plan = tpufft.plan_filter(n, response=H, config=cfg)
+    got = plan(x.astype(np.complex64))
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-3, n
+
+
+def test_filter_impulse_equals_response(rng):
+    n = 64
+    h = rng.standard_normal(n)
+    x = rng.standard_normal((5, n)) + 1j * rng.standard_normal((5, n))
+    p1 = tpufft.plan_filter(n, impulse=h, config=CFG_XLA)
+    p2 = tpufft.plan_filter(n, response=np.fft.fft(h), config=CFG_XLA)
+    a = np.asarray(p1(x.astype(np.complex64)))
+    b = np.asarray(p2(x.astype(np.complex64)))
+    assert np.max(np.abs(a - b)) < 1e-3
+
+
+@pytest.mark.parametrize("cfg", [CFG_KERNEL, CFG_XLA],
+                         ids=["kernel", "xla"])
+def test_filter_real_hermitian_returns_real(rng, cfg):
+    n = 128
+    h = rng.standard_normal(n)          # real impulse -> Hermitian H
+    x = rng.standard_normal((6, n)).astype(np.float32)
+    plan = tpufft.plan_filter(n, impulse=h, config=cfg)
+    got = plan(x)
+    assert not np.iscomplexobj(np.asarray(got))
+    ref = np.fft.ifft(np.fft.fft(x, axis=-1) * np.fft.fft(h), axis=-1).real
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(np.asarray(got) - ref)) / scale < 1e-3
+
+
+def test_filter_middle_axis(rng):
+    n = 32
+    H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = rng.standard_normal((4, n, 9)) + 1j * rng.standard_normal((4, n, 9))
+    plan = tpufft.plan_filter(n, response=H, axis=1, config=CFG_XLA)
+    got = np.asarray(plan(x.astype(np.complex64)))
+    ref = np.fft.ifft(np.fft.fft(x, axis=1) * H[None, :, None], axis=1)
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-3
+
+
+def test_filter_splitcomplex_and_c128(rng):
+    n = 64
+    H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = rng.standard_normal((5, n)) + 1j * rng.standard_normal((5, n))
+    ref = np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
+    plan = tpufft.plan_filter(n, response=H, config=CFG_XLA)
+    sc = plan(SplitComplex(jnp.asarray(x.real, jnp.float32),
+                           jnp.asarray(x.imag, jnp.float32)))
+    assert isinstance(sc, SplitComplex)
+    got = np.asarray(sc.re) + 1j * np.asarray(sc.im)
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-3
+    # complex128 keeps the f64 tier on CPU
+    got128 = np.asarray(plan(x))
+    assert np.max(np.abs(got128 - ref)) / scale < 1e-10
+
+
+def test_filter_grad(rng):
+    n = 32
+    H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    plan = tpufft.plan_filter(n, response=H, config=CFG_KERNEL)
+    xr = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+
+    def loss(re, im):
+        out = plan(SplitComplex(re, im))
+        return jnp.sum(out.re ** 2 + out.im ** 2)
+
+    gr, gi = jax.grad(loss, argnums=(0, 1))(xr, xi)
+    # finite-difference check on one coordinate
+    eps = 1e-3
+    bumped = xr.at[0, 3].add(eps)
+    fd = (loss(bumped, xi) - loss(xr, xi)) / eps
+    assert abs(float(gr[0, 3]) - float(fd)) < 5e-2 * max(
+        1.0, abs(float(fd)))
+
+
+def test_filter_errors(rng):
+    with pytest.raises(ValueError):
+        tpufft.plan_filter(8)                        # neither given
+    with pytest.raises(ValueError):
+        tpufft.plan_filter(8, response=np.ones(8), impulse=np.ones(8))
+    with pytest.raises(ValueError):
+        tpufft.plan_filter(8, response=np.ones(7))   # wrong length
+    plan = tpufft.plan_filter(8, response=np.ones(8), config=CFG_XLA)
+    with pytest.raises(ValueError):
+        plan(np.ones((3, 9), np.complex64))          # axis length mismatch
+
+
+# ----------------------------------------------------------------------------
+# fftconvolve
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_fftconvolve_1d(rng, mode):
+    a = rng.standard_normal(57)
+    b = rng.standard_normal(12)
+    ref = ss.fftconvolve(a, b, mode=mode)
+    got = tpufft.fftconvolve(a, b, mode=mode)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-8 * max(1.0, np.max(np.abs(ref)))
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_fftconvolve_2d(rng, mode):
+    a = rng.standard_normal((23, 17))
+    b = rng.standard_normal((5, 4))
+    ref = ss.fftconvolve(a, b, mode=mode)
+    got = tpufft.fftconvolve(a, b, mode=mode)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-8 * max(1.0, np.max(np.abs(ref)))
+
+
+def test_fftconvolve_complex(rng):
+    a = rng.standard_normal(40) + 1j * rng.standard_normal(40)
+    b = rng.standard_normal(9) + 1j * rng.standard_normal(9)
+    ref = ss.fftconvolve(a, b)
+    got = tpufft.fftconvolve(a, b)
+    assert np.max(np.abs(got - ref)) < 1e-8 * max(1.0, np.max(np.abs(ref)))
+
+
+def test_fftconvolve_axes_batch(rng):
+    # batch axis excluded from convolution (scipy axes semantics)
+    a = rng.standard_normal((3, 50))
+    b = rng.standard_normal((3, 7))
+    ref = ss.fftconvolve(a, b, mode="same", axes=[1])
+    got = tpufft.fftconvolve(a, b, mode="same", axes=[1])
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-8 * max(1.0, np.max(np.abs(ref)))
+    # broadcasting: one batch dim of 1
+    b1 = rng.standard_normal((1, 7))
+    ref = ss.fftconvolve(a, b1, mode="full", axes=[1])
+    got = tpufft.fftconvolve(a, b1, mode="full", axes=[1])
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-8 * max(1.0, np.max(np.abs(ref)))
+
+
+def test_fftconvolve_valid_swapped(rng):
+    # in2 larger than in1: scipy swaps internally for valid
+    a = rng.standard_normal(6)
+    b = rng.standard_normal(20)
+    ref = ss.fftconvolve(a, b, mode="valid")
+    got = tpufft.fftconvolve(a, b, mode="valid")
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-8 * max(1.0, np.max(np.abs(ref)))
+
+
+def test_fftconvolve_errors(rng):
+    with pytest.raises(ValueError):
+        tpufft.fftconvolve(np.ones((3, 3)), np.ones(3))   # ndim mismatch
+    with pytest.raises(ValueError):
+        tpufft.fftconvolve(np.ones(4), np.ones(4), mode="bogus")
+    with pytest.raises(ValueError):
+        # non-convolved axis lengths incompatible
+        tpufft.fftconvolve(np.ones((3, 5)), np.ones((2, 5)), axes=[1])
+
+
+@pytest.mark.parametrize("cfg", [CFG_KERNEL, CFG_XLA],
+                         ids=["kernel", "xla"])
+def test_filter_long_axis_composed_path(rng, cfg):
+    """Axes past FILTER_DENSE_MAX_N compose fft -> H -> ifft inside the
+    plan's jit instead of the O(n^2) dense matmul (measured crossover:
+    dense loses by ~2x at n=1024)."""
+    from tpufft.signal import FILTER_DENSE_MAX_N
+    n = 1024
+    assert n > FILTER_DENSE_MAX_N
+    H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = rng.standard_normal((5, n)) + 1j * rng.standard_normal((5, n))
+    ref = np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
+    plan = tpufft.plan_filter(n, response=H, config=cfg)
+    assert plan._kernel is None  # dense kernel not built for long axes
+    got = np.asarray(plan(x.astype(np.complex64)))
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-3
+    # composed path is differentiable end-to-end
+    xr = jnp.asarray(x.real[:2], jnp.float32)
+    xi = jnp.asarray(x.imag[:2], jnp.float32)
+
+    def loss(re, im):
+        out = plan(SplitComplex(re, im))
+        return jnp.sum(out.re ** 2 + out.im ** 2)
+
+    gr, gi = jax.grad(loss, argnums=(0, 1))(xr, xi)
+    assert np.all(np.isfinite(np.asarray(gr)))
+    assert np.all(np.isfinite(np.asarray(gi)))

@@ -4,8 +4,8 @@ Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
 manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
 Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
 lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
-+ 2 Bluestein primes = 57. Last full pass: see RESULT line in the most
-recent run log / working notes."""
++ 3 fused-filter lengths + 2 Bluestein primes = 60. Last full pass: see
+RESULT line in the most recent run log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -111,6 +111,21 @@ for shape in ((7, 64, 64, 64), (3, 16, 32, 128), (2, 8, 64, 64, 64)):
     ref = np.fft.fftn(x, axes=axes)
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"cube {shape}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    fails += err >= 1e-3
+
+# fused circulant filter kernel (signal.plan_filter: one dense-matmul
+# pass via build_minor_dense — Mosaic-only geometry)
+for n in (93, 128, 480):
+    H = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    x = (rng.standard_normal((96, n)) + 1j * rng.standard_normal((96, n))
+         ).astype(np.complex64)
+    plan = tpufft.plan_filter(n, response=H)
+    got = np.asarray(plan(x))
+    ref = np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
+    scale = max(1.0, float(np.max(np.abs(ref))))
+    err = np.max(np.abs(got - ref)) / scale
+    print(f"filter {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
     fails += err >= 1e-3
 

@@ -31,6 +31,7 @@ from .realtrans import (
 )
 from .fhtlog import fht, ifht, fhtoffset
 from .backend import set_workers, get_workers, scipy_backend
+from .signal import FilterPlan, fftconvolve, plan_filter
 
 __version__ = "0.3.0"
 
@@ -44,6 +45,7 @@ __all__ = [
     "dct", "idct", "dst", "idst",
     "dctn", "idctn", "dstn", "idstn",
     "fht", "ifht", "fhtoffset",
+    "FilterPlan", "plan_filter", "fftconvolve",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "set_workers", "get_workers", "scipy_backend",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",

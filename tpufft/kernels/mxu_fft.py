@@ -551,6 +551,62 @@ def _build_minor_rect(m_in: int, m_out: int, den: int, inverse: bool,
     return run
 
 
+def build_minor_dense(wr: np.ndarray, wi: np.ndarray, bblk: int,
+                      precision: str, interpret: bool, storage: str = "f32"):
+    """(batch, m_in) -> (batch, m_out): one fused complex matmul with an
+    ARBITRARY host-provided (m_in, m_out) matrix — the execution engine
+    for plan-time-fused spectral pipelines (``signal.plan_filter``
+    collapses fft -> diag(H) -> ifft into a single circulant matrix, so a
+    whole filtering pipeline costs ONE HBM pass instead of three).
+    Same kernel geometry as the rectangular pad-DFT kernel
+    (_build_minor_rect); not lru-cached — callers own the closure."""
+    m_in, m_out = int(wr.shape[0]), int(wr.shape[1])
+    tables = _prep_w((np.ascontiguousarray(wr, np.float32),
+                      np.ascontiguousarray(wi, np.float32)), precision)
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft minor-dense: (%d -> %d) bblk=%d precision=%s "
+                 "storage=%s", m_in, m_out, bblk, precision, storage)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        xr_ref, xi_ref, or_ref, oi_ref = refs[len(tables):]
+        w = tuple(r[:] for r in t_refs)
+        zr, zi = _cmm_right(precision, w, _load_f32(xr_ref),
+                            _load_f32(xi_ref))
+        or_ref[:] = zr.astype(or_ref.dtype)
+        oi_ref[:] = zi.astype(oi_ref.dtype)
+
+    din = pl.BlockSpec((bblk, m_in), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((bblk, m_out), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        return pl.BlockSpec(t.shape, (lambda i: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    def run(ar, ai):
+        batch = ar.shape[0]
+        params = {}
+        if not interpret:
+            # bblk=512 tiles of n=1024 plus the bf16 table splits exceed
+            # the 16MB default scoped-vmem budget; raise it like the
+            # other big-tile kernels (v5e has 128 MiB physical VMEM)
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(batch, bblk),),
+            in_specs=[tspec(t) for t in tables] + [din, din],
+            out_specs=[dout, dout],
+            out_shape=[jax.ShapeDtypeStruct((batch, m_out), out_dt)] * 2,
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in tables], ar, ai)
+
+    return run
+
+
 def _pack_tables(n: int, inverse: bool, scale: float, precision: str):
     """Flat host-table tuple + an unpacker reconstructing the logical
     (W-groups, twiddle) structure from the kernel's refs."""
