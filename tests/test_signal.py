@@ -213,3 +213,25 @@ def test_filter_long_axis_composed_path(rng, cfg):
     gr, gi = jax.grad(loss, argnums=(0, 1))(xr, xi)
     assert np.all(np.isfinite(np.asarray(gr)))
     assert np.all(np.isfinite(np.asarray(gi)))
+
+
+def test_filter_real_kernel_grad(rng):
+    """The real-matrix dense path (single real matmul) is differentiable
+    with the transposed-matrix VJP."""
+    n = 64
+    h = rng.standard_normal(n)
+    plan = tpufft.plan_filter(n, impulse=h, config=CFG_KERNEL)
+    assert plan._kernel_real is not None
+    x = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+
+    def loss(v):
+        return jnp.sum(plan(v) ** 2)
+
+    g = jax.grad(loss)(x)
+    # dense reference: y = x @ C  ->  dL/dx = 2 y C^T (finite differences
+    # are useless here — the f32 loss is too large for a 1e-3 step)
+    C = plan._cr
+    y = np.asarray(x) @ C
+    gref = 2.0 * y @ C.T
+    assert np.max(np.abs(np.asarray(g) - gref)) < 1e-2 * max(
+        1.0, float(np.max(np.abs(gref))))

@@ -607,6 +607,58 @@ def build_minor_dense(wr: np.ndarray, wi: np.ndarray, bblk: int,
     return run
 
 
+def build_minor_dense_real(mat: np.ndarray, bblk: int, precision: str,
+                           interpret: bool, storage: str = "f32"):
+    """(batch, m_in) real -> (batch, m_out) real: one fused matmul with an
+    arbitrary host-provided REAL matrix — the half-cost form of
+    ``build_minor_dense`` for real-input pipelines whose matrix is real
+    (a Hermitian-response filter: real impulse -> real circulant)."""
+    m_in, m_out = int(mat.shape[0]), int(mat.shape[1])
+    tables = _prep_real(np.ascontiguousarray(mat, np.float32), precision)
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft minor-dense-real: (%d -> %d) bblk=%d "
+                 "precision=%s", m_in, m_out, bblk, precision)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        x_ref, o_ref = refs[len(tables):]
+        w = tuple(r[:] for r in t_refs)
+        x = _load_f32(x_ref)
+        if precision == "bf16x3":
+            xh, xl = _split_bf16(x)
+        else:
+            xh, xl = x, None
+        o_ref[:] = _rdot3(w, precision, xh, xl, right=True).astype(
+            o_ref.dtype)
+
+    din = pl.BlockSpec((bblk, m_in), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    dout = pl.BlockSpec((bblk, m_out), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        return pl.BlockSpec(t.shape, (lambda i: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    def run(x):
+        batch = x.shape[0]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(batch, bblk),),
+            in_specs=[tspec(t) for t in tables] + [din],
+            out_specs=dout,
+            out_shape=jax.ShapeDtypeStruct((batch, m_out), out_dt),
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in tables], x)
+
+    return run
+
+
 def _pack_tables(n: int, inverse: bool, scale: float, precision: str):
     """Flat host-table tuple + an unpacker reconstructing the logical
     (W-groups, twiddle) structure from the kernel's refs."""

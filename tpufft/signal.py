@@ -71,14 +71,26 @@ class FilterPlan:
         self._real_matrix = bool(np.max(np.abs(self._ci)) < 1e-12 * max(
             1.0, float(np.max(np.abs(self._cr)))))
         self._kernel = None
+        self._kernel_real = None
         if self._use_dense() and self._kernel_backend():
             self._kernel = mxu_fft.build_minor_dense(
                 self._cr.astype(np.float32), self._ci.astype(np.float32),
                 512, config.precision, bool(config.interpret))
+            if self._real_matrix:
+                # Hermitian response on real input: the circulant is real,
+                # so the whole filter is ONE real matmul — half the MXU
+                # work and half the input traffic of the complex form.
+                self._kernel_real = mxu_fft.build_minor_dense_real(
+                    self._cr.astype(np.float32), 512, config.precision,
+                    bool(config.interpret))
         self._diff = self._make_diff()
+        self._diff_real = (self._make_diff_real()
+                           if self._real_matrix and self._use_dense()
+                           else None)
         # jit the whole plane application (moveaxis + reshape + kernel):
         # eager dispatch pays per-op host->device round-trips
         self._apply_jit = jax.jit(self._apply_planes_impl)
+        self._apply_real_jit = jax.jit(self._apply_real_impl)
 
     def _kernel_backend(self) -> bool:
         from .execute import _is_tpu_backend
@@ -145,7 +157,39 @@ class FilterPlan:
 
         return f
 
+    def _make_diff_real(self):
+        cr32 = jnp.asarray(self._cr, jnp.float32)
+        kernel = self._kernel_real
+
+        @jax.custom_vjp
+        def f(x):
+            if kernel is not None:
+                return kernel(x)
+            return jnp.dot(x, cr32)
+
+        def fwd(x):
+            return f(x), None
+
+        def bwd(_, g):
+            return (jnp.dot(g, cr32.T),)
+
+        f.defvjp(fwd, bwd)
+        return f
+
     # -- application ---------------------------------------------------------
+
+    def _apply_real_impl(self, x):
+        axis = self.axis % x.ndim
+        moved = axis != x.ndim - 1
+        if moved:
+            x = jnp.moveaxis(x, axis, -1)
+        lead = x.shape[:-1]
+        flat = math.prod(lead) if lead else 1
+        y = self._diff_real(x.reshape(flat, self.n).astype(jnp.float32))
+        y = y.reshape(lead + (self.n,))
+        if moved:
+            y = jnp.moveaxis(y, -1, axis)
+        return y
 
     def _apply_planes(self, re, im):
         if re.shape[self.axis % re.ndim] != self.n:
@@ -201,12 +245,21 @@ class FilterPlan:
             yr, yi = self._apply_planes(jnp.real(xj), jnp.imag(xj))
             return yr.astype(jnp.complex64) + 1j * yi.astype(jnp.complex64)
         # real input: if the filter matrix is real the output is real
-        yr, yi = self._apply_planes(xj, jnp.zeros_like(xj))
         if self._real_matrix:
+            if xj.shape[self.axis % xj.ndim] != self.n:
+                raise ValueError(
+                    f"filter length {self.n} != axis length "
+                    f"{xj.shape[self.axis % xj.ndim]}")
+            if self._diff_real is not None:
+                # single REAL matmul — no imaginary plane at all
+                yr = self._apply_real_jit(xj.astype(jnp.float32))
+            else:
+                yr, _ = self._apply_planes(xj, jnp.zeros_like(xj))
             out = yr.astype(xj.dtype if jnp.issubdtype(xj.dtype,
                                                        jnp.floating)
                             else jnp.float32)
             return np.asarray(out) if is_np else out
+        yr, yi = self._apply_planes(xj, jnp.zeros_like(xj))
         y = yr.astype(jnp.complex64) + 1j * yi.astype(jnp.complex64)
         return np.asarray(y) if is_np else y
 
