@@ -4,8 +4,9 @@ Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
 manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
 Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
 lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
-+ 3 fused-filter lengths + 2 Bluestein primes = 60. Last full pass: see
-RESULT line in the most recent run log / working notes."""
++ 3 fused-filter lengths + 5 DCT/DST cases + 2 fht cases + 2 Bluestein
+primes = 67. Last full pass: see RESULT line in the most recent run
+log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -126,6 +127,32 @@ for n in (93, 128, 480):
     scale = max(1.0, float(np.max(np.abs(ref))))
     err = np.max(np.abs(got - ref)) / scale
     print(f"filter {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    fails += err >= 1e-3
+
+# DCT/DST r2r matmul kernels on-chip (types x norms sample)
+import scipy.fft as _sf
+for kind, type_, n in (("dct", 2, 128), ("dct", 3, 93), ("dst", 2, 256),
+                       ("dct", 1, 480), ("dst", 4, 64)):
+    x = rng.standard_normal((96, n)).astype(np.float32)
+    fn = getattr(tpufft, kind)
+    ref = getattr(_sf, kind)(x.astype(np.float64), type=type_, axis=-1,
+                             norm="ortho")
+    got = np.asarray(fn(x, type=type_, axis=-1, norm="ortho"))
+    err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+    print(f"{kind}{type_} {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    fails += err >= 1e-3
+
+# fast Hankel transform (FFTLog on the r2c/c2r kernel path)
+for n, mu in ((128, 0.0), (256, 0.5)):
+    r = np.logspace(-2, 2, n)
+    dln = float(np.log(r[1] / r[0]))
+    a = (r ** 1.5 * np.exp(-r)).astype(np.float64)
+    ref = _sf.fht(a, dln, mu=mu)
+    got = np.asarray(tpufft.fht(a.astype(np.float32), dln, mu=mu))
+    err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+    print(f"fht n={n} mu={mu}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
     fails += err >= 1e-3
 
