@@ -67,12 +67,23 @@ def main() -> None:
         return
 
     for name, plan in plans.items():
-        times = []
-        for _ in range(args.iters):
+        # amortized chained timing: the tunnel RTT (25-40 ms, drifting)
+        # dwarfs per-iteration sync costs, so chain the dispatches and
+        # subtract a freshly-sampled RTT (same method as bench.py)
+        o = plan(x)
+        t0 = time.perf_counter()
+        for _ in range(6):
+            float(o.re[-1, -1])
+        rtt = (time.perf_counter() - t0) / 6
+        best = float("inf")
+        for _ in range(3):
+            o = x
             t0 = time.perf_counter()
-            _sync(plan(x))
-            times.append(time.perf_counter() - t0)
-        ms = min(times) * 1e3
+            for _ in range(args.iters):
+                o = plan(o)
+            _sync(o)
+            best = min(best, (time.perf_counter() - t0 - rtt) / args.iters)
+        ms = best * 1e3
         gbps = (2 * 2 * 4 * SHAPE[0] * SHAPE[1]) / (ms * 1e-3) / 1e9
         print(f"{name:16s}: {ms:8.3f} ms  {gbps:5.0f} GB/s(model)")
 
