@@ -134,3 +134,69 @@ def test_hfft_split_input(rng):
 def test_ifft_real_input(rng):
     x = rng.standard_normal((3, 12))
     assert_spectrum_close(tpufft.ifft(x), np.fft.ifft(x), np.complex128)
+
+
+class TestMidPair:
+    """Fused middle-pair kernel: axes (ndim-3, ndim-2) with the minor dim
+    untransformed (the channels-last spectral-conv layout)."""
+
+    def test_matches_oracle_and_dispatches(self, rng, caplog):
+        import logging
+        cfg = tpufft.PlanConfig(interpret=True)
+        x = (rng.standard_normal((2, 24, 16, 128))
+             + 1j * rng.standard_normal((2, 24, 16, 128))
+             ).astype(np.complex64)
+        with caplog.at_level(logging.DEBUG, logger="tpufft"):
+            got = np.asarray(tpufft.fftn(x, axes=(1, 2), config=cfg))
+        assert any("mid-pair" in r.message for r in caplog.records)
+        ref = np.fft.fftn(x, axes=(1, 2))
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-3
+
+    def test_norms_and_inverse(self, rng):
+        cfg = tpufft.PlanConfig(interpret=True)
+        x = (rng.standard_normal((3, 40, 64, 256))
+             + 1j * rng.standard_normal((3, 40, 64, 256))
+             ).astype(np.complex64)
+        for norm in (None, "ortho", "forward"):
+            got = np.asarray(tpufft.ifftn(x, axes=(1, 2), norm=norm,
+                                          config=cfg))
+            ref = np.fft.ifftn(x, axes=(1, 2), norm=norm)
+            scale = max(1.0, np.max(np.abs(ref)))
+            assert np.max(np.abs(got - ref)) / scale < 1e-3, norm
+
+    def test_misaligned_minor_stays_per_axis(self, rng, caplog):
+        """A non-128-multiple minor dim must NOT take the fused view (the
+        flatten would physically repack the padded layout)."""
+        import logging
+        cfg = tpufft.PlanConfig(interpret=True)
+        x = (rng.standard_normal((2, 24, 16, 48))
+             + 1j * rng.standard_normal((2, 24, 16, 48))
+             ).astype(np.complex64)
+        with caplog.at_level(logging.DEBUG, logger="tpufft"):
+            got = np.asarray(tpufft.fftn(x, axes=(1, 2), config=cfg))
+        assert not any("mid-pair" in r.message for r in caplog.records)
+        ref = np.fft.fftn(x, axes=(1, 2))
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-3
+
+    def test_grad(self, rng):
+        import jax
+        import jax.numpy as jnp
+        cfg = tpufft.PlanConfig(interpret=True)
+        plan = tpufft.plan_fft((1, 8, 16, 128), jnp.complex64, axes=(1, 2),
+                               config=cfg)
+        xr = jnp.asarray(rng.standard_normal((1, 8, 16, 128)), jnp.float32)
+        xi = jnp.zeros_like(xr)
+
+        def loss(re):
+            out = plan(tpufft.SplitComplex(re, xi))
+            return jnp.sum(out.re ** 2 + out.im ** 2)
+
+        g = jax.grad(loss)(xr)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # Parseval: d/dx sum|FFT x|^2 = 2 N x for unnormalized forward
+        n_tot = 8 * 16
+        ref = 2.0 * n_tot * np.asarray(xr)
+        scale = max(1.0, float(np.max(np.abs(ref))))
+        assert np.max(np.abs(np.asarray(g) - ref)) / scale < 1e-3

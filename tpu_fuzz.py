@@ -4,9 +4,9 @@ Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
 manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
 Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
 lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
-+ 3 fused-filter lengths + 5 DCT/DST cases + 2 fht cases + 2 Bluestein
-primes = 67. Last full pass: see RESULT line in the most recent run
-log / working notes."""
++ 2 mid-pair shapes + 3 fused-filter lengths + 5 DCT/DST cases + 2 fht
+cases + 2 Bluestein primes = 69. Last full pass: see RESULT line in the
+most recent run log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -112,6 +112,18 @@ for shape in ((7, 64, 64, 64), (3, 16, 32, 128), (2, 8, 64, 64, 64)):
     ref = np.fft.fftn(x, axes=axes)
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"cube {shape}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    fails += err >= 1e-3
+
+# fused middle-pair kernel (channels-last layout: fft over the two axes
+# BEFORE an untransformed 128-multiple minor dim)
+for shape in ((2, 24, 16, 128), (4, 40, 64, 256)):
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    got = np.asarray(tpufft.fftn(x, axes=(1, 2)))
+    ref = np.fft.fftn(x, axes=(1, 2))
+    err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+    print(f"mid-pair {shape}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
     fails += err >= 1e-3
 

@@ -445,6 +445,52 @@ def pair_pad_ok(n1: int, n2_in: int, n2: int, dtype,
     return mxu_fft.pair_pad_supported(n1, n2_in, n2, dtype, cfg)
 
 
+def mid_pair_ok(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
+    """Can two adjacent middle axes run as one fused kernel pass?"""
+    if cfg.backend == "xla":
+        return False
+    if not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return mxu_fft.mid_pair_supported(n1, n2, dtype, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_mid_pair_diff(inverse: bool, scale: float, config: PlanConfig):
+    """custom-vjp wrapper for the fused middle-pair kernel (same
+    conjugate-transform transpose identity as the other fused passes)."""
+
+    @jax.custom_vjp
+    def f(ar, ai):
+        return mxu_fft.fft_mid_pair_pallas(
+            ar, ai, inverse=inverse, scale=scale, config=config)
+
+    def fwd(ar, ai):
+        return f(ar, ai), None
+
+    def bwd(_, g):
+        gr, gi = g
+        return _fft_mid_pair_diff(not inverse, scale, config)(gr, gi)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fft_mid_pair(ar, ai, axis1: int, *, inverse: bool, scale: float,
+                 config: PlanConfig):
+    """Fused transform of the ADJACENT axes (axis1, axis1 + 1) in one HBM
+    pass. The trailing dims flatten into the lane axis — free only when
+    the array's physical layout is dense (caller checks; see
+    api._apply_plan_split mid-pair gate)."""
+    shape = ar.shape
+    a = axis1 % ar.ndim
+    pre = math_prod(shape[:a]) if a else 1
+    L = math_prod(shape[a + 2:]) if a + 2 < ar.ndim else 1
+    view = (pre, shape[a], shape[a + 1], L)
+    outr, outi = _fft_mid_pair_diff(bool(inverse), float(scale), config)(
+        ar.reshape(view), ai.reshape(view))
+    return outr.reshape(shape), outi.reshape(shape)
+
+
 def cube_supported(n1: int, n2: int, n3: int, dtype, cfg: PlanConfig) -> bool:
     """Can the trailing three axes run as one fused 3D VMEM tile?"""
     if cfg.backend == "xla":

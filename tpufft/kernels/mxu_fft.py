@@ -1032,6 +1032,106 @@ def _build_inner_nd(n: int, inverse: bool, scale: float, mblk: int,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _build_mid_pair(n1: int, n2: int, inverse: bool, scale: float,
+                    lblk: int, precision: str, interpret: bool,
+                    storage: str = "f32"):
+    """(PRE, n1, n2, L) -> same: transform the two ADJACENT middle axes in
+    ONE HBM pass.
+
+    Block (1, n1, n2, lblk): transform n1 as a dim-0 contraction of the
+    rank-3 (n1, n2, lblk) tile, bring n2 to dim 0 with an in-VMEM rank-3
+    (1, 0, 2) transpose (probed: Mosaic compiles it — unlike (2, 0, 1)),
+    transform n2, transpose back. Two independent axis DFTs — no
+    inter-factor twiddle. Halves the HBM passes of consecutive middle
+    axes: the (1,25,160,160,128) aligned 5D spends 2.61 + 2.50 ms on its
+    two middle passes, ~1.6x the per-pass traffic floor each.
+    Reference counterpart: none — the reference runs every ND axis as a
+    separate kernel + transpose launches (_ndim_fft_gpu.mojo:567-642)."""
+    kind1 = kernel_factors(n1)
+    kind2 = kernel_factors(n2)
+    tables1, unpack1 = _pack_tables(n1, inverse, 1.0, precision)
+    tables2, unpack2 = _pack_tables(n2, inverse, scale, precision)
+    n_t1 = len(tables1)
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft mid-pair: (%d, %d) %s x %s lblk=%d inverse=%s "
+                 "precision=%s", n1, n2, kind1, kind2, lblk, inverse,
+                 precision)
+
+    def kernel(*refs):
+        g1 = unpack1([r[:] for r in refs[:n_t1]])
+        g2 = unpack2([r[:] for r in refs[n_t1:-4]])
+        xr_ref, xi_ref, or_ref, oi_ref = refs[-4:]
+        xr = xr_ref[0].astype(jnp.float32)        # (n1, n2, lblk)
+        xi = xi_ref[0].astype(jnp.float32)
+        xr, xi = _compute(precision, n1, kind1, g1, xr, xi, inverse=inverse)
+        xr = jnp.transpose(xr, (1, 0, 2))         # (n2, n1, lblk)
+        xi = jnp.transpose(xi, (1, 0, 2))
+        xr, xi = _compute(precision, n2, kind2, g2, xr, xi, inverse=inverse)
+        or_ref[0] = jnp.transpose(xr, (1, 0, 2)).astype(or_ref.dtype)
+        oi_ref[0] = jnp.transpose(xi, (1, 0, 2)).astype(oi_ref.dtype)
+
+    data = pl.BlockSpec((1, n1, n2, lblk), lambda p, j: (p, 0, 0, j),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda p, j: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    all_tables = list(tables1) + list(tables2)
+
+    def run(ar, ai):
+        pre, _, _, L = ar.shape
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pre, pl.cdiv(L, lblk)),
+            in_specs=[tspec(t) for t in all_tables] + [data, data],
+            out_specs=[data, data],
+            out_shape=[jax.ShapeDtypeStruct(ar.shape, out_dt)] * 2,
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in all_tables], ar, ai)
+
+    return run
+
+
+def mid_pair_supported(n1: int, n2: int, dtype, cfg: PlanConfig) -> bool:
+    """Can two adjacent MIDDLE axes run as one fused rank-4-block pass?"""
+    if storage_of(dtype) is None:
+        return False
+    k1 = kernel_factors(n1)
+    k2 = kernel_factors(n2)
+    if k1 is None or k1[0] not in ("small", "four_step_bf"):
+        return False
+    if k2 is None or k2[0] not in ("small", "four_step_bf"):
+        return False
+    if n1 < 2 or n2 < 2 or n2 % 8 != 0:
+        # n2 sits on the view's sublane-adjacent dim: a non-8-multiple
+        # would make the (PRE, n1, n2, L) view a padded relayout
+        return False
+    # ~15 plane-equivalents like the nd kernel, on an (n1, n2, lblk) tile
+    return 15 * n1 * n2 * _LANE * 4 <= _BIG_VMEM_LIMIT
+
+
+def fft_mid_pair_pallas(ar, ai, *, inverse: bool, scale: float,
+                        config: PlanConfig):
+    """Fused transform of axes 1 and 2 of a rank-4 (PRE, n1, n2, L) view."""
+    _, n1, n2, L = ar.shape
+    if not mid_pair_supported(n1, n2, ar.dtype, config):
+        raise NotImplementedError(f"no fused mid-pair kernel for "
+                                  f"({n1}, {n2})")
+    run = _build_mid_pair(n1, n2, inverse, float(scale), _LANE,
+                          config.precision, bool(config.interpret),
+                          storage_of(ar.dtype))
+    outr, outi = run(ar, ai)
+    return outr, outi
+
+
 def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
                    config: PlanConfig, interpret: bool,
                    with_tw: bool = False, storage: str = "f32"):
