@@ -235,3 +235,68 @@ def test_filter_real_kernel_grad(rng):
     gref = 2.0 * y @ C.T
     assert np.max(np.abs(np.asarray(g) - gref)) < 1e-2 * max(
         1.0, float(np.max(np.abs(gref))))
+
+
+# ----------------------------------------------------------------------------
+# hilbert / resample / correlate
+
+
+@pytest.mark.parametrize("n", [64, 93, 128, 255])
+def test_hilbert_matches_scipy(rng, n):
+    x = rng.standard_normal((4, n)).astype(np.float64)
+    ref = ss.hilbert(x, axis=-1)
+    got = tpufft.hilbert(x, axis=-1, config=CFG_XLA)
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(np.asarray(got) - ref)) / scale < 1e-3
+
+
+def test_hilbert_padded_and_kernel_path(rng):
+    x = rng.standard_normal((3, 100))
+    ref = ss.hilbert(x, N=128, axis=-1)
+    for cfg in (CFG_KERNEL, CFG_XLA):
+        got = tpufft.hilbert(x, N=128, axis=-1, config=cfg)
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(np.asarray(got) - ref)) / scale < 1e-3
+    with pytest.raises(ValueError):
+        tpufft.hilbert(x.astype(np.complex128))
+
+
+@pytest.mark.parametrize("n,num", [(100, 50), (100, 75), (100, 200),
+                                   (101, 50), (101, 64), (100, 101),
+                                   (64, 64), (101, 202)])
+def test_resample_matches_scipy(rng, n, num):
+    x = rng.standard_normal((3, n))
+    ref = ss.resample(x, num, axis=-1)
+    got = tpufft.resample(x, num, axis=-1, config=CFG_XLA)
+    assert np.asarray(got).shape == ref.shape
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(np.asarray(got) - ref)) / scale < 1e-3, (n, num)
+
+
+def test_resample_complex_and_axis(rng):
+    x = (rng.standard_normal((40, 5))
+         + 1j * rng.standard_normal((40, 5)))
+    ref = ss.resample(x, 64, axis=0)
+    got = tpufft.resample(x, 64, axis=0, config=CFG_XLA)
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(np.asarray(got) - ref)) / scale < 1e-3
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_correlate_matches_scipy(rng, mode):
+    a = rng.standard_normal(50)
+    b = rng.standard_normal(11)
+    ref = ss.correlate(a, b, mode=mode, method="fft")
+    got = tpufft.correlate(a, b, mode=mode)
+    assert got.shape == ref.shape
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-6
+
+
+def test_correlate_complex_2d(rng):
+    a = rng.standard_normal((20, 14)) + 1j * rng.standard_normal((20, 14))
+    b = rng.standard_normal((4, 5)) + 1j * rng.standard_normal((4, 5))
+    ref = ss.correlate(a, b, mode="full", method="fft")
+    got = tpufft.correlate(a, b, mode="full")
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-6

@@ -17,6 +17,7 @@ runs through the framework's padded fast-length plans.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -24,11 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import PlanConfig
-from .core import SplitComplex
+from .core import SplitComplex, backend_supports_complex
 from .kernels import mxu_fft
 from .planner import next_fast_len
 
-__all__ = ["plan_filter", "FilterPlan", "fftconvolve"]
+__all__ = ["plan_filter", "FilterPlan", "fftconvolve", "hilbert",
+           "resample", "correlate"]
 
 # Largest axis run as a dense circulant matmul; beyond it the plan
 # composes fft -> multiply -> ifft (measured on-chip crossover, see
@@ -244,6 +246,12 @@ class FilterPlan:
             # complex jax arrays only exist on the CPU backend
             yr, yi = self._apply_planes(jnp.real(xj), jnp.imag(xj))
             return yr.astype(jnp.complex64) + 1j * yi.astype(jnp.complex64)
+        if not self._real_matrix and not is_np \
+                and not backend_supports_complex():
+            # device input on a complex-free backend: stay on device as
+            # planes (mirrors api.Plan's contract — no hidden host trip)
+            yr, yi = self._apply_planes(xj, jnp.zeros_like(xj))
+            return SplitComplex(yr, yi)
         # real input: if the filter matrix is real the output is real
         if self._real_matrix:
             if xj.shape[self.axis % xj.ndim] != self.n:
@@ -260,8 +268,10 @@ class FilterPlan:
                             else jnp.float32)
             return np.asarray(out) if is_np else out
         yr, yi = self._apply_planes(xj, jnp.zeros_like(xj))
-        y = yr.astype(jnp.complex64) + 1j * yi.astype(jnp.complex64)
-        return np.asarray(y) if is_np else y
+        if is_np:  # combine on HOST — the backend may lack complex dtypes
+            return (np.asarray(yr).astype(np.complex64)
+                    + 1j * np.asarray(yi))
+        return yr.astype(jnp.complex64) + 1j * yi.astype(jnp.complex64)
 
 
 def plan_filter(n: int, response=None, *, impulse=None, axis: int = -1,
@@ -332,16 +342,18 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
     from . import api
 
     is_np = not (isinstance(in1, jax.Array) or isinstance(in2, jax.Array))
-    a = jnp.asarray(in1)
-    b = jnp.asarray(in2)
+    # numpy callers stay numpy end-to-end (the api layer handles device
+    # dispatch and combines complex results on the host — the TPU backend
+    # stores no complex dtypes); jax callers keep device residency.
+    xp = np if is_np else jnp
+    a = xp.asarray(in1)
+    b = xp.asarray(in2)
     if a.ndim != b.ndim:
         raise ValueError("in1 and in2 must have the same dimensionality")
     if a.ndim == 0:
-        out = a * b
-        return np.asarray(out) if is_np else out
+        return a * b
     if a.size == 0 or b.size == 0:
-        out = jnp.zeros((), jnp.result_type(a.dtype, b.dtype))
-        return np.asarray(out) if is_np else out
+        return xp.zeros((), np.result_type(a.dtype, b.dtype))
     if mode not in ("full", "same", "valid"):
         raise ValueError(f"mode must be full/same/valid, got {mode!r}")
     axes = _conv_axes(a.shape, b.shape, axes)
@@ -359,19 +371,33 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
             s1, s2 = s2, s1
     full = [s1[ax] + s2[ax] - 1 for ax in axes]
     fast = [next_fast_len(f) for f in full]
-    real = not (jnp.issubdtype(a.dtype, jnp.complexfloating)
-                or jnp.issubdtype(b.dtype, jnp.complexfloating))
+    real = not (np.issubdtype(np.dtype(a.dtype), np.complexfloating)
+                or np.issubdtype(np.dtype(b.dtype), np.complexfloating))
     kw = dict(s=tuple(fast), axes=axes, config=config)
+
+    def _cmul(A, B):
+        # device inputs on a complex-free backend yield SplitComplex
+        # spectra — multiply the planes directly, no host round-trip
+        if isinstance(A, SplitComplex):
+            return SplitComplex(A.re * B.re - A.im * B.im,
+                                A.re * B.im + A.im * B.re)
+        return A * B
+
     if real:
         fa = api.rfftn(a, **kw)
         fb = api.rfftn(b, **kw)
-        prod = jnp.asarray(fa) * jnp.asarray(fb)
-        conv = jnp.asarray(api.irfftn(prod, **kw))
+        conv = api.irfftn(_cmul(fa, fb), **kw)
     else:
         fa = api.fftn(a, **kw)
         fb = api.fftn(b, **kw)
-        prod = jnp.asarray(fa) * jnp.asarray(fb)
-        conv = jnp.asarray(api.ifftn(prod, **kw))
+        conv = api.ifftn(_cmul(fa, fb), **kw)
+    if isinstance(conv, SplitComplex):
+        conv = conv.re if real else conv
+    if isinstance(conv, SplitComplex):
+        raise NotImplementedError(
+            "complex fftconvolve with device-resident inputs needs a "
+            "complex-capable backend; pass numpy arrays instead")
+    conv = xp.asarray(conv)
     # crop the fast-length padding back to the full linear-conv shape
     sl = [slice(None)] * conv.ndim
     for ax, f in zip(axes, full):
@@ -396,7 +422,149 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
             shape[ax] = s1[ax] - s2[ax] + 1
         out = _centered(conv, shape)
     if real:
-        want = jnp.result_type(a.dtype, b.dtype)
-        if out.dtype != want and jnp.issubdtype(want, jnp.floating):
+        want = np.result_type(a.dtype, b.dtype)
+        if out.dtype != want and np.issubdtype(want, np.floating):
             out = out.astype(want)
-    return np.asarray(out) if is_np else out
+    return out
+
+
+# ----------------------------------------------------------------------------
+# hilbert / resample / correlate (the FFT-adjacent scipy.signal surface)
+
+
+@functools.lru_cache(maxsize=64)
+def _hilbert_plan(n: int, axis: int, config: PlanConfig | None):
+    h = np.zeros(n)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+    return plan_filter(n, response=h, axis=axis, config=config)
+
+
+def hilbert(x, N: int | None = None, axis: int = -1, *,
+            config: PlanConfig | None = None):
+    """Analytic signal via the Hilbert transform
+    (scipy.signal.hilbert-compatible): real input -> complex output whose
+    real part is x and imaginary part its Hilbert transform.
+
+    The whole ifft(fft(x) * h) pipeline runs through ``plan_filter`` —
+    one fused MXU matmul pass for N <= 512."""
+    is_np = not isinstance(x, jax.Array)
+    xp = np if is_np else jnp
+    xj = xp.asarray(x)
+    if np.issubdtype(np.dtype(xj.dtype), np.complexfloating):
+        raise ValueError("x must be real")
+    n0 = xj.shape[axis % xj.ndim]
+    N = n0 if N is None else int(N)
+    if N < 1:
+        raise ValueError("N must be positive")
+    if N != n0:
+        ax = axis % xj.ndim
+        if N < n0:
+            sl = [slice(None)] * xj.ndim
+            sl[ax] = slice(0, N)
+            xj = xj[tuple(sl)]
+        else:
+            pad = [(0, 0)] * xj.ndim
+            pad[ax] = (0, N - n0)
+            xj = xp.pad(xj, pad)
+    # numpy stays numpy end-to-end: the plan then combines the complex
+    # result on the host (the TPU backend has no complex dtypes)
+    return _hilbert_plan(N, axis % xj.ndim, config)(xj)
+
+
+def resample(x, num: int, axis: int = 0, *,
+             config: PlanConfig | None = None):
+    """Fourier-domain resampling (scipy.signal.resample semantics,
+    window=None): keep the ``min(num, N)`` lowest-frequency bins with
+    scipy's exact Nyquist-bin split/fold, inverse-transform at the new
+    length, scale by num/N. Real input -> real output."""
+    from . import api
+
+    is_np = not isinstance(x, jax.Array)
+    host = is_np or not backend_supports_complex()
+    xn = np.asarray(x) if host else x
+    real = not np.issubdtype(np.dtype(xn.dtype), np.complexfloating)
+    ax = axis % xn.ndim
+    N = xn.shape[ax]
+    num = int(num)
+    if num < 1:
+        raise ValueError("num must be positive")
+    # the transforms run through tpufft (device); the O(num) spectrum
+    # surgery happens on the host for numpy callers / complex-free
+    # backends (the TPU stores no complex arrays)
+    X = np.asarray(api.fft(xn, axis=ax, config=config)) if host \
+        else jnp.asarray(api.fft(xn, axis=ax, config=config))
+    xp = np if host else jnp
+    nsl = [slice(None)] * xn.ndim
+    newshape = list(X.shape)
+    newshape[ax] = num
+    n_min = min(num, N)
+    nyq = n_min // 2 + 1
+    if host:
+        Y = np.zeros(newshape, X.dtype)
+
+        def setidx(dst_idx, val):
+            Y[tuple(dst_idx)] = val
+
+        def addidx(dst_idx, val):
+            Y[tuple(dst_idx)] += val
+    else:
+        Y = jnp.zeros(newshape, X.dtype)
+
+        def setidx(dst_idx, val):
+            nonlocal Y
+            Y = Y.at[tuple(dst_idx)].set(val)
+
+        def addidx(dst_idx, val):
+            nonlocal Y
+            Y = Y.at[tuple(dst_idx)].add(val)
+
+    sl = list(nsl)
+    sl[ax] = slice(0, nyq)
+    setidx(sl, X[tuple(sl)])
+    if n_min > 2:
+        neg = n_min - nyq
+        sl_dst = list(nsl)
+        sl_dst[ax] = slice(num - neg, num)
+        sl_src = list(nsl)
+        sl_src[ax] = slice(N - neg, N)
+        setidx(sl_dst, X[tuple(sl_src)])
+    if n_min % 2 == 0:
+        half = list(nsl)
+        half[ax] = n_min // 2
+        if num < N:  # downsampling: fold the split Nyquist energy back
+            src = list(nsl)
+            src[ax] = N - num // 2
+            addidx(half, X[tuple(src)])
+        elif num > N:  # upsampling: split the Nyquist bin symmetrically
+            setidx(half, Y[tuple(half)] * 0.5)
+            dst = list(nsl)
+            dst[ax] = num - n_min // 2
+            setidx(dst, Y[tuple(half)])
+    y = api.ifft(Y, axis=ax, config=config)
+    y = (np.asarray(y) if host else jnp.asarray(y)) * (num / N)
+    if real:
+        want = xn.dtype if np.issubdtype(np.dtype(xn.dtype),
+                                         np.floating) else np.float32
+        y = xp.real(y).astype(want)
+    return y if host == is_np or is_np else jnp.asarray(y)
+
+
+def correlate(in1, in2, mode: str = "full", *, axes=None,
+              config: PlanConfig | None = None):
+    """FFT-method cross-correlation
+    (scipy.signal.correlate(..., method="fft")-compatible):
+    correlate(a, b) = convolve(a, conj(b reversed))."""
+    xp = jnp if isinstance(in2, jax.Array) else np
+    b = xp.asarray(in2)
+    rev = tuple(slice(None, None, -1) for _ in range(b.ndim))
+    b = b[rev]
+    if np.issubdtype(np.dtype(b.dtype), np.complexfloating):
+        b = xp.conj(b)
+    if xp is np:
+        b = np.ascontiguousarray(b)
+    return fftconvolve(in1, b, mode=mode, axes=axes, config=config)
