@@ -4,9 +4,9 @@ Mosaic-only issues (lane masking, relayouts, DMA tails); this can. Run
 manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
 Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
 lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
-+ 2 mid-pair shapes + 3 fused-filter lengths + 5 DCT/DST cases + 2 fht
-cases + 2 Bluestein primes = 69. Last full pass: see RESULT line in the
-most recent run log / working notes."""
++ 2 mid-pair shapes + 4 signal pipelines + 3 fused-filter lengths
++ 5 DCT/DST cases + 2 fht cases + 2 Bluestein primes = 73. Last full
+pass: see RESULT line in the most recent run log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -124,6 +124,26 @@ for shape in ((2, 24, 16, 128), (4, 40, 64, 256)):
     ref = np.fft.fftn(x, axes=(1, 2))
     err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
     print(f"mid-pair {shape}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    fails += err >= 1e-3
+
+# signal-layer pipelines on-chip (these route through rfftn/irfftn and
+# the fused filter; the host/device IO contract differs from CPU CI)
+import scipy.signal as _ssig
+sx = rng.standard_normal((64, 128)).astype(np.float32)
+checks = [
+    ("hilbert", np.asarray(tpufft.hilbert(sx)),
+     _ssig.hilbert(sx.astype(np.float64))),
+    ("resample", np.asarray(tpufft.resample(sx, 96, axis=-1)),
+     _ssig.resample(sx.astype(np.float64), 96, axis=-1)),
+    ("fftconvolve", tpufft.fftconvolve(sx, sx[:4, :9]),
+     _ssig.fftconvolve(sx, sx[:4, :9])),
+    ("correlate", tpufft.correlate(sx[0], sx[1, :17], mode="same"),
+     _ssig.correlate(sx[0], sx[1, :17], mode="same", method="fft")),
+]
+for name, got, ref in checks:
+    err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+    print(f"signal {name}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
     fails += err >= 1e-3
 
