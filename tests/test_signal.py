@@ -300,3 +300,47 @@ def test_correlate_complex_2d(rng):
     got = tpufft.correlate(a, b, mode="full")
     scale = max(1.0, np.max(np.abs(ref)))
     assert np.max(np.abs(got - ref)) / scale < 1e-6
+
+
+# ----------------------------------------------------------------------------
+# oaconvolve
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+@pytest.mark.parametrize("n1,n2", [(1000, 17), (999, 16), (64, 1000)])
+def test_oaconvolve_matches_scipy(rng, mode, n1, n2):
+    a = rng.standard_normal(n1)
+    b = rng.standard_normal(n2)
+    ref = ss.oaconvolve(a, b, mode=mode)
+    got = tpufft.oaconvolve(a, b, mode=mode)
+    assert got.shape == ref.shape, (mode, n1, n2)
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-6, (mode, n1, n2)
+
+
+def test_oaconvolve_batched_and_complex(rng):
+    # batch axis + OA axis (scipy axes semantics)
+    a = rng.standard_normal((3, 2000))
+    b = rng.standard_normal((3, 21))
+    ref = ss.oaconvolve(a, b, mode="same", axes=[1])
+    got = tpufft.oaconvolve(a, b, mode="same", axes=[1])
+    assert got.shape == ref.shape
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-6
+    # complex
+    z1 = rng.standard_normal(1500) + 1j * rng.standard_normal(1500)
+    z2 = rng.standard_normal(12) + 1j * rng.standard_normal(12)
+    ref = ss.oaconvolve(z1, z2)
+    got = tpufft.oaconvolve(z1, z2)
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-6
+
+
+def test_oaconvolve_delegates_small_ratio(rng):
+    # comparable lengths: falls back to fftconvolve (identical results)
+    a = rng.standard_normal(50)
+    b = rng.standard_normal(40)
+    ref = ss.oaconvolve(a, b)
+    got = tpufft.oaconvolve(a, b)
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-6

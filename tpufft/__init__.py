@@ -32,7 +32,7 @@ from .realtrans import (
 from .fhtlog import fht, ifht, fhtoffset
 from .backend import set_workers, get_workers, scipy_backend
 from .signal import (FilterPlan, correlate, fftconvolve, hilbert,
-                     plan_filter, resample)
+                     oaconvolve, plan_filter, resample)
 
 __version__ = "0.3.0"
 
@@ -47,7 +47,7 @@ __all__ = [
     "dctn", "idctn", "dstn", "idstn",
     "fht", "ifht", "fhtoffset",
     "FilterPlan", "plan_filter", "fftconvolve",
-    "hilbert", "resample", "correlate",
+    "hilbert", "resample", "correlate", "oaconvolve",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "set_workers", "get_workers", "scipy_backend",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",

@@ -29,8 +29,8 @@ from .core import SplitComplex, backend_supports_complex
 from .kernels import mxu_fft
 from .planner import next_fast_len
 
-__all__ = ["plan_filter", "FilterPlan", "fftconvolve", "hilbert",
-           "resample", "correlate"]
+__all__ = ["plan_filter", "FilterPlan", "fftconvolve", "oaconvolve",
+           "hilbert", "resample", "correlate"]
 
 # Largest axis run as a dense circulant matmul; beyond it the plan
 # composes fft -> multiply -> ifft (measured on-chip crossover, see
@@ -568,3 +568,112 @@ def correlate(in1, in2, mode: str = "full", *, axes=None,
     if xp is np:
         b = np.ascontiguousarray(b)
     return fftconvolve(in1, b, mode=mode, axes=axes, config=config)
+
+
+def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
+               config: PlanConfig | None = None):
+    """Overlap-add convolution (scipy.signal.oaconvolve-compatible
+    results). For a single convolution axis with a large length ratio —
+    the canonical long-signal/short-kernel case — the signal runs in
+    fast-length blocks through ONE batched r2c plan (every block
+    transforms in a single kernel launch; the kernel spectrum is
+    computed once), so the cost scales with N1 log N2 instead of
+    N1 log N1. Other configurations delegate to fftconvolve (identical
+    results by linearity)."""
+    is_np = not (isinstance(in1, jax.Array) or isinstance(in2, jax.Array))
+    xp = np if is_np else jnp
+    a = xp.asarray(in1)
+    b = xp.asarray(in2)
+    if a.ndim != b.ndim:
+        raise ValueError("in1 and in2 must have the same dimensionality")
+    if a.ndim == 0 or a.size == 0 or b.size == 0:
+        return fftconvolve(in1, in2, mode=mode, axes=axes, config=config)
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full/same/valid, got {mode!r}")
+    caxes = _conv_axes(a.shape, b.shape, axes)
+    real = not (np.issubdtype(np.dtype(a.dtype), np.complexfloating)
+                or np.issubdtype(np.dtype(b.dtype), np.complexfloating))
+    oa_ok = (len(caxes) == 1
+             and max(a.shape[caxes[0]], b.shape[caxes[0]])
+             >= 8 * min(a.shape[caxes[0]], b.shape[caxes[0]])
+             and min(a.shape[caxes[0]], b.shape[caxes[0]]) >= 2
+             and all(a.shape[i] == b.shape[i] or 1 in (a.shape[i],
+                                                       b.shape[i])
+                     for i in range(a.ndim) if i != caxes[0]))
+    if not oa_ok:
+        return fftconvolve(in1, in2, mode=mode, axes=axes, config=config)
+    from . import api
+
+    ax = caxes[0]
+    s1_len, s2_len = a.shape[ax], b.shape[ax]
+    sig, ker = (a, b) if s1_len >= s2_len else (b, a)
+    n_sig = sig.shape[ax]
+    n_ker = ker.shape[ax]
+    full = n_sig + n_ker - 1
+    L = next_fast_len(max(8 * n_ker, 64))
+    step = L - (n_ker - 1)
+    nblocks = -(-n_sig // step)
+    pad_sig = nblocks * step - n_sig
+    sigm = xp.moveaxis(sig, ax, -1)
+    kerm = xp.moveaxis(ker, ax, -1)
+    if pad_sig:
+        pad = [(0, 0)] * sigm.ndim
+        pad[-1] = (0, pad_sig)
+        sigm = xp.pad(sigm, pad)
+    blocks = sigm.reshape(sigm.shape[:-1] + (nblocks, step))
+    if real:
+        FA = api.rfft(blocks, n=L, config=config)
+        FB = api.rfft(kerm, n=L, config=config)
+    else:
+        FA = api.fft(blocks, n=L, config=config)
+        FB = api.fft(kerm, n=L, config=config)
+    if isinstance(FA, SplitComplex):
+        fb_r, fb_i = FB.re, FB.im
+        prod = SplitComplex(
+            FA.re * fb_r[..., None, :] - FA.im * fb_i[..., None, :],
+            FA.re * fb_i[..., None, :] + FA.im * fb_r[..., None, :])
+    else:
+        FAx = xp.asarray(FA)
+        FBx = xp.asarray(FB)
+        prod = FAx * FBx[..., None, :]
+    YB = api.irfft(prod, n=L, config=config) if real \
+        else api.ifft(prod, config=config)
+    if isinstance(YB, SplitComplex):
+        YB = YB.re
+    YB = xp.asarray(YB)
+    # overlap-add, fully vectorized: heads lay out contiguously; the
+    # (n_ker - 1)-long tails shift one block right and accumulate
+    lead = YB.shape[:-2]
+    heads = YB[..., :step].reshape(lead + (nblocks * step,))
+    tails = YB[..., step:]                    # (..., nblocks, n_ker - 1)
+    tpad = [(0, 0)] * tails.ndim
+    tpad[-1] = (0, step - (n_ker - 1))
+    tails = xp.pad(tails, tpad).reshape(lead + (nblocks * step,))
+    out_len = nblocks * step + step
+    out = xp.zeros(lead + (out_len,), YB.dtype)
+    if xp is np:
+        out[..., :nblocks * step] = heads
+        out[..., step:step + nblocks * step] += tails
+    else:
+        out = out.at[..., :nblocks * step].set(heads)
+        out = out.at[..., step:step + nblocks * step].add(tails)
+    out = out[..., :full]
+    conv = xp.moveaxis(out, -1, ax)
+    # mode cropping relative to the ORIGINAL in1/in2 roles
+    s1 = a.shape
+    s2 = b.shape
+    if mode == "valid":
+        ok1 = s1[ax] >= s2[ax]
+        lo, hi = (s1, s2) if ok1 else (s2, s1)
+        shape = list(conv.shape)
+        shape[ax] = lo[ax] - hi[ax] + 1
+        conv = _centered(conv, shape)
+    elif mode == "same":
+        shape = list(conv.shape)
+        shape[ax] = s1[ax]
+        conv = _centered(conv, shape)
+    if real:
+        want = np.result_type(a.dtype, b.dtype)
+        if conv.dtype != want and np.issubdtype(want, np.floating):
+            conv = conv.astype(want)
+    return conv
