@@ -451,7 +451,9 @@ def hilbert(x, N: int | None = None, axis: int = -1, *,
     real part is x and imaginary part its Hilbert transform.
 
     The whole ifft(fft(x) * h) pipeline runs through ``plan_filter`` —
-    one fused MXU matmul pass for N <= 512."""
+    one fused MXU matmul pass for N <= 512. Numpy input returns numpy
+    complex; a device array on a complex-free backend (TPU) returns
+    SplitComplex planes (no hidden host transfer)."""
     is_np = not isinstance(x, jax.Array)
     xp = np if is_np else jnp
     xj = xp.asarray(x)
@@ -551,7 +553,9 @@ def resample(x, num: int, axis: int = 0, *,
         want = xn.dtype if np.issubdtype(np.dtype(xn.dtype),
                                          np.floating) else np.float32
         y = xp.real(y).astype(want)
-    return y if host == is_np or is_np else jnp.asarray(y)
+    if not is_np and host:  # device caller, host-side surgery: put back
+        y = jnp.asarray(y)
+    return y
 
 
 def correlate(in1, in2, mode: str = "full", *, axes=None,
