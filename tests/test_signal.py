@@ -344,3 +344,68 @@ def test_oaconvolve_delegates_small_ratio(rng):
     got = tpufft.oaconvolve(a, b)
     scale = max(1.0, np.max(np.abs(ref)))
     assert np.max(np.abs(got - ref)) / scale < 1e-6
+
+
+# ----------------------------------------------------------------------------
+# review regressions
+
+
+def test_correlate_batched_axes_pairing(rng):
+    """Reversing in2 must flip ONLY the correlated axes: batch row i pairs
+    with row i, not row B-1-i."""
+    a = rng.standard_normal((3, 50))
+    b = rng.standard_normal((3, 6))
+    got = tpufft.correlate(a, b, mode="full", axes=[1])
+    for i in range(3):
+        ref = ss.correlate(a[i], b[i], mode="full", method="fft")
+        assert np.max(np.abs(got[i] - ref)) < 1e-6 * max(
+            1.0, np.max(np.abs(ref))), i
+
+
+def test_plan_filter_long_axis_no_dense_matrix():
+    """Non-dense plans must not materialize (or hold) the O(n^2)
+    circulant — hilbert over a long signal would need hundreds of GB."""
+    plan = tpufft.plan_filter(8192, impulse=np.ones(8192) / 8192,
+                              config=CFG_XLA)
+    assert plan._cr is None and plan._ci is None
+    # and hilbert on a long axis goes through without building matrices
+    x = np.random.default_rng(0).standard_normal(100_000)
+    out = tpufft.hilbert(x, config=CFG_XLA)
+    ref = ss.hilbert(x)
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-3 * max(
+        1.0, np.max(np.abs(ref)))
+
+
+def test_fftconvolve_same_crops_broadcast_axes(rng):
+    """mode='same' crops to in1's shape on EVERY axis (scipy's
+    _apply_conv_mode), including broadcast non-convolved ones."""
+    a = rng.standard_normal((1, 20))
+    b = rng.standard_normal((5, 4))
+    ref = ss.fftconvolve(a, b, mode="same", axes=[1])
+    got = tpufft.fftconvolve(a, b, mode="same", axes=[1])
+    assert got.shape == ref.shape == (1, 20)
+    assert np.max(np.abs(got - ref)) < 1e-8 * max(1.0, np.max(np.abs(ref)))
+    ref = ss.oaconvolve(a, b, mode="same", axes=[1])
+    got = tpufft.oaconvolve(a, b, mode="same", axes=[1])
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-8 * max(1.0, np.max(np.abs(ref)))
+
+
+def test_filter_f64_real_keeps_f64_tier(rng):
+    """float64 real input on CPU+x64 gets the 1e-12 tier like complex128
+    (it used to silently compute in f32 while returning float64)."""
+    n = 64
+    h = rng.standard_normal(n)
+    plan = tpufft.plan_filter(n, impulse=h, config=CFG_XLA)
+    x = rng.standard_normal((4, n))  # float64
+    got = np.asarray(plan(x))
+    ref = np.fft.ifft(np.fft.fft(x, axis=-1) * np.fft.fft(h), axis=-1).real
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-10
+
+
+def test_fftconvolve_empty_and_bad_axes(rng):
+    out = tpufft.fftconvolve(np.array([]), np.array([1.0]))
+    assert out.shape == (0,)
+    with pytest.raises(ValueError):
+        tpufft.fftconvolve(np.ones(3), np.ones(3), axes=())

@@ -64,27 +64,36 @@ class FilterPlan:
         self.axis = int(axis)
         self.config = config
         c = np.asarray(c_time, np.complex128)
-        C = _circulant(c)
-        self._cr = np.ascontiguousarray(C.real, np.float64)
-        self._ci = np.ascontiguousarray(C.imag, np.float64)
+        self._c = c
         H = np.fft.fft(c)
         self._hr = np.ascontiguousarray(H.real, np.float64)
         self._hi = np.ascontiguousarray(H.imag, np.float64)
-        self._real_matrix = bool(np.max(np.abs(self._ci)) < 1e-12 * max(
-            1.0, float(np.max(np.abs(self._cr)))))
+        self._real_matrix = bool(np.max(np.abs(c.imag)) < 1e-12 * max(
+            1.0, float(np.max(np.abs(c)))))
         self._kernel = None
         self._kernel_real = None
-        if self._use_dense() and self._kernel_backend():
-            self._kernel = mxu_fft.build_minor_dense(
-                self._cr.astype(np.float32), self._ci.astype(np.float32),
-                512, config.precision, bool(config.interpret))
-            if self._real_matrix:
-                # Hermitian response on real input: the circulant is real,
-                # so the whole filter is ONE real matmul — half the MXU
-                # work and half the input traffic of the complex form.
-                self._kernel_real = mxu_fft.build_minor_dense_real(
-                    self._cr.astype(np.float32), 512, config.precision,
-                    bool(config.interpret))
+        # The O(n^2) circulant exists ONLY on the dense path: a long-axis
+        # plan (e.g. hilbert over a 100k-sample signal) must not
+        # materialize — or hold for its lifetime — an n x n float64
+        # matrix it never uses.
+        self._cr = self._ci = None
+        if self._use_dense():
+            C = _circulant(c)
+            self._cr = np.ascontiguousarray(C.real, np.float64)
+            self._ci = np.ascontiguousarray(C.imag, np.float64)
+            if self._kernel_backend():
+                self._kernel = mxu_fft.build_minor_dense(
+                    self._cr.astype(np.float32),
+                    self._ci.astype(np.float32),
+                    512, config.precision, bool(config.interpret))
+                if self._real_matrix:
+                    # Hermitian response on real input: the circulant is
+                    # real, so the whole filter is ONE real matmul — half
+                    # the MXU work and half the input traffic of the
+                    # complex form.
+                    self._kernel_real = mxu_fft.build_minor_dense_real(
+                        self._cr.astype(np.float32), 512,
+                        config.precision, bool(config.interpret))
         self._diff = self._make_diff()
         self._diff_real = (self._make_diff_real()
                            if self._real_matrix and self._use_dense()
@@ -225,16 +234,23 @@ class FilterPlan:
             yr, yi = self._apply_planes(x.re, x.im)
             return SplitComplex(yr, yi)
         is_np = not isinstance(x, jax.Array)
+        f64_host = jax.config.jax_enable_x64 \
+            and jax.default_backend() == "cpu"
+
+        def _f64_pipeline(xn):
+            # f64 tier (1e-12): host numpy fft*H*ifft — exact for any n,
+            # no O(n^2) matrix needed
+            Hc = self._hr + 1j * self._hi
+            shape = [1] * xn.ndim
+            shape[self.axis % xn.ndim] = self.n
+            return np.fft.ifft(
+                np.fft.fft(xn, axis=self.axis) * Hc.reshape(shape),
+                axis=self.axis)
+
         if is_np and np.iscomplexobj(x):
             xn = np.asarray(x)
-            if (xn.dtype == np.complex128 and jax.config.jax_enable_x64
-                    and jax.default_backend() == "cpu"):
-                # f64 path: plain complex matmul keeps the 1e-12 tier
-                # (the fused kernel is the f32 tier)
-                C = self._cr + 1j * self._ci
-                return np.moveaxis(np.tensordot(
-                    np.moveaxis(xn, self.axis, -1), C, axes=([-1], [0])),
-                    -1, self.axis)
+            if xn.dtype == np.complex128 and f64_host:
+                return _f64_pipeline(xn)
             # split on HOST: the TPU backend has no complex dtypes
             yr, yi = self._apply_planes(
                 jnp.asarray(np.ascontiguousarray(xn.real), jnp.float32),
@@ -258,6 +274,11 @@ class FilterPlan:
                 raise ValueError(
                     f"filter length {self.n} != axis length "
                     f"{xj.shape[self.axis % xj.ndim]}")
+            if is_np and np.dtype(np.asarray(x).dtype) == np.float64 \
+                    and f64_host:
+                # keep the f64 tier for float64 input like the c128 path
+                # (the jitted kernels are the f32 tier)
+                return np.real(_f64_pipeline(np.asarray(x)))
             if self._diff_real is not None:
                 # single REAL matmul — no imaginary plane at all
                 yr = self._apply_real_jit(xj.astype(jnp.float32))
@@ -284,8 +305,9 @@ def plan_filter(n: int, response=None, *, impulse=None, axis: int = -1,
     real array returns a real array.
 
     The pipeline is folded into one circulant matrix at plan time and runs
-    as a single fused MXU matmul pass for n <= 1024 on the kernel path
-    (vs three HBM passes for fft -> multiply -> ifft).
+    as a single fused MXU matmul pass for n <= FILTER_DENSE_MAX_N (512)
+    on the kernel path (vs three HBM passes for fft -> multiply -> ifft);
+    past the measured crossover it composes the transforms instead.
     """
     if (response is None) == (impulse is None):
         raise ValueError("give exactly one of response= or impulse=")
@@ -315,6 +337,8 @@ def _conv_axes(s1, s2, axes):
     elif np.isscalar(axes):
         axes = (int(axes),)
     axes = tuple(sorted(a % ndim for a in axes))
+    if not axes:
+        raise ValueError("when provided, axes cannot be empty")
     if len(set(axes)) != len(axes):
         raise ValueError("duplicate axes")
     for a in range(ndim):
@@ -353,7 +377,8 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
     if a.ndim == 0:
         return a * b
     if a.size == 0 or b.size == 0:
-        return xp.zeros((), np.result_type(a.dtype, b.dtype))
+        # scipy returns an empty array, not a 0-d scalar
+        return xp.zeros((0,), np.result_type(a.dtype, b.dtype))
     if mode not in ("full", "same", "valid"):
         raise ValueError(f"mode must be full/same/valid, got {mode!r}")
     axes = _conv_axes(a.shape, b.shape, axes)
@@ -403,21 +428,15 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
     for ax, f in zip(axes, full):
         sl[ax] = slice(0, f)
     conv = conv[tuple(sl)]
-    # broadcast shape on non-convolved axes
-    out_full = list(np.broadcast_shapes(
-        tuple(1 if i in axes else s1[i] for i in range(a.ndim)),
-        tuple(1 if i in axes else s2[i] for i in range(a.ndim))))
-    for ax, f in zip(axes, full):
-        out_full[ax] = f
     if mode == "full":
         out = conv
     elif mode == "same":
-        shape = list(out_full)
-        for ax in axes:
-            shape[ax] = s1[ax]
-        out = _centered(conv, shape)
-    else:  # valid
-        shape = list(out_full)
+        # scipy crops to in1's shape on EVERY axis (broadcast non-conv
+        # axes included — scipy's _apply_conv_mode does _centered(ret, s1))
+        out = _centered(conv, s1)
+    else:  # valid: conv axes crop to s1-s2+1; non-conv axes keep the
+        # broadcast result (scipy keeps ret's shape there)
+        shape = list(conv.shape)
         for ax in axes:
             shape[ax] = s1[ax] - s2[ax] + 1
         out = _centered(conv, shape)
@@ -565,7 +584,14 @@ def correlate(in1, in2, mode: str = "full", *, axes=None,
     correlate(a, b) = convolve(a, conj(b reversed))."""
     xp = jnp if isinstance(in2, jax.Array) else np
     b = xp.asarray(in2)
-    rev = tuple(slice(None, None, -1) for _ in range(b.ndim))
+    a_shape = np.shape(in1)
+    if len(a_shape) != b.ndim:
+        raise ValueError("in1 and in2 must have the same dimensionality")
+    # reverse (and conjugate) ONLY the correlated axes — flipping a
+    # non-correlated batch axis would silently pair row i with row B-1-i
+    caxes = _conv_axes(a_shape, b.shape, axes) if b.ndim else ()
+    rev = tuple(slice(None, None, -1) if i in caxes else slice(None)
+                for i in range(b.ndim))
     b = b[rev]
     if np.issubdtype(np.dtype(b.dtype), np.complexfloating):
         b = xp.conj(b)
@@ -597,13 +623,11 @@ def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
     caxes = _conv_axes(a.shape, b.shape, axes)
     real = not (np.issubdtype(np.dtype(a.dtype), np.complexfloating)
                 or np.issubdtype(np.dtype(b.dtype), np.complexfloating))
+    # non-convolved-axes compatibility was already validated by _conv_axes
     oa_ok = (len(caxes) == 1
              and max(a.shape[caxes[0]], b.shape[caxes[0]])
              >= 8 * min(a.shape[caxes[0]], b.shape[caxes[0]])
-             and min(a.shape[caxes[0]], b.shape[caxes[0]]) >= 2
-             and all(a.shape[i] == b.shape[i] or 1 in (a.shape[i],
-                                                       b.shape[i])
-                     for i in range(a.ndim) if i != caxes[0]))
+             and min(a.shape[caxes[0]], b.shape[caxes[0]]) >= 2)
     if not oa_ok:
         return fftconvolve(in1, in2, mode=mode, axes=axes, config=config)
     from . import api
@@ -673,9 +697,8 @@ def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
         shape[ax] = lo[ax] - hi[ax] + 1
         conv = _centered(conv, shape)
     elif mode == "same":
-        shape = list(conv.shape)
-        shape[ax] = s1[ax]
-        conv = _centered(conv, shape)
+        # scipy crops to in1's shape on EVERY axis (broadcast included)
+        conv = _centered(conv, s1)
     if real:
         want = np.result_type(a.dtype, b.dtype)
         if conv.dtype != want and np.issubdtype(want, np.floating):
