@@ -636,6 +636,23 @@ bool transform_batch_fourstep(int64_t n, int64_t na, bool inverse,
 static const int kTr16Perm[16] = {0, 8,  4, 12, 2, 10, 6, 14,
                                   1, 9,  5, 13, 3, 11, 7, 15};
 
+#if defined(__AVX512F__)
+// Shared AVX-512 de/interleave permutes for 16-complex (32-float) rows:
+// even/odd lanes of two loads extract the re/im planes; lo/hi re-pair
+// them back into interleaved order. One definition — the gather,
+// scatter, split and combine paths all index through these.
+alignas(64) static const int kDeintEven[16] = {0, 2, 4, 6, 8, 10, 12, 14,
+                                               16, 18, 20, 22, 24, 26, 28,
+                                               30};
+alignas(64) static const int kDeintOdd[16] = {1, 3, 5, 7, 9, 11, 13, 15,
+                                              17, 19, 21, 23, 25, 27, 29,
+                                              31};
+alignas(64) static const int kIntLo[16] = {0, 16, 1, 17, 2, 18, 3, 19,
+                                           4, 20, 5, 21, 6, 22, 7, 23};
+alignas(64) static const int kIntHi[16] = {8, 24, 9, 25, 10, 26, 11, 27,
+                                           12, 28, 13, 29, 14, 30, 15, 31};
+#endif
+
 template <typename Tv>
 static inline void transpose16(Tv (&r)[16]) {
   typedef int32_t Iv __attribute__((vector_size(64)));
@@ -741,40 +758,51 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
         if (use_vec) {
           typedef typename VecOf<T, V>::type Tv;
           const int64_t nb = n - n % 16;
-#if defined(__AVX512F__)
-          alignas(64) static const int kEvn[16] = {0, 2, 4, 6, 8, 10, 12,
-                                                   14, 16, 18, 20, 22, 24,
-                                                   26, 28, 30};
-          const __m512i vevn = _mm512_load_si512(kEvn);
-#endif
-          for (int64_t i0 = 0; i0 < nb; i0 += 16) {
-            for (int p = 0; p < 2; ++p) {
-              const T* src = p ? src_im : src_re;
-              T* dst = p ? sa_im.data() : sa_re.data();
-              Tv blk[16];
-              if constexpr (ES_IN == 1) {
+          if constexpr (ES_IN == 1) {
+            for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+              for (int p = 0; p < 2; ++p) {
+                const T* src = p ? src_im : src_re;
+                T* dst = p ? sa_im.data() : sa_re.data();
+                Tv blk[16];
                 for (int v = 0; v < V; ++v)
                   blk[v] = *(const Tv*)(src + v * dist_in + i0);
-              } else {
-#if defined(__AVX512F__)
-                // Interleaved rows: 32 consecutive floats hold 16
-                // complex; the even lanes of a load at the plane's base
-                // (re, or re+1 for im) are that plane's 16 elements.
-                for (int v = 0; v < V; ++v) {
-                  const float* q =
-                      (const float*)(src + v * dist_in * 2 + 2 * i0);
-                  const __m512 a = _mm512_loadu_ps(q);
-                  const __m512 b = _mm512_loadu_ps(q + 16);
-                  blk[v] = (Tv)_mm512_permutex2var_ps(a, vevn, b);
-                }
-#endif
+                transpose16(blk);
+                for (int j = 0; j < 16; ++j)
+                  *(Tv*)(dst + (i0 + kTr16Perm[j]) * V) = blk[j];
               }
-              transpose16(blk);
-              for (int j = 0; j < 16; ++j)
-                *(Tv*)(dst + (i0 + kTr16Perm[j]) * V) = blk[j];
             }
+            gather_scalar(nb);
+          } else {
+#if defined(__AVX512F__)
+            // Interleaved rows: 32 consecutive floats hold 16 complex.
+            // BOTH planes come from the same two loads at the row's re
+            // base (even lanes = re, odd = im) — loading at the im
+            // base (+1) instead would read 4 bytes past the buffer on
+            // the final row.
+            const __m512i vevn = _mm512_load_si512(kDeintEven);
+            const __m512i vodd = _mm512_load_si512(kDeintOdd);
+            for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+              Tv blkR[16], blkI[16];
+              for (int v = 0; v < V; ++v) {
+                const float* q =
+                    (const float*)(src_re + v * dist_in * 2 + 2 * i0);
+                const __m512 a = _mm512_loadu_ps(q);
+                const __m512 b = _mm512_loadu_ps(q + 16);
+                blkR[v] = (Tv)_mm512_permutex2var_ps(a, vevn, b);
+                blkI[v] = (Tv)_mm512_permutex2var_ps(a, vodd, b);
+              }
+              transpose16(blkR);
+              transpose16(blkI);
+              for (int j = 0; j < 16; ++j) {
+                *(Tv*)(sa_re.data() + (i0 + kTr16Perm[j]) * V) = blkR[j];
+                *(Tv*)(sa_im.data() + (i0 + kTr16Perm[j]) * V) = blkI[j];
+              }
+            }
+            gather_scalar(nb);
+#else
+            gather_scalar(0);
+#endif
           }
-          gather_scalar(nb);
         } else {
           gather_scalar(0);
         }
@@ -855,14 +883,8 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
             // Interleaved output: transpose both planes, then each row j
             // interleaves into 32 consecutive floats — a pure streaming
             // write pattern (no strided plane stores at all).
-            alignas(64) static const int kILo[16] = {0, 16, 1, 17, 2, 18,
-                                                     3, 19, 4, 20, 5, 21,
-                                                     6, 22, 7, 23};
-            alignas(64) static const int kIHi[16] = {8, 24, 9, 25, 10, 26,
-                                                     11, 27, 12, 28, 13,
-                                                     29, 14, 30, 15, 31};
-            const __m512i vl = _mm512_load_si512(kILo);
-            const __m512i vh = _mm512_load_si512(kIHi);
+            const __m512i vl = _mm512_load_si512(kIntLo);
+            const __m512i vh = _mm512_load_si512(kIntHi);
             for (int64_t i0 = 0; i0 < nb; i0 += 16) {
               Tv blkR[16], blkI[16];
               for (int j = 0; j < 16; ++j) {
@@ -1133,6 +1155,22 @@ int fft_nd(const T* in_re, const T* in_im, T* out_re, T* out_im,
 // (1000000, 93) transform). One fused pass each way reads the interleaved
 // buffer once for both planes; -O3 -march=native vectorizes the stride-2
 // pattern with permute ops, and OpenMP splits the range on multicore.
+// 16-aligned per-thread range [lo, hi) covering ALL of [0, n): a plain
+// (n/nt) chunk rounded to 16 drops the tail whenever n%nt != 0 lands on
+// a 16 boundary, and covers NOTHING when n < nt (chunk == 0) — confirmed
+// element-drop on multicore. Ceil-divide before rounding.
+static inline void thread_range16(int64_t n, int64_t& lo, int64_t& hi) {
+#ifdef _OPENMP
+  const int64_t nt = omp_get_num_threads(), t = omp_get_thread_num();
+  const int64_t chunk = (((n + nt - 1) / nt) + 15) & ~int64_t(15);
+  lo = std::min<int64_t>(n, t * chunk);
+  hi = std::min<int64_t>(n, lo + chunk);
+#else
+  lo = 0;
+  hi = n;
+#endif
+}
+
 template <typename T>
 void split_c2p(const T* inter, T* re, T* im, int64_t n, int nthreads) {
 #ifdef _OPENMP
@@ -1140,25 +1178,14 @@ void split_c2p(const T* inter, T* re, T* im, int64_t n, int nthreads) {
 #pragma omp parallel
 #endif
   {
-    int64_t lo = 0, hi = n;
-#ifdef _OPENMP
-    const int nt = omp_get_num_threads(), t = omp_get_thread_num();
-    const int64_t chunk = (n / nt + 15) & ~int64_t(15);
-    lo = t * chunk;
-    hi = std::min<int64_t>(n, lo + chunk);
-#endif
+    int64_t lo, hi;
+    thread_range16(n, lo, hi);
     int64_t i = lo;
 #if defined(__AVX512F__)
     if constexpr (sizeof(T) == 4) {
       // Even/odd-lane deinterleave of 32 floats (16 complex) per step.
-      alignas(64) static const int kEven[16] = {0, 2, 4, 6, 8, 10, 12, 14,
-                                                16, 18, 20, 22, 24, 26, 28,
-                                                30};
-      alignas(64) static const int kOdd[16] = {1, 3, 5, 7, 9, 11, 13, 15,
-                                               17, 19, 21, 23, 25, 27, 29,
-                                               31};
-      const __m512i ve = _mm512_load_si512(kEven);
-      const __m512i vo = _mm512_load_si512(kOdd);
+      const __m512i ve = _mm512_load_si512(kDeintEven);
+      const __m512i vo = _mm512_load_si512(kDeintOdd);
       // Non-temporal plane stores skip the read-for-ownership — a third
       // of the pass's traffic — when both targets sit on the same 64B
       // phase (numpy's large allocations are 64B-aligned in practice).
@@ -1206,23 +1233,13 @@ void combine_p2c(const T* re, const T* im, T* inter, int64_t n,
 #pragma omp parallel
 #endif
   {
-    int64_t lo = 0, hi = n;
-#ifdef _OPENMP
-    const int nt = omp_get_num_threads(), t = omp_get_thread_num();
-    const int64_t chunk = (n / nt + 15) & ~int64_t(15);
-    lo = t * chunk;
-    hi = std::min<int64_t>(n, lo + chunk);
-#endif
+    int64_t lo, hi;
+    thread_range16(n, lo, hi);
     int64_t i = lo;
 #if defined(__AVX512F__)
     if constexpr (sizeof(T) == 4) {
-      alignas(64) static const int kLo[16] = {0, 16, 1, 17, 2, 18, 3, 19,
-                                              4, 20, 5, 21, 6, 22, 7, 23};
-      alignas(64) static const int kHi[16] = {8, 24, 9, 25, 10, 26, 11, 27,
-                                              12, 28, 13, 29, 14, 30, 15,
-                                              31};
-      const __m512i vl = _mm512_load_si512(kLo);
-      const __m512i vh = _mm512_load_si512(kHi);
+      const __m512i vl = _mm512_load_si512(kIntLo);
+      const __m512i vh = _mm512_load_si512(kIntHi);
       // Scalar head until the interleaved write target is 64B-aligned so
       // the body can use non-temporal stores: the 2x-sized output stream
       // is pure write traffic, and skipping its read-for-ownership is a

@@ -272,3 +272,63 @@ def test_native_scratch_pool_reuse(rng):
     assert np.array_equal(first, again)
     ref = np.fft.fft(x)[:, None, :]
     assert np.max(np.abs(first - ref)) / np.max(np.abs(ref)) < 2e-6
+
+
+def test_native_split_combine_forced_multithread(rng):
+    """The OpenMP range partition must cover [0, n) for ANY thread count:
+    the old chunk math dropped the tail (or everything, for n < nthreads)
+    whenever the per-thread chunk rounded onto a 16 boundary."""
+    lib = native._lib()
+    import ctypes
+    cptr = ctypes.POINTER(ctypes.c_float)
+    for total, nt in [(10, 16), (1283, 8), (16, 3), (4097, 16), (33, 2)]:
+        x = (rng.standard_normal(total)
+             + 1j * rng.standard_normal(total)).astype(np.complex64)
+        re = np.full(total, np.nan, np.float32)
+        im = np.full(total, np.nan, np.float32)
+        lib.tpufft_split_c2p_f32(x.ctypes.data_as(cptr),
+                                 re.ctypes.data_as(cptr),
+                                 im.ctypes.data_as(cptr), total, nt)
+        assert np.array_equal(re, x.real), (total, nt)
+        assert np.array_equal(im, x.imag), (total, nt)
+        out = np.full(total, np.nan, np.complex64)
+        lib.tpufft_combine_p2c_f32(re.ctypes.data_as(cptr),
+                                   im.ctypes.data_as(cptr),
+                                   out.ctypes.data_as(cptr), total, nt)
+        assert np.array_equal(out, x), (total, nt)
+
+
+def test_native_interleaved_gather_no_overread(rng):
+    """The interleaved AVX-512 gather must not read past the input buffer
+    (the old im-plane load at base+1 touched 4 bytes past the final row).
+    Exact end-of-buffer geometry: count and n multiples of 16, n >= 256."""
+    import mmap
+    count, n = 64, 256
+    nbytes = count * n * 8
+    # buffer that ends exactly at a page boundary, followed by an
+    # unmapped guard region: an over-read segfaults instead of passing
+    pagesz = mmap.PAGESIZE
+    total = (nbytes + pagesz - 1) // pagesz * pagesz
+    buf = mmap.mmap(-1, total + pagesz)
+    import ctypes
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+    # protect the tail page
+    libc = ctypes.CDLL(None, use_errno=True)
+    assert libc.mprotect(ctypes.c_void_p(addr + total), pagesz, 0) == 0
+    x = np.frombuffer(buf, np.complex64, count=count * n,
+                      offset=total - nbytes).reshape(count, n)
+    x[:] = (rng.standard_normal((count, n))
+            + 1j * rng.standard_normal((count, n)))
+    got = native.fft(x)
+    ref = np.fft.fft(x)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 2e-6
+    del x
+    assert libc.mprotect(ctypes.c_void_p(addr + total), pagesz, 3) == 0
+    buf.close()
+
+
+def test_native_empty_input_raises():
+    with pytest.raises(ValueError):
+        native.fft(np.zeros((3, 0), np.complex64))
+    with pytest.raises(ValueError):
+        native.fftn(np.zeros((2, 3, 0), np.complex64))

@@ -143,7 +143,7 @@ def _recycle(*arrays: np.ndarray) -> None:
         total += a.nbytes
 
 
-def _planes(x: np.ndarray, dtype):
+def _planes(x: np.ndarray, dtype, nthreads: int = 0):
     x = np.asarray(x)
     dtype = np.dtype(dtype)
     if np.issubdtype(x.dtype, np.complexfloating):
@@ -151,34 +151,37 @@ def _planes(x: np.ndarray, dtype):
         # .real/.imag route is two strided passes — 327 ms on (1M, 93)).
         lib = _lib()
         want = np.complex64 if dtype == np.float32 else np.complex128
-        if (lib is not None and x.dtype == want
+        f32 = dtype == np.float32
+        fn = getattr(lib, "tpufft_split_c2p_f32" if f32
+                     else "tpufft_split_c2p_f64", None) \
+            if lib is not None else None
+        if (fn is not None and x.dtype == want and x.size
                 and x.flags["C_CONTIGUOUS"]):
             re = _scratch(x.shape, dtype)
             im = _scratch(x.shape, dtype)
-            f32 = dtype == np.float32
-            fn = (lib.tpufft_split_c2p_f32 if f32
-                  else lib.tpufft_split_c2p_f64)
             cptr = ctypes.POINTER(ctypes.c_float if f32
                                   else ctypes.c_double)
             fn(x.ctypes.data_as(cptr), re.ctypes.data_as(cptr),
-               im.ctypes.data_as(cptr), x.size, 0)
+               im.ctypes.data_as(cptr), x.size, _threads(nthreads))
             return re, im, True
         return (np.ascontiguousarray(x.real, dtype),
                 np.ascontiguousarray(x.imag, dtype), False)
     return (np.ascontiguousarray(x, dtype), np.zeros(x.shape, dtype), False)
 
 
-def _combine(re: np.ndarray, im: np.ndarray) -> np.ndarray:
+def _combine(re: np.ndarray, im: np.ndarray,
+             nthreads: int = 0) -> np.ndarray:
     f32 = re.dtype == np.float32
     out = np.empty(re.shape, np.complex64 if f32 else np.complex128)
     lib = _lib()
-    if lib is not None and re.flags["C_CONTIGUOUS"] \
+    fn = getattr(lib, "tpufft_combine_p2c_f32" if f32
+                 else "tpufft_combine_p2c_f64", None) \
+        if lib is not None else None
+    if fn is not None and re.size and re.flags["C_CONTIGUOUS"] \
             and im.flags["C_CONTIGUOUS"]:
-        fn = (lib.tpufft_combine_p2c_f32 if f32
-              else lib.tpufft_combine_p2c_f64)
         cptr = ctypes.POINTER(ctypes.c_float if f32 else ctypes.c_double)
         fn(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
-           out.ctypes.data_as(cptr), re.size, 0)
+           out.ctypes.data_as(cptr), re.size, _threads(nthreads))
         return out
     out.real, out.imag = re, im
     return out
@@ -209,6 +212,8 @@ def fft(x, *, inverse: bool = False, norm=None, dtype=np.float32,
     # engine's lane-batch gather/scatter — no plane conversion passes.
     want = np.complex64 if dtype == np.float32 else np.complex128
     xa = np.asarray(x)
+    if xa.ndim >= 1 and (xa.size == 0 or 0 in xa.shape):
+        raise ValueError(f"zero-length axis in shape {xa.shape}")
     if (xa.dtype == want and xa.flags["C_CONTIGUOUS"] and xa.ndim >= 1
             and xa.shape[-1] >= 1):
         n = xa.shape[-1]
@@ -228,7 +233,7 @@ def fft(x, *, inverse: bool = False, norm=None, dtype=np.float32,
                 return out
             if rc != 2:  # 2 = shape not lane-batch eligible: fall back
                 raise RuntimeError(f"native fft failed (rc={rc})")
-    re, im, pooled = _planes(x, dtype)
+    re, im, pooled = _planes(x, dtype, nthreads)
     n = re.shape[-1]
     count = re.size // n
     out_re = _scratch(re.shape, dtype)
@@ -243,7 +248,7 @@ def fft(x, *, inverse: bool = False, norm=None, dtype=np.float32,
             count, n, 1, n, n, int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fft failed (rc={rc})")
-    out = _combine(out_re, out_im)
+    out = _combine(out_re, out_im, nthreads)
     _recycle(out_re, out_im, *((re, im) if pooled else ()))
     return out
 
@@ -271,6 +276,8 @@ def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
     # directly (deinterleave fused into the gather), the remaining axes
     # run in place on pooled planes — saves the split pass AND the
     # nd-entry's initial plane copy.
+    if xa.size == 0 or 0 in xa.shape:
+        raise ValueError(f"zero-length axis in shape {xa.shape}")
     if (xa.dtype == want and xa.flags["C_CONTIGUOUS"] and xa.ndim >= 3):
         c2p = getattr(lib, "tpufft_fft_c2p_f32" if f32
                       else "tpufft_fft_c2p_f64", None)
@@ -283,19 +290,23 @@ def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
             rc = c2p(xa.ctypes.data_as(cptr), re.ctypes.data_as(cptr),
                      im.ctypes.data_as(cptr), xa.size // n, n,
                      int(inverse), 1.0, _threads(nthreads))
-            if rc == 0:
+            if rc == 2:
+                # not lane-batch eligible: hand the planes back to the
+                # pool before the general path re-allocates them
+                _recycle(re, im)
+            elif rc == 0:
                 dims = np.asarray(xa.shape, np.int64)
                 rc = ndsm(re.ctypes.data_as(cptr), im.ctypes.data_as(cptr),
                           dims.ctypes.data_as(i64p), len(dims),
                           int(inverse), float(scale), _threads(nthreads))
                 if rc:
                     raise RuntimeError(f"native fftn failed (rc={rc})")
-                out = _combine(re, im)
+                out = _combine(re, im, nthreads)
                 _recycle(re, im)
                 return out
-            if rc != 2:
+            else:
                 raise RuntimeError(f"native fftn failed (rc={rc})")
-    re, im, pooled = _planes(x, dtype)
+    re, im, pooled = _planes(x, dtype, nthreads)
     dims = np.asarray(re.shape, np.int64)
     fn = lib.tpufft_fft_nd_f32 if f32 else lib.tpufft_fft_nd_f64
     if pooled:
@@ -311,7 +322,7 @@ def fftn(x, *, inverse: bool = False, norm=None, dtype=np.float32,
             len(dims), int(inverse), float(scale), _threads(nthreads))
     if rc:
         raise RuntimeError(f"native fftn failed (rc={rc})")
-    out = _combine(out_re, out_im)
+    out = _combine(out_re, out_im, nthreads)
     _recycle(out_re, out_im)
     return out
 
