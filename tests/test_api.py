@@ -267,3 +267,24 @@ def test_alignment_hint_logged(caplog):
     with caplog.at_level(logging.INFO, logger="tpufft"):
         tpufft.plan_fft((64, 128), np.complex64, axes=(-1,))
     assert not any("fast-aligned" in r.getMessage() for r in caplog.records)
+
+
+def test_axis_out_of_range_raises(rng):
+    x = (rng.standard_normal((4, 8)) + 0j).astype(np.complex64)
+    for bad in (-5, 2, -3):
+        with pytest.raises(ValueError):
+            tpufft.fft(x, axis=bad)
+
+
+def test_ihfftn_fast_length_spec(rng):
+    """ihfftn must resolve 'fast'/'fast-aligned' length specs like the
+    rest of the API (it used to TypeError on the norm-scale product)."""
+    x = rng.standard_normal((6, 12))
+    got = np.asarray(tpufft.ihfftn(x, s="fast", norm="ortho"))
+    assert got.ndim == 2   # resolved without error; oracle via scipy:
+    import scipy.fft as sf
+    from tpufft.planner import next_fast_len
+    s = (next_fast_len(6), next_fast_len(12))
+    ref = sf.ihfftn(x, s=s, norm="ortho")
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-6

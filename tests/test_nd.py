@@ -200,3 +200,14 @@ class TestMidPair:
         ref = 2.0 * n_tot * np.asarray(xr)
         scale = max(1.0, float(np.max(np.abs(ref))))
         assert np.max(np.abs(np.asarray(g) - ref)) / scale < 1e-3
+
+
+def test_mid_pair_real_input(rng):
+    """Real-input ND FFTs hitting the mid-pair fusion must embed the
+    missing imaginary plane (it used to crash on ai=None)."""
+    cfg = tpufft.PlanConfig(interpret=True)
+    x = rng.standard_normal((16, 16, 256)).astype(np.float32)
+    got = np.asarray(tpufft.fftn(x, axes=(0, 1), config=cfg))
+    ref = np.fft.fftn(x, axes=(0, 1))
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) / scale < 1e-3

@@ -297,3 +297,47 @@ def test_filter_distributed_gather_fallback(rng):
     out = filter_distributed(_split(x), mesh, axis_name="sp", response=H)
     ref = np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
     assert_spectrum_close(out.numpy(), ref, np.complex64)
+
+
+def test_filter_distributed_single_device_mesh(rng):
+    """d == 1 runs the plain executable in natural order — the permuted-H
+    reorder must not be applied (it used to silently corrupt output)."""
+    from tpufft.parallel import filter_distributed
+
+    mesh = _mesh((1,), ("sp",))
+    n = 16
+    x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    out = filter_distributed(_split(x), mesh, axis_name="sp", response=H)
+    ref = np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
+    assert_spectrum_close(out.numpy(), ref, np.complex64)
+
+
+def test_batch_sharded_negative_batch_dim(rng):
+    """batch_dim=-1 must normalize (it used to transform the batch axis)."""
+    from tpufft.parallel import fft_batch_sharded
+
+    mesh = _mesh((8,), ("dp",))
+    x = rng.standard_normal((64, 8)) + 1j * rng.standard_normal((64, 8))
+    out = fft_batch_sharded(_split(x), mesh, batch_axis_name="dp",
+                            batch_dim=-1)
+    ref = np.fft.fft(x, axis=0)   # transform axis 0, batch = last
+    assert_spectrum_close(out.numpy(), ref, np.complex64)
+    with pytest.raises(ValueError):
+        fft_batch_sharded(_split(x), mesh, batch_axis_name="dp",
+                          batch_dim=5)
+
+
+def test_distributed_f64_keeps_f64_tier(rng):
+    """float64 planes through the distributed four-step must keep the
+    1e-12 tier (the inter-factor twiddle used to truncate to f32)."""
+    from tpufft.parallel import fft_distributed
+
+    mesh = _mesh((8,), ("sp",))
+    x = rng.standard_normal((2, 256)) + 1j * rng.standard_normal((2, 256))
+    sc = SplitComplex(jnp.asarray(x.real, jnp.float64),
+                      jnp.asarray(x.imag, jnp.float64))
+    out = fft_distributed(sc, mesh, axis_name="sp")
+    ref = np.fft.fft(x)
+    err = np.max(np.abs(out.numpy() - ref)) / np.max(np.abs(ref))
+    assert err < 1e-12, err

@@ -102,10 +102,12 @@ def _canon_axes(ndim: int, axes) -> tuple[int, ...]:
         axes = tuple(range(ndim))
     elif isinstance(axes, int):
         axes = (axes,)
-    axes = tuple(a % ndim if a < 0 else a for a in axes)
     for a in axes:
-        if not 0 <= a < ndim:
+        # range-check BEFORE wrapping: a bare modulo silently maps any
+        # negative axis (e.g. -5 on a 2D array) into range
+        if not -ndim <= a < ndim:
             raise ValueError(f"axis {a} out of range for ndim {ndim}")
+    axes = tuple(a % ndim for a in axes)
     if len(set(axes)) != len(axes):
         raise ValueError(f"repeated axes in {axes}")
     return axes
@@ -781,6 +783,10 @@ def hfft(x, n=None, axis=-1, norm=None, **kw):
     if isinstance(res, SplitComplex):
         s = jnp.asarray(scale, res.dtype)
         return SplitComplex(res.re * s, res.im * s)
+    if isinstance(res, np.ndarray):
+        # host result stays host: a jnp complex scalar would device-put
+        # onto a backend that may store no complex dtypes (TPU)
+        return res * np.asarray(scale, res.dtype)
     return res * jnp.asarray(scale, res.dtype)
 
 
@@ -812,6 +818,10 @@ def _hfft_scale(res, n_total, norm, inverse):
     if isinstance(res, SplitComplex):
         s = jnp.asarray(scale, res.dtype)
         return SplitComplex(res.re * s, res.im * s)
+    if isinstance(res, np.ndarray):
+        # host result stays host: a jnp complex scalar would device-put
+        # onto a backend that may store no complex dtypes (TPU)
+        return res * np.asarray(scale, res.dtype)
     return res * jnp.asarray(scale, res.dtype)
 
 
@@ -843,8 +853,13 @@ def ihfftn(x, s=None, axes=None, norm=None, **kw):
     ax = _canon_axes(len(in_shape), _axes_from_s(s, axes))
     # transform lengths come from s (or the INPUT shape — the rfftn output
     # packs the last transformed axis to n//2+1, which must not enter the
-    # norm scale)
-    lengths = tuple(s) if s is not None else tuple(in_shape[a] for a in ax)
+    # norm scale); "fast"/"fast-aligned" string specs resolve per axis
+    if s is not None:
+        s_seq = (s,) * len(ax) if isinstance(s, str) else s
+        lengths = tuple(_resolve_fast_length(v, in_shape[a])
+                        for v, a in zip(s_seq, ax))
+    else:
+        lengths = tuple(in_shape[a] for a in ax)
     n_total = math.prod(lengths)
     res = _conj_any(rfftn(x, s=s, axes=axes, norm=None, **kw))
     return _hfft_scale(res, n_total, norm, inverse=True)

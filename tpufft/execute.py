@@ -73,6 +73,7 @@ def _split_large(n: int, dtype, cfg: PlanConfig):
     return best
 
 
+@functools.lru_cache(maxsize=None)
 def _two_pass_twiddle(a: int, b: int, inverse: bool):
     """Host f64 inter-factor twiddle T[ka, ib] = e^{-+2 pi i ka ib / (a b)}
     of the N = a*b split, shared by both two-pass variants."""
@@ -481,6 +482,8 @@ def fft_mid_pair(ar, ai, axis1: int, *, inverse: bool, scale: float,
     pass. The trailing dims flatten into the lane axis — free only when
     the array's physical layout is dense (caller checks; see
     api._apply_plan_split mid-pair gate)."""
+    if ai is None:
+        ai = jnp.zeros_like(ar)
     shape = ar.shape
     a = axis1 % ar.ndim
     pre = math_prod(shape[:a]) if a else 1

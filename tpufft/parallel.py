@@ -89,14 +89,13 @@ def split_n(n: int, d: int) -> tuple[int, int]:
     return a, b
 
 
-@functools.lru_cache(maxsize=None)
 def _interfactor_twiddle(a: int, b: int, inverse: bool):
-    """Host-precomputed twiddle planes T[ka, b] = e^{-+2pi i b ka / (a*b)},
-    shape (a, b) float32."""
-    sign = 1.0 if inverse else -1.0
-    k = np.outer(np.arange(a, dtype=np.float64), np.arange(b, dtype=np.float64))
-    theta = (sign * 2.0 * np.pi / (a * b)) * k
-    return np.cos(theta).astype(np.float32), np.sin(theta).astype(np.float32)
+    """Host f64 twiddle planes T[ka, b] = e^{-+2pi i b ka / (a*b)}, shape
+    (a, b) — the same table the host two-pass uses (one definition; cast
+    to the plane dtype at the use site so f64 meshes keep the f64 tier)."""
+    from .execute import _two_pass_twiddle
+
+    return _two_pass_twiddle(a, b, inverse)
 
 
 def _a2a(x, axis_name: str, split_axis: int, concat_axis: int):
@@ -283,6 +282,10 @@ def _build_distributed_fn(
     data_spec = [None] * ndim
     data_spec[axis] = axis_name if d > 1 else None
     if batch_axis_name is not None:
+        if ndim < 2:
+            raise ValueError(
+                "batch_axis_name requires a batch dimension: the input is "
+                f"{ndim}-dimensional and the transform axis is the only one")
         b_ax = 0 if axis != 0 else 1
         data_spec[b_ax] = batch_axis_name
     data_p = P(*data_spec)
@@ -349,7 +352,8 @@ def fft_distributed(
         permuted_in, permuted_out, config or PlanConfig(),
     )
     twr_h, twi_h = _interfactor_twiddle(A, B, inverse)
-    outr, outi = fn(x.re, x.im, jnp.asarray(twr_h), jnp.asarray(twi_h))
+    outr, outi = fn(x.re, x.im, jnp.asarray(twr_h, x.re.dtype),
+                    jnp.asarray(twi_h, x.re.dtype))
     return SplitComplex(outr, outi)
 
 
@@ -489,6 +493,10 @@ def fft_batch_sharded(
     from . import api as _api
 
     ndim = x.re.ndim
+    if not -ndim <= batch_dim < ndim:
+        raise ValueError(f"batch_dim {batch_dim} out of range for "
+                         f"{ndim}-dim input")
+    batch_dim %= ndim
     axes_c = _api._canon_axes(ndim, axes) if axes is not None else tuple(
         a for a in range(ndim) if a != batch_dim
     )
@@ -542,11 +550,16 @@ def filter_distributed(
     if H.shape != (n,):
         raise ValueError(f"response/impulse must have shape ({n},)")
     d = int(mesh.shape[axis_name])
-    try:
-        A, B = split_n(n, d)
-        permuted = True
-    except ValueError:
-        permuted = False
+    # d == 1 runs the plain local executable (natural order, no exchange
+    # pattern) — split_n would still return a nontrivial (A, B) and a
+    # permuted H would be applied to natural-order data (silently wrong)
+    permuted = False
+    if d > 1:
+        try:
+            A, B = split_n(n, d)
+            permuted = True
+        except ValueError:
+            pass
     spec = fft_distributed(
         x, mesh, axis_name=axis_name, axis=ax, permuted_out=permuted,
         batch_axis_name=batch_axis_name, config=config,
