@@ -457,3 +457,23 @@ def test_kernel_cube_grad(rng):
     for a, b in zip(g, g_ref):
         scale = max(1.0, float(jnp.max(jnp.abs(b))))
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-3
+
+
+def test_lane_block_override_sanitized(rng):
+    """A user-set lane_block must not crash Mosaic: non-128-multiples
+    round down to the lane grid and oversized blocks clamp to the VMEM
+    ceiling (0 = clean XLA fallback) instead of compiling a rejected
+    reshape or OOMing the scoped-vmem compile."""
+    from tpufft.kernels.mxu_fft import choose_lane_block
+    from tpufft import PlanConfig
+    assert choose_lane_block(1024, PlanConfig(lane_block=192)) == 128
+    assert choose_lane_block(1024, PlanConfig(lane_block=100)) == 0
+    big = choose_lane_block(16384, PlanConfig(lane_block=4096))
+    assert big % 128 == 0 and 10 * 16384 * big * 4 <= 100 * 1024 * 1024
+    # and the transform still runs correctly through a sanitized override
+    x = (rng.standard_normal((16, 256))
+         + 1j * rng.standard_normal((16, 256))).astype(np.complex64)
+    cfg = PlanConfig(interpret=True, backend="pallas", lane_block=192)
+    got = np.asarray(tpufft.fft(x, config=cfg))
+    ref = np.fft.fft(x)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-3

@@ -120,9 +120,18 @@ def choose_lane_block(n: int, cfg: PlanConfig) -> int:
     pairs + intermediates); the analog of the reference's shared-memory
     budget (_GPUExecConfig.use_shared_memory, _ndim_fft_gpu.mojo:114-136).
     """
-    if cfg.lane_block is not None:
-        return cfg.lane_block
     planes = 10
+    if cfg.lane_block is not None:
+        # A raw override is a Mosaic compile crash waiting to happen:
+        # the Kronecker four-step's in-kernel sublane<->lane reshapes
+        # need a 128-multiple lane dim, and an oversized block blows the
+        # scoped-vmem compile. Round to the lane grid and cap by the
+        # raised VMEM ceiling; 0 (reject -> XLA fallback) if even one
+        # 128-lane block cannot fit.
+        lb = (max(0, int(cfg.lane_block)) // _LANE) * _LANE
+        while lb >= _LANE and planes * n * lb * 4 > _BIG_VMEM_LIMIT:
+            lb -= _LANE
+        return lb
     b = cfg.vmem_budget_bytes // max(planes * n * 4, 1)
     b = (b // _LANE) * _LANE
     # 128 measured best at N=1024; small N wants bigger blocks (fewer grid
@@ -1158,7 +1167,9 @@ def _plan_inner_nd(n: int, inverse: bool, scale: float, M: int, L: int,
     # same 48-wide array work — Pallas masks the tail lanes, and every op
     # in _compute is lane-independent so the garbage never contaminates).
     lpad = ((min(L, 512) + _LANE - 1) // _LANE) * _LANE
-    for lblk in dict.fromkeys((lpad, 256, 128)):
+    # descending candidates capped at lpad (an ASCENDING step could never
+    # fit if the smaller one did not)
+    for lblk in dict.fromkeys(c for c in (lpad, 256, 128) if c <= lpad):
         unit8 = planes * n * 8 * lblk * 4  # one 8-sublane group (VMEM pads)
         groups = config.vmem_budget_bytes // max(unit8, 1)
         if groups < 1:
