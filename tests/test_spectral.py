@@ -1,0 +1,316 @@
+"""Spectral-analysis layer tests — parity with scipy.signal's stft, istft,
+spectrogram, periodogram, welch, csd, coherence, check_NOLA/check_COLA
+(scipy is the spec; the reference has no counterpart — tpufft.spectral is
+a beyond-parity surface where the framework's batched transforms are the
+engine)."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import tpufft
+from tpufft import PlanConfig, SplitComplex
+from tpufft import spectral as tsp
+
+
+def _cmp(got, want, tol=1e-11):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    assert got.shape == want.shape
+    scale = max(1.0, float(np.max(np.abs(want))))
+    assert float(np.max(np.abs(got - want))) / scale < tol
+
+
+# ----------------------------------------------------------------------------
+# stft / istft
+
+
+@pytest.mark.parametrize("nperseg,noverlap,nfft", [
+    (128, None, None), (99, 33, None), (64, 48, 100), (100, 50, 128)])
+def test_stft_matches_scipy(rng, nperseg, noverlap, nfft):
+    x = rng.standard_normal(900)
+    f1, t1, Z1 = tsp.stft(x, fs=7.5, nperseg=nperseg, noverlap=noverlap,
+                          nfft=nfft)
+    f2, t2, Z2 = sps.stft(x, fs=7.5, nperseg=nperseg, noverlap=noverlap,
+                          nfft=nfft)
+    np.testing.assert_allclose(f1, f2)
+    np.testing.assert_allclose(t1, t2)
+    _cmp(Z1, Z2)
+
+
+@pytest.mark.parametrize("boundary", ["zeros", "even", "odd", "constant",
+                                      None])
+@pytest.mark.parametrize("padded", [True, False])
+def test_stft_boundary_padded(rng, boundary, padded):
+    x = rng.standard_normal(777)
+    f1, t1, Z1 = tsp.stft(x, nperseg=99, boundary=boundary, padded=padded)
+    f2, t2, Z2 = sps.stft(x, nperseg=99, boundary=boundary, padded=padded)
+    np.testing.assert_allclose(t1, t2)
+    _cmp(Z1, Z2)
+
+
+def test_stft_complex_twosided(rng):
+    z = rng.standard_normal(400) + 1j * rng.standard_normal(400)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f1, t1, Z1 = tsp.stft(z, nperseg=64, return_onesided=False)
+        f2, t2, Z2 = sps.stft(z, nperseg=64, return_onesided=False)
+    np.testing.assert_allclose(f1, f2)
+    _cmp(Z1, Z2)
+
+
+def test_stft_complex_warns_onesided(rng):
+    z = rng.standard_normal(128) + 1j * rng.standard_normal(128)
+    with pytest.warns(UserWarning, match="complex"):
+        tsp.stft(z, nperseg=32)
+
+
+@pytest.mark.parametrize("scaling", ["spectrum", "psd"])
+def test_stft_istft_roundtrip(rng, scaling):
+    x = rng.standard_normal(1000)
+    f, t, Z = tsp.stft(x, nperseg=120, scaling=scaling)
+    f2, t2, Z2 = sps.stft(x, nperseg=120, scaling=scaling)
+    _cmp(Z, Z2)
+    t1, x1 = tsp.istft(Z, nperseg=120, scaling=scaling)
+    t2, x2 = sps.istft(Z2, nperseg=120, scaling=scaling)
+    _cmp(x1, x2)
+    _cmp(x1[:1000], x, tol=1e-10)
+
+
+def test_istft_twosided_complex(rng):
+    z = rng.standard_normal(300) + 1j * rng.standard_normal(300)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, _, Zc = sps.stft(z, nperseg=64, return_onesided=False)
+    t1, x1 = tsp.istft(Zc, input_onesided=False)
+    t2, x2 = sps.istft(Zc, input_onesided=False)
+    assert np.iscomplexobj(x1)
+    _cmp(x1, x2)
+
+
+def test_istft_axes_multidim(rng):
+    X = rng.standard_normal((3, 500, 2))
+    f, t, Z = sps.stft(X, nperseg=64, axis=1)
+    t1, x1 = tsp.istft(Z, nperseg=64, time_axis=-1, freq_axis=1)
+    t2, x2 = sps.istft(Z, nperseg=64, time_axis=-1, freq_axis=1)
+    _cmp(x1, x2)
+
+
+def test_istft_nola_raises():
+    # hann endpoints are zero: with no overlap the squared-window OLA has
+    # zero bins -> NOLA fails (same in scipy)
+    assert not sps.check_NOLA("hann", 64, 0)
+    Z = np.zeros((33, 10), np.complex128)
+    with pytest.raises(ValueError, match="NOLA"):
+        tsp.istft(Z, window="hann", nperseg=64, noverlap=0,
+                  boundary=False)
+    with pytest.raises(ValueError, match="NOLA"):
+        sps.istft(Z, window="hann", nperseg=64, noverlap=0,
+                  boundary=False)
+
+
+def test_check_nola_cola():
+    for win, nperseg, noverlap in [("hann", 128, 64), ("boxcar", 64, 0),
+                                   ("hann", 100, 13)]:
+        assert (tsp.check_NOLA(win, nperseg, noverlap)
+                == sps.check_NOLA(win, nperseg, noverlap))
+        assert (tsp.check_COLA(win, nperseg, noverlap)
+                == sps.check_COLA(win, nperseg, noverlap))
+
+
+# ----------------------------------------------------------------------------
+# welch / csd / periodogram / coherence
+
+
+@pytest.mark.parametrize("detrend", ["constant", "linear", False])
+@pytest.mark.parametrize("scaling", ["density", "spectrum"])
+def test_welch_matches_scipy(rng, detrend, scaling):
+    x = rng.standard_normal(777)
+    f1, P1 = tsp.welch(x, fs=3.0, nperseg=100, detrend=detrend,
+                       scaling=scaling)
+    f2, P2 = sps.welch(x, fs=3.0, nperseg=100, detrend=detrend,
+                       scaling=scaling)
+    np.testing.assert_allclose(f1, f2)
+    _cmp(P1, P2)
+
+
+def test_welch_median_and_odd(rng):
+    x = rng.standard_normal(900)
+    f1, P1 = tsp.welch(x, nperseg=101, nfft=160, average="median")
+    f2, P2 = sps.welch(x, nperseg=101, nfft=160, average="median")
+    _cmp(P1, P2)
+
+
+def test_welch_window_array_and_shrink(rng):
+    x = rng.standard_normal(500)
+    w = sps.get_window(("kaiser", 8.0), 96)
+    f1, P1 = tsp.welch(x, window=w)
+    f2, P2 = sps.welch(x, window=w)
+    _cmp(P1, P2)
+    with pytest.warns(UserWarning, match="nperseg"):
+        f1, P1 = tsp.welch(x[:100], nperseg=256)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f2, P2 = sps.welch(x[:100], nperseg=256)
+    _cmp(P1, P2)
+
+
+def test_welch_complex_twosided(rng):
+    z = rng.standard_normal(600) + 1j * rng.standard_normal(600)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f1, P1 = tsp.welch(z, nperseg=128)
+        f2, P2 = sps.welch(z, nperseg=128)
+    np.testing.assert_allclose(f1, f2)
+    _cmp(P1, P2)
+
+
+def test_welch_axis_multidim(rng):
+    X = rng.standard_normal((3, 500, 2))
+    f1, P1 = tsp.welch(X, nperseg=64, axis=1)
+    f2, P2 = sps.welch(X, nperseg=64, axis=1)
+    _cmp(P1, P2)
+
+
+def test_csd_matches_scipy(rng):
+    x = rng.standard_normal(777)
+    y = rng.standard_normal(600)  # different length: zero-pad semantics
+    f1, P1 = tsp.csd(x, y, nperseg=128)
+    f2, P2 = sps.csd(x, y, nperseg=128)
+    _cmp(P1, P2)
+
+
+def test_csd_median_complex_bias(rng):
+    x = rng.standard_normal(777)
+    y = rng.standard_normal(777)
+    f1, P1 = tsp.csd(x, y, nperseg=128, average="median")
+    f2, P2 = sps.csd(x, y, nperseg=128, average="median")
+    _cmp(P1, P2)
+
+
+@pytest.mark.parametrize("nfft", [None, 512, 1024])
+def test_periodogram_matches_scipy(rng, nfft):
+    x = rng.standard_normal(777)
+    f1, P1 = tsp.periodogram(x, fs=2.5, nfft=nfft)
+    f2, P2 = sps.periodogram(x, fs=2.5, nfft=nfft)
+    np.testing.assert_allclose(f1, f2)
+    _cmp(P1, P2)
+
+
+def test_coherence_matches_scipy(rng):
+    x = rng.standard_normal(800)
+    y = x + 0.5 * rng.standard_normal(800)
+    f1, C1 = tsp.coherence(x, y, nperseg=128)
+    f2, C2 = sps.coherence(x, y, nperseg=128)
+    _cmp(C1, C2)
+
+
+# ----------------------------------------------------------------------------
+# spectrogram
+
+
+@pytest.mark.parametrize("mode", ["psd", "complex", "magnitude"])
+def test_spectrogram_matches_scipy(rng, mode):
+    x = rng.standard_normal(777)
+    f1, t1, S1 = tsp.spectrogram(x, fs=5.0, nperseg=80, mode=mode)
+    f2, t2, S2 = sps.spectrogram(x, fs=5.0, nperseg=80, mode=mode)
+    np.testing.assert_allclose(t1, t2)
+    _cmp(S1, S2)
+
+
+@pytest.mark.parametrize("mode", ["angle", "phase"])
+def test_spectrogram_angle_modes(rng, mode):
+    # angles agree up to the +-pi branch cut (imag parts ~1e-17 flip the
+    # sign of the cut in either implementation) -> compare on the circle
+    x = rng.standard_normal(777)
+    f1, t1, S1 = tsp.spectrogram(x, nperseg=80, mode=mode)
+    f2, t2, S2 = sps.spectrogram(x, nperseg=80, mode=mode)
+    assert S1.shape == S2.shape
+    np.testing.assert_allclose(np.exp(1j * S1), np.exp(1j * S2),
+                               atol=1e-9)
+
+
+def test_spectrogram_default_window(rng):
+    x = rng.standard_normal(1500)
+    f1, t1, S1 = tsp.spectrogram(x)
+    f2, t2, S2 = sps.spectrogram(x)
+    np.testing.assert_allclose(t1, t2)
+    _cmp(S1, S2)
+
+
+# ----------------------------------------------------------------------------
+# device paths (jax arrays, SplitComplex planes, kernel interpret)
+
+
+def test_stft_jax_input_f32(rng):
+    x = rng.standard_normal(800).astype(np.float32)
+    f1, t1, Z1 = tsp.stft(jnp.asarray(x), nperseg=128)
+    f2, t2, Z2 = sps.stft(x.astype(np.float64), nperseg=128)
+    assert isinstance(Z1, jax.Array)
+    _cmp(np.asarray(Z1), Z2, tol=1e-5)
+
+
+def test_welch_jax_and_interpret_kernel(rng):
+    x = rng.standard_normal(800).astype(np.float32)
+    f2, P2 = sps.welch(x.astype(np.float64), nperseg=128)
+    f1, P1 = tsp.welch(jnp.asarray(x), nperseg=128)
+    assert isinstance(P1, jax.Array)
+    _cmp(np.asarray(P1), P2, tol=1e-5)
+    cfg = PlanConfig(backend="pallas", interpret=True)
+    f1, P1 = tsp.welch(jnp.asarray(x), nperseg=128, config=cfg)
+    _cmp(np.asarray(P1), P2, tol=1e-4)
+
+
+def test_istft_jax_roundtrip(rng):
+    x = rng.standard_normal(800).astype(np.float32)
+    _, _, Z = tsp.stft(jnp.asarray(x), nperseg=128)
+    _, xr = tsp.istft(Z, nperseg=128)
+    assert isinstance(xr, jax.Array)
+    _cmp(np.asarray(xr)[:800], x, tol=1e-5)
+
+
+def test_welch_splitcomplex_input(rng):
+    zr = rng.standard_normal(512).astype(np.float32)
+    zi = rng.standard_normal(512).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f1, P1 = tsp.welch(SplitComplex(jnp.asarray(zr), jnp.asarray(zi)),
+                           nperseg=64)
+        f2, P2 = sps.welch(zr.astype(np.float64)
+                           + 1j * zi.astype(np.float64), nperseg=64)
+    _cmp(np.asarray(P1), P2, tol=1e-5)
+
+
+def test_get_window_passthrough():
+    np.testing.assert_allclose(tsp.get_window("hann", 64),
+                               sps.get_window("hann", 64))
+    np.testing.assert_allclose(tsp.get_window(("tukey", 0.3), 50),
+                               sps.get_window(("tukey", 0.3), 50))
+
+
+def test_spectral_exported():
+    for name in ("stft", "istft", "spectrogram", "periodogram", "welch",
+                 "csd", "coherence", "get_window", "check_NOLA",
+                 "check_COLA"):
+        assert hasattr(tpufft, name), name
+        assert name in tpufft.__all__
+
+
+def test_spectral_errors(rng):
+    x = rng.standard_normal(256)
+    with pytest.raises(ValueError, match="noverlap"):
+        tsp.welch(x, nperseg=64, noverlap=64)
+    with pytest.raises(ValueError, match="nfft"):
+        tsp.welch(x, nperseg=64, nfft=32)
+    with pytest.raises(ValueError, match="scaling|Unknown"):
+        tsp.welch(x, scaling="bogus")
+    with pytest.raises(ValueError, match="average"):
+        tsp.welch(x, average="bogus")
+    with pytest.raises(ValueError, match="boundary"):
+        tsp.stft(x, boundary="bogus")
+    with pytest.raises(ValueError, match="2d"):
+        tsp.istft(np.zeros(8, np.complex128))

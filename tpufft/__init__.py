@@ -33,6 +33,9 @@ from .fhtlog import fht, ifht, fhtoffset
 from .backend import set_workers, get_workers, scipy_backend
 from .signal import (FilterPlan, correlate, fftconvolve, hilbert,
                      oaconvolve, plan_filter, resample)
+from .czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
+from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
+                       istft, periodogram, spectrogram, stft, welch)
 
 __version__ = "0.3.0"
 
@@ -48,6 +51,9 @@ __all__ = [
     "fht", "ifht", "fhtoffset",
     "FilterPlan", "plan_filter", "fftconvolve",
     "hilbert", "resample", "correlate", "oaconvolve",
+    "CZT", "ZoomFFT", "czt", "zoom_fft", "czt_points",
+    "stft", "istft", "spectrogram", "periodogram", "welch", "csd",
+    "coherence", "get_window", "check_NOLA", "check_COLA",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "set_workers", "get_workers", "scipy_backend",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",
