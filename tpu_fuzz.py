@@ -5,8 +5,9 @@ manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
 Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
 lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
 + 2 mid-pair shapes + 4 signal pipelines + 3 fused-filter lengths
-+ 5 DCT/DST cases + 2 fht cases + 2 Bluestein primes = 73. Last full
-pass: see RESULT line in the most recent run log / working notes."""
++ 5 DCT/DST cases + 2 fht cases + 3 czt cases + 2 spectral pipelines
++ 2 Bluestein primes = 78. Last full pass: see RESULT line in the most
+recent run log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -187,6 +188,36 @@ for n, mu in ((128, 0.0), (256, 0.5)):
     print(f"fht n={n} mu={mu}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
     fails += err >= 1e-3
+
+# czt / zoom_fft (chirp-z through the kernel path incl. fused pad-DFT)
+for n, m in ((128, 128), (100, 77), (480, 300)):
+    x = (rng.standard_normal((64, n)) + 1j * rng.standard_normal((64, n))
+         ).astype(np.complex64)
+    plan = tpufft.CZT(n, m, np.exp(-2j * np.pi * 0.137), np.exp(0.21j))
+    got = np.asarray(plan(x))
+    ref = _ssig.czt(x.astype(np.complex128), m, np.exp(-2j * np.pi * 0.137),
+                    np.exp(0.21j))
+    err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+    print(f"czt ({n},{m}): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    fails += err >= 1e-3
+
+# spectral layer on-chip: stft batched r2c launch + welch planes pipeline
+sw = rng.standard_normal((8, 1000)).astype(np.float32)
+_, _, Zg = tpufft.stft(sw, nperseg=128)
+_, _, Zr = _ssig.stft(sw.astype(np.float64), nperseg=128)
+err = np.max(np.abs(np.asarray(Zg) - Zr)) / max(
+    1.0, float(np.max(np.abs(Zr))))
+print(f"stft (8,1000): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+      flush=True)
+fails += err >= 1e-3
+_, Pg = tpufft.welch(sw, nperseg=256)
+_, Pr = _ssig.welch(sw.astype(np.float64), nperseg=256)
+err = np.max(np.abs(np.asarray(Pg) - Pr)) / max(
+    1.0, float(np.max(np.abs(Pr))))
+print(f"welch (8,1000): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+      flush=True)
+fails += err >= 1e-3
 
 # a few big-prime Bluestein cases on-chip
 for n in (2053, 4099):

@@ -470,8 +470,9 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: int | None = None,
 
     win = _resolve_window(window, nperseg)
     if not check_NOLA(win, nperseg, noverlap):
-        raise ValueError("Window, STFT shape and noverlap do not satisfy "
-                         "the NOLA constraint.")
+        # scipy >= 1.15 warns (it used to raise): the division below
+        # substitutes 1 for the vanished OLA bins
+        warnings.warn("NOLA condition failed, STFT may not be invertible")
 
     if scaling == "spectrum":
         unscale = win.sum()
