@@ -409,3 +409,55 @@ def test_fftconvolve_empty_and_bad_axes(rng):
     assert out.shape == (0,)
     with pytest.raises(ValueError):
         tpufft.fftconvolve(np.ones(3), np.ones(3), axes=())
+
+
+# ----------------------------------------------------------------------------
+# envelope (scipy.signal.envelope parity, scipy >= 1.16)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(), dict(bp_in=(5, 40)), dict(bp_in=(None, 30)),
+    dict(bp_in=(-20, 30)), dict(n_out=150), dict(n_out=450),
+    dict(n_out=151), dict(squared=True), dict(residual="all"),
+    dict(residual=None), dict(bp_in=(5, 40), n_out=100, residual="all"),
+    dict(bp_in=(-30, -5)), dict(bp_in=(0, 50)),
+])
+def test_envelope_matches_scipy(rng, kwargs):
+    import scipy.signal as sps
+
+    x = rng.standard_normal(300)
+    z = x + 1j * rng.standard_normal(300)
+    for sig in (x, z):
+        got = np.asarray(tpufft.envelope(sig, **kwargs))
+        want = np.asarray(sps.envelope(sig, **kwargs))
+        scale = max(1.0, float(np.max(np.abs(want))))
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) / scale < 1e-10
+
+
+def test_envelope_axis_and_jax(rng):
+    import jax.numpy as jnp
+    import scipy.signal as sps
+
+    X = rng.standard_normal((4, 201, 3))
+    got = np.asarray(tpufft.envelope(X, axis=1))
+    want = sps.envelope(X, axis=1)
+    assert np.max(np.abs(got - want)) < 1e-10
+    # jax f32 caller -> device path
+    xj = jnp.asarray(X[0, :, 0].astype(np.float32))
+    got = np.asarray(tpufft.envelope(xj, bp_in=(3, 50)))
+    want = sps.envelope(X[0, :, 0], bp_in=(3, 50))
+    assert np.max(np.abs(got - want)) / max(
+        1.0, float(np.max(np.abs(want)))) < 1e-5
+
+
+def test_envelope_errors(rng):
+    x = rng.standard_normal(64)
+    with pytest.raises(ValueError, match="bp_in"):
+        tpufft.envelope(x, bp_in=(1.5, None))
+    with pytest.raises(ValueError, match="does not hold"):
+        tpufft.envelope(x, bp_in=(40, 10))
+    with pytest.raises(ValueError, match="n_out"):
+        tpufft.envelope(x, n_out=-3)
+    with pytest.raises(ValueError, match="residual"):
+        tpufft.envelope(x, residual="bogus")

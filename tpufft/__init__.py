@@ -31,7 +31,7 @@ from .realtrans import (
 )
 from .fhtlog import fht, ifht, fhtoffset
 from .backend import set_workers, get_workers, scipy_backend
-from .signal import (FilterPlan, correlate, fftconvolve, hilbert,
+from .signal import (FilterPlan, correlate, envelope, fftconvolve, hilbert,
                      oaconvolve, plan_filter, resample)
 from .czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
@@ -50,7 +50,7 @@ __all__ = [
     "dctn", "idctn", "dstn", "idstn",
     "fht", "ifht", "fhtoffset",
     "FilterPlan", "plan_filter", "fftconvolve",
-    "hilbert", "resample", "correlate", "oaconvolve",
+    "hilbert", "resample", "correlate", "oaconvolve", "envelope",
     "CZT", "ZoomFFT", "czt", "zoom_fft", "czt_points",
     "stft", "istft", "spectrogram", "periodogram", "welch", "csd",
     "coherence", "get_window", "check_NOLA", "check_COLA",

@@ -30,7 +30,7 @@ from .kernels import mxu_fft
 from .planner import next_fast_len
 
 __all__ = ["plan_filter", "FilterPlan", "fftconvolve", "oaconvolve",
-           "hilbert", "resample", "correlate"]
+           "hilbert", "resample", "correlate", "envelope"]
 
 # Largest axis run as a dense circulant matmul; beyond it the plan
 # composes fft -> multiply -> ifft (measured on-chip crossover, see
@@ -704,3 +704,135 @@ def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
         if conv.dtype != want and np.issubdtype(want, np.floating):
             conv = conv.astype(want)
     return conv
+
+
+def envelope(z, bp_in: tuple = (1, None), *, n_out: int | None = None,
+             squared: bool = False, residual: str | None = "lowpass",
+             axis: int = -1, config: PlanConfig | None = None):
+    """Envelope of a real/complex signal (scipy.signal.envelope-compatible,
+    scipy >= 1.16): bandpass in Fourier space, analytic-signal magnitude
+    out, plus the filtered-away residual. The transforms run through the
+    framework's plans; the O(n) spectrum surgery happens on the host for
+    numpy callers / complex-free backends (the TPU stores no complex
+    arrays), mirroring ``resample``."""
+    from . import api
+
+    is_np = not isinstance(z, jax.Array)
+    host = is_np or not backend_supports_complex()
+    xn = np.asarray(z) if host else z
+    xp = np if host else jnp
+    if not (-xn.ndim <= axis < xn.ndim):
+        raise ValueError(f"Invalid parameter {axis=} for {xn.shape=}!")
+    n = xn.shape[axis]
+    if n <= 0:
+        raise ValueError(f"z.shape[axis] not > 0 for {xn.shape=}, {axis=}!")
+    if len(bp_in) != 2 or not all(isinstance(b_, int) or b_ is None
+                                  for b_ in bp_in):
+        raise ValueError(f"{bp_in=} isn't a 2-tuple of type "
+                         "(int | None, int | None)!")
+    if not ((isinstance(n_out, int) and n_out > 0) or n_out is None):
+        raise ValueError(f"{n_out=} is not a positive integer or None!")
+    if residual not in ("lowpass", "all", None):
+        raise ValueError(f"{residual=} not in ['lowpass', 'all', None]!")
+    n_out = n if n_out is None else n_out
+    fak = n_out / n
+    bp = slice(bp_in[0] if bp_in[0] is not None else -(n // 2),
+               bp_in[1] if bp_in[1] is not None else (n + 1) // 2)
+    if not (-n // 2 <= bp.start < bp.stop <= (n + 1) // 2):
+        raise ValueError("`-n//2 <= bp_in[0] < bp_in[1] <= (n+1)//2` does "
+                         f"not hold for n={n} and {bp_in=}!")
+
+    zm = xp.moveaxis(xn, axis, -1)
+    complex_in = np.issubdtype(np.dtype(zm.dtype), np.complexfloating)
+    if complex_in:
+        Z = api.fft(zm, axis=-1, config=config)
+        # host surgery mutates in place; jax->numpy buffers are read-only
+        Z = np.array(Z) if host else jnp.asarray(Z)
+    else:
+        R = api.rfft(zm, axis=-1, config=config)
+        R = np.asarray(R) if host else jnp.asarray(R)
+        Z = xp.zeros(zm.shape[:-1] + (n,), R.dtype)
+        if host:
+            Z[..., :n // 2 + 1] = R
+            if bp.start > 0:  # make the bp band analytic
+                Z[..., bp] *= 2
+            elif bp.stop > 0:
+                Z[..., 1:bp.stop] *= 2
+        else:
+            Z = Z.at[..., :n // 2 + 1].set(R)
+            if bp.start > 0:
+                Z = Z.at[..., bp].multiply(2)
+            elif bp.stop > 0:
+                Z = Z.at[..., 1:bp.stop].multiply(2)
+
+    # envelope: baseband the bp band (envelopes are shift-invariant)
+    if not (bp.start <= 0 < bp.stop):
+        Zbb = Z[..., bp]
+    else:
+        shifted = xp.roll(Z, n // 2, axis=-1)
+        Zbb = shifted[..., bp.start + n // 2:bp.stop + n // 2]
+    z_bb = api.ifft(Zbb, n=n_out, axis=-1, config=config)
+    if isinstance(z_bb, SplitComplex):
+        env = (z_bb.re * z_bb.re + z_bb.im * z_bb.im)
+        env = env * (fak * fak) if squared else jnp.sqrt(env) * fak
+        env = jnp.asarray(env)
+    else:
+        z_bb = (np.asarray(z_bb) if host else jnp.asarray(z_bb)) * fak
+        env = (xp.real(z_bb) ** 2 + xp.imag(z_bb) ** 2 if squared
+               else xp.abs(z_bb))
+    z_env = xp.moveaxis(env, -1, axis) if host or not isinstance(
+        env, SplitComplex) else env
+
+    if residual is None:
+        if not is_np and host:
+            z_env = jnp.asarray(z_env)
+        return z_env
+
+    # zero the bp band; 'lowpass' keeps only frequencies below it
+    def zero(a, sl):
+        if host:
+            a[..., sl] = 0
+            return a
+        return a.at[..., sl].set(0)
+
+    if not (bp.start <= 0 < bp.stop):
+        Z = zero(Z, bp)
+    else:
+        Z = zero(Z, slice(None, bp.stop))
+        Z = zero(Z, slice(bp.start, None))
+    if residual == "lowpass":
+        if bp.stop > 0:
+            Z = zero(Z, slice(bp.stop, (n + 1) // 2))
+        else:
+            Z = zero(Z, slice(bp.start, None))
+            Z = zero(Z, slice(0, (n + 1) // 2))
+
+    if complex_in:
+        if n_out == n:
+            z_res = api.ifft(Z, axis=-1, config=config)
+            z_res = np.asarray(z_res) if host else jnp.asarray(z_res)
+        else:
+            # freq-domain resample == time-domain resample of ifft(Z)
+            zt = api.ifft(Z, axis=-1, config=config)
+            zt = np.asarray(zt) if host else jnp.asarray(zt)
+            z_res = resample(zt, n_out, axis=-1, config=config)
+            z_res = np.asarray(z_res) if host else jnp.asarray(z_res)
+    else:
+        if n_out != n and (m := min(n, n_out)) % 2 == 0:
+            if host:
+                Z[..., m // 2] *= 2 if n_out < n else 0.5
+            else:
+                Z = Z.at[..., m // 2].multiply(2 if n_out < n else 0.5)
+        z_res = api.irfft(Z[..., :n_out // 2 + 1], n=n_out, axis=-1,
+                          config=config)
+        if isinstance(z_res, SplitComplex):
+            z_res = z_res.re
+        z_res = (np.asarray(z_res) if host else jnp.asarray(z_res)) * fak
+    z_res = xp.moveaxis(z_res, -1, axis)
+    out = xp.stack((xp.asarray(z_env, z_res.dtype)
+                    if np.issubdtype(np.dtype(z_res.dtype),
+                                     np.complexfloating)
+                    else z_env.astype(z_res.dtype), z_res), axis=0)
+    if not is_np and host:
+        out = jnp.asarray(out)
+    return out
