@@ -5,7 +5,9 @@ manually after kernel changes: `python tpu_fuzz.py` (exit prints RESULT).
 Check count: 40 random fuzz cases + 4 r2c/c2r lengths + 3 two-pass
 lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
 + 2 mid-pair shapes + 4 signal pipelines + 3 fused-filter lengths
-+ 5 DCT/DST cases + 2 fht cases + 3 czt cases + 2 spectral pipelines
++ 5 DCT/DST cases + 2 fht cases + 3 czt cases + 5 spectral pipelines
+(incl. the fused overlapped-frame STFT, fused istft OLA and fused
+Welch-accumulator kernels)
 + 2 Bluestein primes = 78. Last full pass: see RESULT line in the most
 recent run log / working notes."""
 import numpy as np
@@ -210,6 +212,40 @@ err = np.max(np.abs(np.asarray(Zg) - Zr)) / max(
     1.0, float(np.max(np.abs(Zr))))
 print(f"stft (8,1000): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
       flush=True)
+fails += err >= 1e-3
+# fused overlapped-frame STFT kernel (hop%128==0 routes to
+# mxu_fft.build_stft_overlap: frames stream from HBM, window+pad+DFT
+# folded into one matmul)
+import jax.numpy as _jnp
+from tpufft.core import SplitComplex as _SC
+sf = rng.standard_normal((16, 4096)).astype(np.float32)
+_, _, Zg = tpufft.stft(_jnp.asarray(sf), nperseg=256, noverlap=128,
+                       detrend="linear")
+_, _, Zr = _ssig.stft(sf.astype(np.float64), nperseg=256, noverlap=128,
+                      detrend="linear")
+Zg = (np.asarray(Zg.re) + 1j * np.asarray(Zg.im)
+      if isinstance(Zg, _SC) else np.asarray(Zg))
+err = np.max(np.abs(Zg - Zr)) / max(1.0, float(np.max(np.abs(Zr))))
+print(f"stft-fused (16,4096): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+fails += err >= 1e-3
+# fused Welch accumulator (mxu_fft.build_welch_accum: per-segment
+# spectra never touch HBM)
+_, Pg = tpufft.welch(_jnp.asarray(sf), nperseg=256, noverlap=128)
+_, Pr = _ssig.welch(sf.astype(np.float64), nperseg=256, noverlap=128)
+err = np.max(np.abs(np.asarray(Pg) - Pr)) / max(
+    1.0, float(np.max(np.abs(Pr))))
+print(f"welch-fused (16,4096): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+fails += err >= 1e-3
+# fused istft overlap-add kernel roundtrip (mxu_fft.build_istft_ola)
+_, xg = tpufft.istft(tpufft.stft(_jnp.asarray(sf), nperseg=256,
+                                 noverlap=128)[2],
+                     nperseg=256, noverlap=128)
+err = np.max(np.abs(np.asarray(xg)[:, :4096] - sf)) / max(
+    1.0, float(np.max(np.abs(sf))))
+print(f"istft-fused roundtrip (16,4096): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
 fails += err >= 1e-3
 _, Pg = tpufft.welch(sw, nperseg=256)
 _, Pr = _ssig.welch(sw.astype(np.float64), nperseg=256)

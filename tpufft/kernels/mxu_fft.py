@@ -668,6 +668,299 @@ def build_minor_dense_real(mat: np.ndarray, bblk: int, precision: str,
     return run
 
 
+def build_stft_overlap(mr: np.ndarray, mi: np.ndarray, hop: int,
+                       nseg: int, bblk: int, precision: str,
+                       interpret: bool, transpose_out: bool = True):
+    """Overlapped-frame windowed r2c for the STFT hot path:
+    (batch, (nseg + K - 1) * hop) real signal -> (batch, nseg, m1)
+    spectrum planes in ONE kernel pass, with NO materialized frame
+    tensor. Frames are read straight from the signal in HBM via
+    K = nperseg // hop offset block refs over the SAME array and
+    lane-concatenated in VMEM (round-3 probe: lane concat compiles in
+    Mosaic); the window, any linear per-segment detrend, the zero-pad to
+    nfft, and the stft scale are all folded into the host-provided
+    (nperseg, m1) matrix ``mr + i mi`` (they are linear maps, so
+    M = P_detrend @ diag(win) @ V_nfft[:nperseg, :m1] * scale). The
+    gather pass AND the frame write+read round-trip of the composed path
+    disappear. Requires nperseg % hop == 0 and hop % 128 == 0 (lane
+    blocks). Not lru-cached — callers own the closure."""
+    nperseg, m1 = int(mr.shape[0]), int(mr.shape[1])
+    if nperseg % hop:
+        raise ValueError("nperseg must be a multiple of hop")
+    K = nperseg // hop
+    tables = _prep_w((np.ascontiguousarray(mr, np.float32),
+                      np.ascontiguousarray(mi, np.float32)), precision)
+    logger.debug("mxu_fft stft-overlap: nperseg=%d hop=%d K=%d m1=%d "
+                 "nseg=%d bblk=%d precision=%s", nperseg, hop, K, m1,
+                 nseg, bblk, precision)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        x_refs = refs[len(tables):len(tables) + K]
+        or_ref, oi_ref = refs[len(tables) + K:]
+        w = tuple(r[:] for r in t_refs)
+        if K == 1:
+            x = _load_f32(x_refs[0])
+        else:
+            x = jnp.concatenate([_load_f32(r) for r in x_refs], axis=-1)
+        zr, zi = _rmm_right(precision, w, x)
+        or_ref[:] = zr[None, :, :].astype(or_ref.dtype)
+        oi_ref[:] = zi[None, :, :].astype(oi_ref.dtype)
+
+    def tspec(t):
+        return pl.BlockSpec(t.shape, (lambda i, j: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    xspecs = [pl.BlockSpec((bblk, hop), (lambda i, j, k=k: (i, j + k)),
+                           memory_space=pltpu.VMEM) for k in range(K)]
+    # Mosaic block rule: the last TWO block dims must be %8/%128 or equal
+    # the array dims — a (bblk, 1, m1) segment-minor block is rejected on
+    # hardware, so the kernel emits (nseg, batch, m1) with (1, bblk, m1)
+    # blocks and the caller transposes back on the XLA side.
+    dout = pl.BlockSpec((1, bblk, m1), lambda i, j: (j, i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def run(x):
+        batch = x.shape[0]
+        if x.shape[1] != (nseg + K - 1) * hop:
+            raise ValueError(
+                f"signal length {x.shape[1]} != (nseg + K - 1) * hop = "
+                f"{(nseg + K - 1) * hop}")
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        zr, zi = pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(batch, bblk), nseg),
+            in_specs=[tspec(t) for t in tables] + xspecs,
+            out_specs=[dout, dout],
+            out_shape=[jax.ShapeDtypeStruct((nseg, batch, m1),
+                                            jnp.float32)] * 2,
+            interpret=interpret,
+            **params,
+        )(*([jnp.asarray(t) for t in tables] + [x] * K))
+        if not transpose_out:
+            return zr, zi  # (nseg, batch, m1) — segment-major raw layout
+        return (jnp.transpose(zr, (1, 0, 2)), jnp.transpose(zi, (1, 0, 2)))
+
+    return run
+
+
+def build_istft_ola(ar: np.ndarray, ai: np.ndarray, hop: int,
+                    nseg: int, bblk: int, precision: str,
+                    interpret: bool):
+    """Fused inverse-STFT overlap-add: segment-major spectrum planes
+    (nseg, batch, m1) -> (batch, (nseg + K - 1) * hop) real signal in ONE
+    kernel pass — the windowed inverse transform AND the overlap-add that
+    the composed path pays a scatter-add for. ``ar + i ai`` is the
+    (m1, nperseg) host matrix folding the inverse DFT truncation, the
+    synthesis window and the stft unscale (all linear). Output hop-chunk
+    j sums K = nperseg // hop segment contributions s = j-k, each an MXU
+    matmul against the 128-aligned lane slice A[:, k*hop:(k+1)*hop];
+    out-of-range segments are masked by a scalar 0/1 factor (the block
+    index map clamps). The window-sum normalization is time-varying only
+    at the edges, so it stays an elementwise XLA pass in the caller."""
+    m1, nperseg = int(ar.shape[0]), int(ar.shape[1])
+    if nperseg % hop:
+        raise ValueError("nperseg must be a multiple of hop")
+    K = nperseg // hop
+    tables = _prep_w((np.ascontiguousarray(ar, np.float32),
+                      np.ascontiguousarray(ai, np.float32)), precision)
+    nchunk = nseg + K - 1
+    logger.debug("mxu_fft istft-ola: nperseg=%d hop=%d K=%d m1=%d "
+                 "nseg=%d bblk=%d precision=%s", nperseg, hop, K, m1,
+                 nseg, bblk, precision)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        z_refs = refs[len(tables):len(tables) + 2 * K]
+        o_ref = refs[len(tables) + 2 * K]
+        w = tuple(r[:] for r in t_refs)
+        j = pl.program_id(1)
+        acc = None
+        for k in range(K):
+            zr = _load_f32(z_refs[2 * k])[0]
+            zi = _load_f32(z_refs[2 * k + 1])[0]
+            lo, hi = k * hop, (k + 1) * hop
+            if precision == "bf16x3":
+                rh, rl, ih, il = w
+                part = _c2r_mm(precision,
+                               (rh[:, lo:hi], rl[:, lo:hi],
+                                ih[:, lo:hi], il[:, lo:hi]), zr, zi)
+            else:
+                wr, wi = w
+                part = _c2r_mm(precision, (wr[:, lo:hi], wi[:, lo:hi]),
+                               zr, zi)
+            s = j - k
+            mask = jnp.where((s >= 0) & (s < nseg), 1.0, 0.0)
+            part = part * mask
+            acc = part if acc is None else acc + part
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+    def tspec(t):
+        return pl.BlockSpec(t.shape, (lambda i, j: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    zspecs = []
+    for k in range(K):
+        idx = (lambda i, j, k=k:
+               (jnp.clip(j - k, 0, nseg - 1), i, 0))
+        spec = pl.BlockSpec((1, bblk, m1), idx, memory_space=pltpu.VMEM)
+        zspecs += [spec, spec]
+    dout = pl.BlockSpec((bblk, hop), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+
+    def run(zr, zi):
+        if zr.shape[0] != nseg:
+            raise ValueError(f"segment count {zr.shape[0]} != {nseg}")
+        batch = zr.shape[1]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        zin = []
+        for _ in range(K):
+            zin += [zr, zi]
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(batch, bblk), nchunk),
+            in_specs=[tspec(t) for t in tables] + zspecs,
+            out_specs=dout,
+            out_shape=jax.ShapeDtypeStruct((batch, nchunk * hop),
+                                           jnp.float32),
+            interpret=interpret,
+            **params,
+        )(*([jnp.asarray(t) for t in tables] + zin))
+
+    return run
+
+
+def build_welch_accum(mr: np.ndarray, mi: np.ndarray, hop: int,
+                      nseg: int, bblk: int, precision: str,
+                      interpret: bool, cross: bool):
+    """Fused Welch/CSD accumulator: overlapped frames stream from HBM
+    exactly as in ``build_stft_overlap``, but the per-segment spectra
+    NEVER touch HBM — each grid step computes Z = frame @ M and
+    accumulates |Z|^2 (welch) or conj(Zx)·Zy (csd) into a tiny
+    (batch, m1) output block revisited across the segment grid dim
+    (init at j == 0, add after — the matmul-k-loop revisiting pattern).
+    For a (8, 1M) welch this removes the entire (batch, nseg, m1)
+    spectrum round-trip. The mean, the PSD scale and the onesided
+    doubling are cheap XLA elementwise passes on the (batch, m1) result.
+    ``cross``: two input signals, complex conj(Zx)·Zy accumulation."""
+    nperseg, m1 = int(mr.shape[0]), int(mr.shape[1])
+    if nperseg % hop:
+        raise ValueError("nperseg must be a multiple of hop")
+    K = nperseg // hop
+    nsig = 2 if cross else 1
+    tables = _prep_w((np.ascontiguousarray(mr, np.float32),
+                      np.ascontiguousarray(mi, np.float32)), precision)
+    logger.debug("mxu_fft welch-accum: nperseg=%d hop=%d K=%d m1=%d "
+                 "nseg=%d bblk=%d cross=%s precision=%s", nperseg, hop,
+                 K, m1, nseg, bblk, cross, precision)
+
+    def kernel(*refs):
+        t_refs = refs[:len(tables)]
+        x_refs = refs[len(tables):len(tables) + nsig * K]
+        o_refs = refs[len(tables) + nsig * K:]
+        w = tuple(r[:] for r in t_refs)
+
+        def spectrum(refs_k):
+            if K == 1:
+                v = _load_f32(refs_k[0])
+            else:
+                v = jnp.concatenate([_load_f32(r) for r in refs_k],
+                                    axis=-1)
+            return _rmm_right(precision, w, v)
+
+        xr, xi = spectrum(x_refs[:K])
+        if cross:
+            yr, yi = spectrum(x_refs[K:])
+            parts = (xr * yr + xi * yi, xr * yi - xi * yr)
+        else:
+            parts = (xr * xr + xi * xi,)
+        j = pl.program_id(1)
+        for o_ref, p in zip(o_refs, parts):
+            @pl.when(j == 0)
+            def _init(o_ref=o_ref, p=p):
+                o_ref[:] = p.astype(o_ref.dtype)
+
+            @pl.when(j != 0)
+            def _acc(o_ref=o_ref, p=p):
+                o_ref[:] = o_ref[:] + p.astype(o_ref.dtype)
+
+    def tspec(t):
+        return pl.BlockSpec(t.shape, (lambda i, j: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    xspecs = [pl.BlockSpec((bblk, hop), (lambda i, j, k=k: (i, j + k)),
+                           memory_space=pltpu.VMEM)
+              for _ in range(nsig) for k in range(K)]
+    dout = pl.BlockSpec((bblk, m1), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def run(*xs):
+        batch = xs[0].shape[0]
+        for x in xs:
+            if x.shape[1] != (nseg + K - 1) * hop:
+                raise ValueError(
+                    f"signal length {x.shape[1]} != (nseg + K - 1) * hop"
+                    f" = {(nseg + K - 1) * hop}")
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT,
+                dimension_semantics=("parallel", "arbitrary"))
+        nout = 2 if cross else 1
+        out = pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(batch, bblk), nseg),
+            in_specs=[tspec(t) for t in tables] + xspecs,
+            out_specs=[dout] * nout,
+            out_shape=[jax.ShapeDtypeStruct((batch, m1),
+                                            jnp.float32)] * nout,
+            interpret=interpret,
+            **params,
+        )(*([jnp.asarray(t) for t in tables]
+            + [x for x in xs for _ in range(K)]))
+        return out[0] if not cross else tuple(out)
+
+    return run
+
+
+def _c2r_mm(precision: str, W, zr, zi):
+    """out = zr @ Wr + zi @ Wi (complex-to-real product half of _cmm_right,
+    shared by the c2r and istft kernels)."""
+    if precision == "bf16x3":
+        rh, rl, ih, il = W
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        arh, arl = _split_bf16(zr)
+        aih, ail = _split_bf16(zi)
+
+        def m(bh, bl, wh, wl):
+            return d(bh, wh) + (d(bl, wh) + d(bh, wl))
+
+        return m(arh, arl, rh, rl) + m(aih, ail, ih, il)
+    wr, wi = W
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    mm = functools.partial(jnp.dot, precision=prec,
+                           preferred_element_type=jnp.float32)
+    return mm(zr, wr) + mm(zi, wi)
+
+
+def stft_overlap_supported(nperseg: int, hop: int, nfft: int, dtype,
+                           cfg: PlanConfig) -> bool:
+    """Gate for the fused overlapped-frame STFT kernel: the matrix must
+    fit the r2c VMEM envelope and the hop must tile 128 lanes."""
+    if storage_of(dtype) is None:
+        return False
+    return (2 <= nfft <= R2C_MAX_N and nperseg <= nfft
+            and hop >= 1 and nperseg % hop == 0 and hop % _LANE == 0
+            and choose_lane_block(nfft, cfg) >= _LANE)
+
+
 def _pack_tables(n: int, inverse: bool, scale: float, precision: str):
     """Flat host-table tuple + an unpacker reconstructing the logical
     (W-groups, twiddle) structure from the kernel's refs."""

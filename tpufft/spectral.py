@@ -35,8 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from .config import PlanConfig
 from .core import SplitComplex, backend_supports_complex
+from .kernels import mxu_fft
 from . import api
 
 __all__ = ["get_window", "stft", "istft", "spectrogram", "periodogram",
@@ -226,6 +229,236 @@ def _detrend_seg(re, im, detrend, xp):
     return f(re), None if im is None else f(im)
 
 
+def _stft_matrix(win: np.ndarray, nperseg: int, nfft: int,
+                 detrend) -> np.ndarray:
+    """The whole per-segment pipeline as ONE (nperseg, m1) complex matrix:
+    detrend, window, zero-pad to nfft and DFT are all linear maps, so
+    M = P_detrend @ diag(win) @ V_nfft[:nperseg, :m1] (f64 host trig)."""
+    j = np.arange(nperseg, dtype=np.float64)
+    k = np.arange(nfft // 2 + 1, dtype=np.float64)
+    theta = (-2.0 * np.pi / nfft) * np.outer(j, k)
+    M = win[:, None] * np.exp(1j * theta)
+    if detrend == "constant":
+        M = M - M.mean(axis=0)[None, :]
+    elif detrend == "linear":
+        A = np.stack([np.ones(nperseg), j - (nperseg - 1) / 2.0], axis=1)
+        M = M - A @ (np.linalg.pinv(A) @ M)
+    return M
+
+
+@functools.lru_cache(maxsize=32)
+def _stft_fused(win_bytes: bytes, nperseg: int, step: int, nfft: int,
+                detrend_key, config: PlanConfig | None):
+    """Differentiable fused overlapped-frame STFT runner (see
+    mxu_fft.build_stft_overlap): signal (batch, n_sig) f32 ->
+    (re, im) planes (batch, nseg, m1). The VJP is the adjoint
+    frame-matmul followed by the istft-style overlap-add (plain XLA — the
+    backward pass is not a serving hot path)."""
+    cfg = config or PlanConfig()
+    win = np.frombuffer(win_bytes, np.float64)
+    M = _stft_matrix(win, nperseg, nfft, detrend_key)
+    mr = np.ascontiguousarray(M.real, np.float32)
+    mi = np.ascontiguousarray(M.imag, np.float32)
+
+    @functools.lru_cache(maxsize=8)
+    def build(nseg: int, bblk: int):
+        return mxu_fft.build_stft_overlap(
+            mr, mi, step, nseg, bblk, cfg.precision, bool(cfg.interpret))
+
+    @jax.custom_vjp
+    def f(x):
+        nseg = 1 + (x.shape[1] - nperseg) // step
+        # block the batch at its true (8-rounded) size — an oversized
+        # block pads every output write (8x amplification at batch 64)
+        bblk = min(512, max(8, -(-x.shape[0] // 8) * 8))
+        return build(nseg, bblk)(x)
+
+    def fwd(x):
+        return f(x), (x.shape[1],)
+
+    def bwd(res, g):
+        (n_sig,) = res
+        gr, gi = g                       # (batch, nseg, m1)
+        gseg = (jnp.dot(gr, jnp.asarray(mr).T)
+                + jnp.dot(gi, jnp.asarray(mi).T))  # (batch, nseg, nperseg)
+        nseg = gseg.shape[1]
+        idx = (jnp.arange(nperseg)[None, :]
+               + step * jnp.arange(nseg)[:, None]).reshape(-1)
+        acc = jnp.zeros(gseg.shape[:1] + (n_sig,), gseg.dtype)
+        acc = acc.at[:, idx].add(gseg.reshape(gseg.shape[0], -1))
+        return (acc,)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=32)
+def _welch_fused(win_bytes: bytes, nperseg: int, step: int, nfft: int,
+                 detrend_key, cross: bool, config: PlanConfig | None):
+    """Differentiable fused Welch/CSD runner (see
+    mxu_fft.build_welch_accum): signal(s) (batch, n_sig) f32 -> the
+    SUM over segments of |Z|^2 (welch) or conj(Zx)Zy planes (csd),
+    shape (batch, m1) — per-segment spectra never touch HBM. The VJP
+    recomputes through a composed jnp reference (the backward pass is
+    not a serving hot path)."""
+    cfg = config or PlanConfig()
+    win = np.frombuffer(win_bytes, np.float64)
+    M = _stft_matrix(win, nperseg, nfft, detrend_key)
+    mr = np.ascontiguousarray(M.real, np.float32)
+    mi = np.ascontiguousarray(M.imag, np.float32)
+
+    @functools.lru_cache(maxsize=8)
+    def build(nseg: int, bblk: int):
+        return mxu_fft.build_welch_accum(
+            mr, mi, step, nseg, bblk, cfg.precision, bool(cfg.interpret),
+            cross)
+
+    def composed(*xs):
+        # jnp reference used only for the VJP: frame -> matmul -> accum
+        nseg = 1 + (xs[0].shape[1] - nperseg) // step
+        idx = (jnp.arange(nperseg)[None, :]
+               + step * jnp.arange(nseg)[:, None])
+
+        def spec(v):
+            seg = v[:, idx]                        # (batch, nseg, nperseg)
+            return (jnp.dot(seg, jnp.asarray(mr)),
+                    jnp.dot(seg, jnp.asarray(mi)))
+
+        xr, xi = spec(xs[0])
+        if cross:
+            yr, yi = spec(xs[1])
+            return (jnp.sum(xr * yr + xi * yi, axis=1),
+                    jnp.sum(xr * yi - xi * yr, axis=1))
+        return jnp.sum(xr * xr + xi * xi, axis=1)
+
+    @jax.custom_vjp
+    def f(*xs):
+        nseg = 1 + (xs[0].shape[1] - nperseg) // step
+        bblk = min(512, max(8, -(-xs[0].shape[0] // 8) * 8))
+        return build(nseg, bblk)(*xs)
+
+    def fwd(*xs):
+        return f(*xs), xs
+
+    def bwd(xs, g):
+        return jax.vjp(composed, *xs)[1](g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _welch_fused_ok(xp, xim, yim, onesided, detrend, nperseg: int,
+                    step: int, nfft: int, boundary, padded,
+                    cfg: PlanConfig | None) -> bool:
+    from .execute import _is_tpu_backend
+
+    cfg = cfg or PlanConfig()
+    if xp is np or xim is not None or yim is not None or not onesided:
+        return False
+    if boundary is not None or padded:
+        return False
+    if detrend not in (False, None, "constant", "linear"):
+        return False
+    if cfg.backend == "xla" or not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return mxu_fft.stft_overlap_supported(nperseg, step, nfft,
+                                          jnp.float32, cfg)
+
+
+def _istft_matrix(win: np.ndarray, nperseg: int, nfft: int,
+                  unscale: float) -> np.ndarray:
+    """The whole per-segment synthesis pipeline as ONE (m1, nperseg)
+    complex matrix: x_seg = Re(Z @ A) where A folds the inverse onesided
+    DFT (with Hermitian doubling coefficients), the truncation to
+    nperseg, the synthesis window and the stft unscale (f64 host trig).
+    The kernel computes x = Zr @ A.real + Zi @ A.imag
+    = (c/nfft)(Re(Z) cos - Im(Z) sin) win unscale — the real part of the
+    inverse transform."""
+    m1 = nfft // 2 + 1
+    k = np.arange(m1, dtype=np.float64)
+    t = np.arange(nperseg, dtype=np.float64)
+    c = np.full(m1, 2.0)
+    c[0] = 1.0
+    if nfft % 2 == 0:
+        c[-1] = 1.0
+    theta = (2.0 * np.pi / nfft) * np.outer(k, t)
+    scale = (c / nfft)[:, None] * (win[None, :] * unscale)
+    return scale * np.cos(theta) - 1j * (scale * np.sin(theta))
+
+
+@functools.lru_cache(maxsize=32)
+def _istft_fused(win_bytes: bytes, nperseg: int, step: int, nfft: int,
+                 unscale: float, config: PlanConfig | None):
+    """Differentiable fused inverse-STFT runner (see
+    mxu_fft.build_istft_ola): segment-major spectrum planes
+    (nseg, batch, m1) f32 -> (batch, n_out) un-normalized overlap-add.
+    The VJP is the adjoint framing matmul (plain XLA)."""
+    cfg = config or PlanConfig()
+    win = np.frombuffer(win_bytes, np.float64)
+    A = _istft_matrix(win, nperseg, nfft, unscale)
+    ar = np.ascontiguousarray(A.real, np.float32)
+    ai = np.ascontiguousarray(A.imag, np.float32)
+
+    @functools.lru_cache(maxsize=8)
+    def build(nseg: int, bblk: int):
+        return mxu_fft.build_istft_ola(
+            ar, ai, step, nseg, bblk, cfg.precision, bool(cfg.interpret))
+
+    @jax.custom_vjp
+    def f(zr, zi):
+        nseg = zr.shape[0]
+        bblk = min(512, max(8, -(-zr.shape[1] // 8) * 8))
+        return build(nseg, bblk)(zr, zi)
+
+    def fwd(zr, zi):
+        return f(zr, zi), (zr.shape[0],)
+
+    def bwd(res, g):
+        (nseg,) = res                       # g: (batch, n_out)
+        idx = (jnp.arange(nperseg)[None, :]
+               + step * jnp.arange(nseg)[:, None])  # (nseg, nperseg)
+        frames = g[:, idx]                  # (batch, nseg, nperseg)
+        gr = jnp.einsum("bst,mt->sbm", frames, jnp.asarray(ar))
+        gi = jnp.einsum("bst,mt->sbm", frames, jnp.asarray(ai))
+        return gr, gi
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _istft_fused_ok(xp, onesided, n_freq: int, nperseg: int, step: int,
+                    nfft: int, cfg: PlanConfig | None) -> bool:
+    from .execute import _is_tpu_backend
+    from .kernels.mxu_fft import R2C_MAX_N, _LANE, choose_lane_block
+
+    cfg = cfg or PlanConfig()
+    if xp is np or not onesided or n_freq != nfft // 2 + 1:
+        return False
+    if cfg.backend == "xla" or not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return (2 <= nfft <= R2C_MAX_N and nperseg <= nfft
+            and step >= 1 and nperseg % step == 0 and step % _LANE == 0
+            and choose_lane_block(nfft, cfg) >= _LANE)
+
+
+def _stft_fused_ok(xp, im, onesided, detrend, dtype, nperseg: int,
+                   step: int, nfft: int, cfg: PlanConfig | None) -> bool:
+    from .execute import _is_tpu_backend
+
+    cfg = cfg or PlanConfig()
+    if xp is np or im is not None or not onesided:
+        return False
+    if detrend not in (False, None, "constant", "linear"):
+        return False
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    if cfg.backend == "xla" or not (cfg.interpret or _is_tpu_backend()):
+        return False
+    return mxu_fft.stft_overlap_supported(nperseg, step, nfft,
+                                          jnp.float32, cfg)
+
+
 def _transform_segments(re, im, nfft: int, onesided: bool,
                         config: PlanConfig | None, xp):
     """Batched per-segment DFT of the last axis -> spectrum planes.
@@ -247,10 +480,15 @@ def _transform_segments(re, im, nfft: int, onesided: bool,
 
 def _spectral_helper(x, y, fs, window, nperseg, noverlap, nfft, detrend,
                      return_onesided, scaling, axis, mode, boundary,
-                     padded, config):
+                     padded, config, reduce_mean=False):
     """The shared stft/psd engine (scipy._spectral_helper semantics,
     split-plane execution). Returns (freqs, t, (re, im|None), xp,
-    want_np, onesided)."""
+    want_np, onesided).
+
+    ``reduce_mean`` (psd mode): the caller will mean over segments —
+    when the fused Welch accumulator serves the shape, the reduction
+    happens IN the kernel and the result comes back with a
+    single-segment time axis (csd's reducer then strips it)."""
     if boundary not in _EXT_KINDS:
         raise ValueError(
             f"Unknown boundary option '{boundary}', must be one of "
@@ -330,6 +568,24 @@ def _spectral_helper(x, y, fs, window, nperseg, noverlap, nfft, detrend,
                 pad = [(0, 0)] * (re.ndim - 1) + [(0, nadd)]
                 re = xp.pad(re, pad)
                 im = None if im is None else xp.pad(im, pad)
+        if _stft_fused_ok(xp, im, onesided, detrend, re.dtype, nperseg,
+                          step, nfft, config):
+            # fused overlapped-frame kernel: frames stream straight from
+            # the signal in HBM; detrend/window/pad/DFT are one matmul —
+            # no gather pass, no materialized (..., nseg, nperseg) tensor
+            n_sig = re.shape[-1]
+            nseg = 1 + (n_sig - nperseg) // step
+            used = nperseg + (nseg - 1) * step
+            lead = re.shape[:-1]
+            flat = math.prod(lead) if lead else 1
+            x2 = re[..., :used].reshape(flat, used).astype(jnp.float32)
+            fk = _stft_fused(win.tobytes(), nperseg, step, nfft,
+                             detrend if not callable(detrend) else None,
+                             config)
+            Xr, Xi = fk(x2)
+            m1 = Xr.shape[-1]
+            return (Xr.reshape(lead + (nseg, m1)),
+                    Xi.reshape(lead + (nseg, m1)))
         re = _frame(re, nperseg, step, xp)
         im = None if im is None else _frame(im, nperseg, step, xp)
         re, im = _detrend_seg(re, im, detrend, xp)
@@ -342,34 +598,61 @@ def _spectral_helper(x, y, fs, window, nperseg, noverlap, nfft, detrend,
         return _transform_segments(re, im, nfft, onesided and im is None,
                                    config, xp)
 
-    Xr, Xi = run(xre, xim)
-    if same_data:
-        Yr, Yi = Xr, Xi
+    if (mode == "psd" and reduce_mean
+            and _welch_fused_ok(xp, xim, yim, onesided, detrend, nperseg,
+                                step, nfft, boundary, padded, config)
+            and xre.shape[-1] >= nperseg):
+        # fused Welch/CSD accumulator: per-segment spectra never touch
+        # HBM (mxu_fft.build_welch_accum); mean+scale are scalar passes
+        # on the tiny (batch, m1) result
+        n_sig = xre.shape[-1]
+        nseg_f = 1 + (n_sig - nperseg) // step
+        used = nperseg + (nseg_f - 1) * step
+        lead = xre.shape[:-1]
+        flat = math.prod(lead) if lead else 1
+        dkey = detrend if not callable(detrend) else None
+        fk = _welch_fused(win.tobytes(), nperseg, step, nfft, dkey,
+                          not same_data, config)
+        x2 = xre[..., :used].reshape(flat, used).astype(jnp.float32)
+        if same_data:
+            Pr, Pi = fk(x2), None
+        else:
+            y2 = yre[..., :used].reshape(flat, used).astype(jnp.float32)
+            Pr, Pi = fk(x2, y2)
+        k = float(scale) / nseg_f
+        m1 = Pr.shape[-1]
+        Rr = (Pr * k).reshape(lead + (1, m1))
+        Ri = None if Pi is None else (Pi * k).reshape(lead + (1, m1))
     else:
-        Yr, Yi = run(yre, yim)
+        Xr, Xi = run(xre, xim)
+        if same_data:
+            Yr, Yi = Xr, Xi
+        else:
+            Yr, Yi = run(yre, yim)
 
-    if mode == "stft":
-        Rr, Ri = Xr * scale, (None if Xi is None else Xi * scale)
-        if Ri is None:
-            Ri = xp.zeros_like(Rr)
-    else:  # psd: conj(X) * Y
-        if Xi is None:
-            Xi = xp.zeros_like(Xr)
-        if Yi is None:
-            Yi = xp.zeros_like(Yr)
-        Rr = (Xr * Yr + Xi * Yi) * scale
-        Ri = None if same_data else (Xr * Yi - Xi * Yr) * scale
-        if onesided:
-            # double the interior bins (the energy of the dropped
-            # conjugate half); DC and (even-nfft) Nyquist stay single
-            hi = Rr.shape[-1] - (1 if nfft % 2 == 0 else 0)
-            def dbl(a):
-                head = a[..., :1]
-                mid = a[..., 1:hi] * 2
-                tail = a[..., hi:]
-                return xp.concatenate([head, mid, tail], axis=-1)
-            Rr = dbl(Rr)
-            Ri = None if Ri is None else dbl(Ri)
+        if mode == "stft":
+            Rr, Ri = Xr * scale, (None if Xi is None else Xi * scale)
+            if Ri is None:
+                Ri = xp.zeros_like(Rr)
+        else:  # psd: conj(X) * Y
+            if Xi is None:
+                Xi = xp.zeros_like(Xr)
+            if Yi is None:
+                Yi = xp.zeros_like(Yr)
+            Rr = (Xr * Yr + Xi * Yi) * scale
+            Ri = None if same_data else (Xr * Yi - Xi * Yr) * scale
+    if mode != "stft" and onesided:
+        # double the interior bins (the energy of the dropped
+        # conjugate half); DC and (even-nfft) Nyquist stay single
+        hi = Rr.shape[-1] - (1 if nfft % 2 == 0 else 0)
+
+        def dbl(a):
+            head = a[..., :1]
+            mid = a[..., 1:hi] * 2
+            tail = a[..., hi:]
+            return xp.concatenate([head, mid, tail], axis=-1)
+        Rr = dbl(Rr)
+        Ri = None if Ri is None else dbl(Ri)
 
     nseg = Rr.shape[-2]
     if onesided:
@@ -487,7 +770,24 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: int | None = None,
     Zi = xp.moveaxis(Zi, (freq_axis, time_axis), (-1, -2))
     nseg = Zr.shape[-2]
 
-    if input_onesided:
+    if _istft_fused_ok(xp, input_onesided, n_freq, nperseg, step, nfft,
+                       config):
+        # fused overlap-add kernel: inverse transform, window and OLA in
+        # one pass — no scatter-add (see mxu_fft.build_istft_ola); the
+        # time-varying window-sum normalization stays below
+        lead = Zr.shape[:-2]
+        flat = math.prod(lead) if lead else 1
+        zsr = jnp.transpose(Zr.reshape(flat, nseg, n_freq),
+                            (1, 0, 2)).astype(jnp.float32)
+        zsi = jnp.transpose(Zi.reshape(flat, nseg, n_freq),
+                            (1, 0, 2)).astype(jnp.float32)
+        fk = _istft_fused(win.tobytes(), nperseg, step, nfft,
+                          float(unscale), config)
+        xout = fk(zsr, zsi).reshape(lead + (-1,))
+        xout_i = None
+        n_out = nperseg + (nseg - 1) * step
+        xsub = None
+    elif input_onesided:
         if want_np:
             xsub = api.irfft(Zr + 1j * Zi, n=nfft, axis=-1, config=config)
         else:
@@ -504,30 +804,31 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: int | None = None,
             out = api.ifft(SplitComplex(Zr, Zi), n=nfft, axis=-1,
                            config=config)
             xsub, xsub_i = out.re, out.im
-    xsub = xsub[..., :nperseg] * unscale
-    if xsub_i is not None:
-        xsub_i = xsub_i[..., :nperseg] * unscale
+    if xsub is not None:
+        xsub = xsub[..., :nperseg] * unscale
+        if xsub_i is not None:
+            xsub_i = xsub_i[..., :nperseg] * unscale
 
-    n_out = nperseg + (nseg - 1) * step
-    wj = win if xp is np else xp.asarray(win.astype(np.float32))
-    lead = xsub.shape[:-2]
+        n_out = nperseg + (nseg - 1) * step
+        wj = win if xp is np else xp.asarray(win.astype(np.float32))
+        lead = xsub.shape[:-2]
 
-    def ola(seg):
-        seg = seg * (wj.astype(seg.dtype) if xp is np else wj)
-        if xp is np:
-            out = np.zeros(lead + (n_out,), seg.dtype)
-            idx = (np.arange(nperseg)[None, :]
-                   + step * np.arange(nseg)[:, None])
-            np.add.at(out, (..., idx.reshape(-1)),
-                      seg.reshape(lead + (-1,)))
-            return out
-        idx = (jnp.arange(nperseg)[None, :]
-               + step * jnp.arange(nseg)[:, None]).reshape(-1)
-        out = jnp.zeros(lead + (n_out,), seg.dtype)
-        return out.at[..., idx].add(seg.reshape(lead + (-1,)))
+        def ola(seg):
+            seg = seg * (wj.astype(seg.dtype) if xp is np else wj)
+            if xp is np:
+                out = np.zeros(lead + (n_out,), seg.dtype)
+                idx = (np.arange(nperseg)[None, :]
+                       + step * np.arange(nseg)[:, None])
+                np.add.at(out, (..., idx.reshape(-1)),
+                          seg.reshape(lead + (-1,)))
+                return out
+            idx = (jnp.arange(nperseg)[None, :]
+                   + step * jnp.arange(nseg)[:, None]).reshape(-1)
+            out = jnp.zeros(lead + (n_out,), seg.dtype)
+            return out.at[..., idx].add(seg.reshape(lead + (-1,)))
 
-    xout = ola(xsub)
-    xout_i = None if xsub_i is None else ola(xsub_i)
+        xout = ola(xsub)
+        xout_i = None if xsub_i is None else ola(xsub_i)
     normw = np.zeros(n_out)
     idxh = (np.arange(nperseg)[None, :]
             + step * np.arange(nseg)[:, None]).reshape(-1)
@@ -619,7 +920,8 @@ def csd(x, y, fs: float = 1.0, window="hann", nperseg: int | None = None,
     same = y is x
     freqs, _, (Rr, Ri), xp, want_np, _ = _spectral_helper(
         x, y, fs, window, nperseg, noverlap, nfft, detrend,
-        return_onesided, scaling, axis, "psd", None, False, config)
+        return_onesided, scaling, axis, "psd", None, False, config,
+        reduce_mean=(average == "mean"))
     # average over the trailing (segment-time) axis
     if Rr.ndim >= 2 and Rr.shape[-1] > 1:
         if average == "median":
