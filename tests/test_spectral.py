@@ -508,3 +508,39 @@ def test_welch_fused_grad(rng):
     g2 = mk(PlanConfig(backend="xla"))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("batch,n", [(3, 4096), (5, 3000)])
+def test_welch_fused_segment_group(rng, batch, n, caplog):
+    """Small batches must take the segment-GROUP path (G > 1 stacks
+    segments on sublanes to fill the MXU's 128 rows — see
+    mxu_fft.build_welch_accum) including when nseg is not a multiple of
+    G (tail segments masked in-kernel)."""
+    import logging
+
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    cfg = PlanConfig(interpret=True)
+    with caplog.at_level(logging.DEBUG, logger="tpufft"):
+        f1, P1 = tsp.welch(jnp.asarray(x), nperseg=256, noverlap=128,
+                           config=cfg)
+    msgs = [r.getMessage() for r in caplog.records]
+    grp = [m for m in msgs if "welch-accum" in m]
+    assert grp and all("group=16" in m for m in grp), msgs
+    f2, P2 = sps.welch(x.astype(np.float64), nperseg=256, noverlap=128)
+    _cmp(np.asarray(P1), P2, tol=1e-4)
+
+
+def test_welch_fused_group_one_for_big_batch(rng, caplog):
+    """Batches >= 128 rows already fill the MXU: G stays 1."""
+    import logging
+
+    x = rng.standard_normal((130, 1024)).astype(np.float32)
+    cfg = PlanConfig(interpret=True)
+    with caplog.at_level(logging.DEBUG, logger="tpufft"):
+        f1, P1 = tsp.welch(jnp.asarray(x), nperseg=256, noverlap=128,
+                           config=cfg)
+    msgs = [r.getMessage() for r in caplog.records]
+    grp = [m for m in msgs if "welch-accum" in m]
+    assert grp and all("group=1 " in m for m in grp), msgs
+    f2, P2 = sps.welch(x.astype(np.float64), nperseg=256, noverlap=128)
+    _cmp(np.asarray(P1), P2, tol=1e-4)

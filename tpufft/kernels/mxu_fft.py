@@ -838,7 +838,7 @@ def build_istft_ola(ar: np.ndarray, ai: np.ndarray, hop: int,
 
 def build_welch_accum(mr: np.ndarray, mi: np.ndarray, hop: int,
                       nseg: int, bblk: int, precision: str,
-                      interpret: bool, cross: bool):
+                      interpret: bool, cross: bool, group: int = 1):
     """Fused Welch/CSD accumulator: overlapped frames stream from HBM
     exactly as in ``build_stft_overlap``, but the per-segment spectra
     NEVER touch HBM — each grid step computes Z = frame @ M and
@@ -848,39 +848,67 @@ def build_welch_accum(mr: np.ndarray, mi: np.ndarray, hop: int,
     For a (8, 1M) welch this removes the entire (batch, nseg, m1)
     spectrum round-trip. The mean, the PSD scale and the onesided
     doubling are cheap XLA elementwise passes on the (batch, m1) result.
-    ``cross``: two input signals, complex conj(Zx)·Zy accumulation."""
+    ``cross``: two input signals, complex conj(Zx)·Zy accumulation.
+
+    ``group`` (G): segments processed per grid step, stacked on the
+    SUBLANE axis before the matmul — a batch-8 welch fills only 8 of the
+    MXU's 128 rows per pass; G=16 stacks 16 consecutive segments into a
+    (G*bblk, nperseg) operand. The G frames are lane slices (hop-aligned)
+    of one shared (bblk, (G+K-1)*hop) signal window, so the overlap
+    re-read amplification also drops from K× to (G+K-1)/G ≈ 1×. Tail
+    segments (j*G+g >= nseg) are masked by scalar 0/1 factors before the
+    cross-group sum; window block indices past the signal end are
+    clamped (their garbage is masked)."""
     nperseg, m1 = int(mr.shape[0]), int(mr.shape[1])
     if nperseg % hop:
         raise ValueError("nperseg must be a multiple of hop")
     K = nperseg // hop
+    G = max(1, min(int(group), nseg))
+    nwin = G + K - 1          # hop-blocks of signal per grid step
+    nblk_sig = nseg + K - 1   # total hop-blocks in the signal
     nsig = 2 if cross else 1
     tables = _prep_w((np.ascontiguousarray(mr, np.float32),
                       np.ascontiguousarray(mi, np.float32)), precision)
     logger.debug("mxu_fft welch-accum: nperseg=%d hop=%d K=%d m1=%d "
-                 "nseg=%d bblk=%d cross=%s precision=%s", nperseg, hop,
-                 K, m1, nseg, bblk, cross, precision)
+                 "nseg=%d bblk=%d group=%d cross=%s precision=%s",
+                 nperseg, hop, K, m1, nseg, bblk, G, cross, precision)
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
-        x_refs = refs[len(tables):len(tables) + nsig * K]
-        o_refs = refs[len(tables) + nsig * K:]
+        x_refs = refs[len(tables):len(tables) + nsig * nwin]
+        o_refs = refs[len(tables) + nsig * nwin:]
         w = tuple(r[:] for r in t_refs)
+        j = pl.program_id(1)
 
-        def spectrum(refs_k):
-            if K == 1:
-                v = _load_f32(refs_k[0])
+        def spectrum(refs_w):
+            if nwin == 1:
+                win = _load_f32(refs_w[0])
             else:
-                v = jnp.concatenate([_load_f32(r) for r in refs_k],
-                                    axis=-1)
-            return _rmm_right(precision, w, v)
+                win = jnp.concatenate([_load_f32(r) for r in refs_w],
+                                      axis=-1)
+            if G == 1:
+                return _rmm_right(precision, w, win)
+            # G frames = hop-aligned lane slices of the shared window,
+            # stacked on sublanes -> one (G*bblk, nperseg) MXU operand
+            frames = [win[:, g * hop:g * hop + nperseg] for g in range(G)]
+            return _rmm_right(precision, w, jnp.concatenate(frames, axis=0))
 
-        xr, xi = spectrum(x_refs[:K])
+        xr, xi = spectrum(x_refs[:nwin])
         if cross:
-            yr, yi = spectrum(x_refs[K:])
+            yr, yi = spectrum(x_refs[nwin:])
             parts = (xr * yr + xi * yi, xr * yi - xi * yr)
         else:
             parts = (xr * xr + xi * xi,)
-        j = pl.program_id(1)
+        if G > 1:
+            # mask tail segments, sum the group rows back to (bblk, m1)
+            def fold(p):
+                acc = None
+                for g in range(G):
+                    m = jnp.where(j * G + g < nseg, 1.0, 0.0)
+                    pg = p[g * bblk:(g + 1) * bblk] * m
+                    acc = pg if acc is None else acc + pg
+                return acc
+            parts = tuple(fold(p) for p in parts)
         for o_ref, p in zip(o_refs, parts):
             @pl.when(j == 0)
             def _init(o_ref=o_ref, p=p):
@@ -894,9 +922,14 @@ def build_welch_accum(mr: np.ndarray, mi: np.ndarray, hop: int,
         return pl.BlockSpec(t.shape, (lambda i, j: (0, 0)),
                             memory_space=pltpu.VMEM)
 
-    xspecs = [pl.BlockSpec((bblk, hop), (lambda i, j, k=k: (i, j + k)),
-                           memory_space=pltpu.VMEM)
-              for _ in range(nsig) for k in range(K)]
+    def xidx(t):
+        if G == 1:
+            return lambda i, j, t=t: (i, j + t)
+        # clamp: the last group's window may run past the signal end
+        return lambda i, j, t=t: (i, jnp.minimum(j * G + t, nblk_sig - 1))
+
+    xspecs = [pl.BlockSpec((bblk, hop), xidx(t), memory_space=pltpu.VMEM)
+              for _ in range(nsig) for t in range(nwin)]
     dout = pl.BlockSpec((bblk, m1), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
 
@@ -915,7 +948,7 @@ def build_welch_accum(mr: np.ndarray, mi: np.ndarray, hop: int,
         nout = 2 if cross else 1
         out = pl.pallas_call(
             kernel,
-            grid=(pl.cdiv(batch, bblk), nseg),
+            grid=(pl.cdiv(batch, bblk), pl.cdiv(nseg, G)),
             in_specs=[tspec(t) for t in tables] + xspecs,
             out_specs=[dout] * nout,
             out_shape=[jax.ShapeDtypeStruct((batch, m1),
@@ -923,7 +956,7 @@ def build_welch_accum(mr: np.ndarray, mi: np.ndarray, hop: int,
             interpret=interpret,
             **params,
         )(*([jnp.asarray(t) for t in tables]
-            + [x for x in xs for _ in range(K)]))
+            + [x for x in xs for _ in range(nwin)]))
         return out[0] if not cross else tuple(out)
 
     return run

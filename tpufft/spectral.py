@@ -309,9 +309,15 @@ def _welch_fused(win_bytes: bytes, nperseg: int, step: int, nfft: int,
 
     @functools.lru_cache(maxsize=8)
     def build(nseg: int, bblk: int):
+        # small batches underfill the MXU's 128 sublanes — stack G
+        # consecutive segments per grid step to fill the rows (and cut
+        # the overlap re-read from K x to ~1x). Measured crossover on
+        # v5e (nperseg=256): bblk 8/16/32 win 2-4x with G=128/bblk;
+        # bblk >= 64 regresses (window-concat overhead) — keep G=1.
+        group = max(1, min(nseg, 128 // bblk)) if bblk <= 32 else 1
         return mxu_fft.build_welch_accum(
             mr, mi, step, nseg, bblk, cfg.precision, bool(cfg.interpret),
-            cross)
+            cross, group=group)
 
     def composed(*xs):
         # jnp reference used only for the VJP: frame -> matmul -> accum
