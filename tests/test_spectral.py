@@ -544,3 +544,22 @@ def test_welch_fused_group_one_for_big_batch(rng, caplog):
     assert grp and all("group=1 " in m for m in grp), msgs
     f2, P2 = sps.welch(x.astype(np.float64), nperseg=256, noverlap=128)
     _cmp(np.asarray(P1), P2, tol=1e-4)
+
+
+def test_stft_fused_segment_group(rng, caplog):
+    """Small-batch stft takes the segment-group path (G > 1), including
+    a tail (nseg % G != 0), and matches scipy."""
+    import logging
+
+    x = rng.standard_normal((5, 3000)).astype(np.float32)
+    cfg = PlanConfig(interpret=True)
+    with caplog.at_level(logging.DEBUG, logger="tpufft"):
+        f1, t1, Z1 = tsp.stft(jnp.asarray(x), nperseg=256, noverlap=128,
+                              config=cfg)
+    msgs = [r.getMessage() for r in caplog.records]
+    grp = [m for m in msgs if "stft-overlap" in m]
+    assert grp and all("group=16" in m for m in grp), msgs
+    f2, t2, Z2 = sps.stft(x.astype(np.float64), nperseg=256, noverlap=128)
+    if isinstance(Z1, SplitComplex):
+        Z1 = np.asarray(Z1.re) + 1j * np.asarray(Z1.im)
+    _cmp(np.asarray(Z1), Z2, tol=1e-5)

@@ -670,7 +670,8 @@ def build_minor_dense_real(mat: np.ndarray, bblk: int, precision: str,
 
 def build_stft_overlap(mr: np.ndarray, mi: np.ndarray, hop: int,
                        nseg: int, bblk: int, precision: str,
-                       interpret: bool, transpose_out: bool = True):
+                       interpret: bool, transpose_out: bool = True,
+                       group: int = 1):
     """Overlapped-frame windowed r2c for the STFT hot path:
     (batch, (nseg + K - 1) * hop) real signal -> (batch, nseg, m1)
     spectrum planes in ONE kernel pass, with NO materialized frame
@@ -683,41 +684,62 @@ def build_stft_overlap(mr: np.ndarray, mi: np.ndarray, hop: int,
     M = P_detrend @ diag(win) @ V_nfft[:nperseg, :m1] * scale). The
     gather pass AND the frame write+read round-trip of the composed path
     disappear. Requires nperseg % hop == 0 and hop % 128 == 0 (lane
-    blocks). Not lru-cached — callers own the closure."""
+    blocks). ``group`` (G): segments per grid step, stacked on sublanes
+    before the matmul (small batches underfill the MXU's 128 rows —
+    same trick as build_welch_accum): G frames are hop-aligned lane
+    slices of one shared (bblk, (G+K-1)*hop) window and the output
+    block becomes (G, bblk, m1); tail blocks past nseg are store-masked
+    by Pallas, input window indices clamp. Not lru-cached — callers own
+    the closure."""
     nperseg, m1 = int(mr.shape[0]), int(mr.shape[1])
     if nperseg % hop:
         raise ValueError("nperseg must be a multiple of hop")
     K = nperseg // hop
+    G = max(1, min(int(group), nseg))
+    nwin = G + K - 1
+    nblk_sig = nseg + K - 1
     tables = _prep_w((np.ascontiguousarray(mr, np.float32),
                       np.ascontiguousarray(mi, np.float32)), precision)
     logger.debug("mxu_fft stft-overlap: nperseg=%d hop=%d K=%d m1=%d "
-                 "nseg=%d bblk=%d precision=%s", nperseg, hop, K, m1,
-                 nseg, bblk, precision)
+                 "nseg=%d bblk=%d group=%d precision=%s", nperseg, hop,
+                 K, m1, nseg, bblk, G, precision)
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
-        x_refs = refs[len(tables):len(tables) + K]
-        or_ref, oi_ref = refs[len(tables) + K:]
+        x_refs = refs[len(tables):len(tables) + nwin]
+        or_ref, oi_ref = refs[len(tables) + nwin:]
         w = tuple(r[:] for r in t_refs)
-        if K == 1:
+        if nwin == 1:
             x = _load_f32(x_refs[0])
         else:
             x = jnp.concatenate([_load_f32(r) for r in x_refs], axis=-1)
-        zr, zi = _rmm_right(precision, w, x)
-        or_ref[:] = zr[None, :, :].astype(or_ref.dtype)
-        oi_ref[:] = zi[None, :, :].astype(oi_ref.dtype)
+        if G == 1:
+            zr, zi = _rmm_right(precision, w, x)
+            or_ref[:] = zr[None, :, :].astype(or_ref.dtype)
+            oi_ref[:] = zi[None, :, :].astype(oi_ref.dtype)
+            return
+        frames = [x[:, g * hop:g * hop + nperseg] for g in range(G)]
+        zr, zi = _rmm_right(precision, w, jnp.concatenate(frames, axis=0))
+        for g in range(G):
+            or_ref[g] = zr[g * bblk:(g + 1) * bblk].astype(or_ref.dtype)
+            oi_ref[g] = zi[g * bblk:(g + 1) * bblk].astype(oi_ref.dtype)
 
     def tspec(t):
         return pl.BlockSpec(t.shape, (lambda i, j: (0, 0)),
                             memory_space=pltpu.VMEM)
 
-    xspecs = [pl.BlockSpec((bblk, hop), (lambda i, j, k=k: (i, j + k)),
-                           memory_space=pltpu.VMEM) for k in range(K)]
+    def xidx(t):
+        if G == 1:
+            return lambda i, j, t=t: (i, j + t)
+        return lambda i, j, t=t: (i, jnp.minimum(j * G + t, nblk_sig - 1))
+
+    xspecs = [pl.BlockSpec((bblk, hop), xidx(t), memory_space=pltpu.VMEM)
+              for t in range(nwin)]
     # Mosaic block rule: the last TWO block dims must be %8/%128 or equal
     # the array dims — a (bblk, 1, m1) segment-minor block is rejected on
-    # hardware, so the kernel emits (nseg, batch, m1) with (1, bblk, m1)
+    # hardware, so the kernel emits (nseg, batch, m1) with (G, bblk, m1)
     # blocks and the caller transposes back on the XLA side.
-    dout = pl.BlockSpec((1, bblk, m1), lambda i, j: (j, i, 0),
+    dout = pl.BlockSpec((G, bblk, m1), lambda i, j: (j, i, 0),
                         memory_space=pltpu.VMEM)
 
     def run(x):
@@ -732,14 +754,14 @@ def build_stft_overlap(mr: np.ndarray, mi: np.ndarray, hop: int,
                 vmem_limit_bytes=_BIG_VMEM_LIMIT)
         zr, zi = pl.pallas_call(
             kernel,
-            grid=(pl.cdiv(batch, bblk), nseg),
+            grid=(pl.cdiv(batch, bblk), pl.cdiv(nseg, G)),
             in_specs=[tspec(t) for t in tables] + xspecs,
             out_specs=[dout, dout],
             out_shape=[jax.ShapeDtypeStruct((nseg, batch, m1),
                                             jnp.float32)] * 2,
             interpret=interpret,
             **params,
-        )(*([jnp.asarray(t) for t in tables] + [x] * K))
+        )(*([jnp.asarray(t) for t in tables] + [x] * nwin))
         if not transpose_out:
             return zr, zi  # (nseg, batch, m1) — segment-major raw layout
         return (jnp.transpose(zr, (1, 0, 2)), jnp.transpose(zi, (1, 0, 2)))

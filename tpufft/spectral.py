@@ -262,8 +262,12 @@ def _stft_fused(win_bytes: bytes, nperseg: int, step: int, nfft: int,
 
     @functools.lru_cache(maxsize=8)
     def build(nseg: int, bblk: int):
+        # same segment-group row split as the welch accumulator (see
+        # build() in _welch_fused): measured win for bblk <= 32
+        group = max(1, min(nseg, 128 // bblk)) if bblk <= 32 else 1
         return mxu_fft.build_stft_overlap(
-            mr, mi, step, nseg, bblk, cfg.precision, bool(cfg.interpret))
+            mr, mi, step, nseg, bblk, cfg.precision, bool(cfg.interpret),
+            group=group)
 
     @jax.custom_vjp
     def f(x):
