@@ -36,6 +36,8 @@ from .signal import (FilterPlan, correlate, envelope, fftconvolve, hilbert,
 from .czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
                        istft, periodogram, spectrogram, stft, welch)
+from .multirate import decimate, resample_poly, upfirdn
+from .iir import sosfilt, sosfiltfilt
 
 __version__ = "0.3.0"
 
@@ -54,6 +56,7 @@ __all__ = [
     "CZT", "ZoomFFT", "czt", "zoom_fft", "czt_points",
     "stft", "istft", "spectrogram", "periodogram", "welch", "csd",
     "coherence", "get_window", "check_NOLA", "check_COLA",
+    "upfirdn", "resample_poly", "decimate", "sosfilt", "sosfiltfilt",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "set_workers", "get_workers", "scipy_backend",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",
