@@ -1,0 +1,157 @@
+"""scipy.signal utility surface (detrend, hilbert2, wiener, deconvolve,
+correlation_lags, choose_conv_method) vs scipy.
+
+Reference scope: no counterpart in martinvuyk/hackathon-fft — these are
+scipy.signal companions of the convolution/spectral layers (parity
+targets in scipy/signal/_signaltools.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from scipy import signal as sps
+
+import tpufft
+from tpufft.sigtools import (choose_conv_method, correlation_lags,
+                             deconvolve, detrend, wiener)
+from tpufft.signal import hilbert2
+from tpufft.core import SplitComplex
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(99)
+
+
+@pytest.mark.parametrize("typ", ["constant", "linear"])
+def test_detrend_matches_scipy(rng, typ):
+    x = rng.standard_normal((3, 400)) + np.linspace(0, 5, 400)
+    np.testing.assert_allclose(detrend(x, type=typ),
+                               sps.detrend(x, type=typ), atol=1e-12)
+
+
+def test_detrend_breakpoints_and_axis(rng):
+    x = rng.standard_normal((3, 400)) + np.linspace(0, 5, 400)
+    np.testing.assert_allclose(detrend(x, bp=[100, 250]),
+                               sps.detrend(x, bp=[100, 250]), atol=1e-12)
+    np.testing.assert_allclose(detrend(x.T, axis=0),
+                               sps.detrend(x.T, axis=0), atol=1e-12)
+    with pytest.raises(ValueError, match="Trend type"):
+        detrend(x, type="bogus")
+    with pytest.raises(ValueError, match="Breakpoints"):
+        detrend(x, bp=[500])
+
+
+def test_detrend_device_path(rng):
+    x = (rng.standard_normal((2, 300))
+         + np.linspace(0, 3, 300)).astype(np.float32)
+    y = detrend(jnp.asarray(x))
+    assert isinstance(y, jax.Array)
+    np.testing.assert_allclose(np.asarray(y),
+                               sps.detrend(x.astype(np.float64)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_hilbert2_matches_scipy(rng):
+    im = rng.standard_normal((32, 48))
+    np.testing.assert_allclose(hilbert2(im), sps.hilbert2(im), atol=1e-12)
+    np.testing.assert_allclose(hilbert2(im, N=(40, 56)),
+                               sps.hilbert2(im, N=(40, 56)), atol=1e-12)
+    np.testing.assert_allclose(hilbert2(im, N=16),
+                               sps.hilbert2(im, N=16), atol=1e-12)
+
+
+def test_hilbert2_errors(rng):
+    im = rng.standard_normal((8, 8))
+    with pytest.raises(ValueError, match="real"):
+        hilbert2(im + 0j)
+    with pytest.raises(ValueError, match="positive"):
+        hilbert2(im, N=0)
+    with pytest.raises(ValueError, match="two positive|exactly"):
+        hilbert2(im, N=(1, 2, 3))
+    with pytest.raises(ValueError, match="distinct"):
+        hilbert2(im, axes=(0, 0))
+
+
+def test_hilbert2_device_path(rng):
+    im = rng.standard_normal((16, 32)).astype(np.float32)
+    out = hilbert2(jnp.asarray(im))
+    ref = sps.hilbert2(im.astype(np.float64))
+    if isinstance(out, SplitComplex):
+        got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    else:
+        got = np.asarray(out)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wiener_matches_scipy(rng):
+    im = rng.standard_normal((40, 40)) + 2
+    np.testing.assert_allclose(wiener(im), sps.wiener(im), atol=1e-10)
+    np.testing.assert_allclose(wiener(im, mysize=5, noise=0.5),
+                               sps.wiener(im, mysize=5, noise=0.5),
+                               atol=1e-10)
+    x1 = rng.standard_normal(200)
+    np.testing.assert_allclose(wiener(x1, mysize=7),
+                               sps.wiener(x1, mysize=7), atol=1e-10)
+
+
+def test_wiener_device_path(rng):
+    im = (rng.standard_normal((24, 24)) + 2).astype(np.float32)
+    out = wiener(jnp.asarray(im))
+    assert isinstance(out, jax.Array)
+    np.testing.assert_allclose(np.asarray(out),
+                               sps.wiener(im.astype(np.float64)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_deconvolve_matches_scipy(rng):
+    div = rng.standard_normal(7)
+    div[0] = 2.0
+    sig = np.convolve(div, rng.standard_normal(60))
+    q1, r1 = deconvolve(sig, div)
+    q0, r0 = sps.deconvolve(sig, div)
+    np.testing.assert_allclose(q1, q0, atol=1e-10)
+    np.testing.assert_allclose(r1, r0, atol=1e-10)
+    # reconstruction identity
+    np.testing.assert_allclose(np.convolve(div, q1) + r1, sig, atol=1e-9)
+    # divisor longer than signal
+    q1, r1 = deconvolve(sig[:3], div)
+    assert q1.size == 0 and np.allclose(r1, sig[:3])
+    with pytest.raises(ValueError, match="non-empty"):
+        deconvolve(np.zeros((2, 2)), div)
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+@pytest.mark.parametrize("l1,l2", [(10, 7), (7, 10), (8, 8), (9, 4)])
+def test_correlation_lags_matches_scipy(mode, l1, l2):
+    np.testing.assert_array_equal(correlation_lags(l1, l2, mode),
+                                  sps.correlation_lags(l1, l2, mode))
+
+
+def test_correlation_lags_pins_correlate(rng):
+    # the lag vector must index our correlate output correctly
+    a = rng.standard_normal(40)
+    b = np.roll(a, 5)[:30]  # b[n] = a[n-5] -> peak at lag -5
+    corr = tpufft.correlate(a, b, mode="full")
+    lags = correlation_lags(len(a), len(b), "full")
+    assert lags[np.argmax(corr)] == -5
+    assert lags[np.argmax(sps.correlate(a, b, mode="full"))] == -5
+
+
+def test_choose_conv_method_contract(rng):
+    assert choose_conv_method(rng.standard_normal(5000),
+                              rng.standard_normal(500)) == "fft"
+    assert choose_conv_method(np.arange(10), np.arange(5)) == "direct"
+    c, times = choose_conv_method(rng.standard_normal(1000),
+                                  rng.standard_normal(100), measure=True)
+    assert c in ("fft", "direct") and set(times) == {"fft", "direct"}
+    with pytest.raises(ValueError, match="mode"):
+        correlation_lags(5, 5, "bogus")
+
+
+def test_sigtools_exported():
+    for name in ("detrend", "deconvolve", "wiener", "correlation_lags",
+                 "choose_conv_method", "hilbert2"):
+        assert hasattr(tpufft, name), name
+        assert name in tpufft.__all__

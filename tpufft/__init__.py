@@ -32,7 +32,9 @@ from .realtrans import (
 from .fhtlog import fht, ifht, fhtoffset
 from .backend import set_workers, get_workers, scipy_backend
 from .signal import (FilterPlan, correlate, envelope, fftconvolve, hilbert,
-                     oaconvolve, plan_filter, resample)
+                     hilbert2, oaconvolve, plan_filter, resample)
+from .sigtools import (choose_conv_method, correlation_lags, deconvolve,
+                       detrend, wiener)
 from .czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
                        istft, periodogram, spectrogram, stft, welch)
@@ -57,6 +59,8 @@ __all__ = [
     "stft", "istft", "spectrogram", "periodogram", "welch", "csd",
     "coherence", "get_window", "check_NOLA", "check_COLA",
     "upfirdn", "resample_poly", "decimate", "sosfilt", "sosfiltfilt",
+    "hilbert2", "detrend", "deconvolve", "wiener", "correlation_lags",
+    "choose_conv_method",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "set_workers", "get_workers", "scipy_backend",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",

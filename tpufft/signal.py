@@ -30,7 +30,7 @@ from .kernels import mxu_fft
 from .planner import next_fast_len
 
 __all__ = ["plan_filter", "FilterPlan", "fftconvolve", "oaconvolve",
-           "hilbert", "resample", "correlate", "envelope"]
+           "hilbert", "hilbert2", "resample", "correlate", "envelope"]
 
 # Largest axis run as a dense circulant matmul; beyond it the plan
 # composes fft -> multiply -> ifft (measured on-chip crossover, see
@@ -495,6 +495,56 @@ def hilbert(x, N: int | None = None, axis: int = -1, *,
     # numpy stays numpy end-to-end: the plan then combines the complex
     # result on the host (the TPU backend has no complex dtypes)
     return _hilbert_plan(N, axis % xj.ndim, config)(xj)
+
+
+def hilbert2(x, N=None, axes=(-2, -1), *,
+             config: PlanConfig | None = None):
+    """2-D analytic signal (scipy.signal.hilbert2-compatible): real
+    input -> complex output via fft2, the separable h1 (x) h2 one-sided
+    doubling mask, and ifft2 — the mask multiply fuses into the
+    surrounding passes as one elementwise expression on split planes.
+    Numpy in -> numpy complex out; a device array on a complex-free
+    backend (TPU) returns SplitComplex planes."""
+    from . import api
+
+    is_np = not isinstance(x, jax.Array)
+    xp = np if is_np else jnp
+    xj = xp.atleast_2d(xp.asarray(x))
+    if np.issubdtype(np.dtype(xj.dtype), np.complexfloating):
+        raise ValueError("x must be real.")
+    if len(axes) != 2:
+        raise ValueError("axes must be a tuple of length 2")
+    ax0, ax1 = (a % xj.ndim for a in axes)
+    if ax0 == ax1:
+        raise ValueError("axes must contain 2 distinct axes")
+    if N is None:
+        N = (xj.shape[ax0], xj.shape[ax1])
+    elif isinstance(N, int):
+        if N <= 0:
+            raise ValueError("N must be positive.")
+        N = (N, N)
+    elif len(N) != 2 or any(int(n) <= 0 for n in N):
+        raise ValueError("When given as a tuple, N must hold exactly "
+                         "two positive integers")
+    N = (int(N[0]), int(N[1]))
+
+    def mask1(n):
+        h = np.zeros(n)
+        k = (n + 1) // 2
+        h[0] = 1.0
+        h[1:k] = 2.0
+        return h
+
+    h = np.outer(mask1(N[0]), mask1(N[1]))
+    X = api.fft2(xj, s=N, axes=(ax0, ax1), config=config)
+    shape = [1] * xj.ndim
+    shape[ax0], shape[ax1] = N
+    if isinstance(X, SplitComplex):
+        hj = jnp.asarray(h.astype(np.float32)).reshape(shape)
+        Y = SplitComplex(X.re * hj, X.im * hj)
+    else:
+        Y = X * xp.asarray(h.reshape(shape)).astype(X.dtype)
+    return api.ifft2(Y, axes=(ax0, ax1), config=config)
 
 
 def resample(x, num: int, axis: int = 0, *,

@@ -1,0 +1,222 @@
+"""scipy.signal utility surface: detrend, deconvolve, wiener,
+correlation_lags, choose_conv_method.
+
+Beyond reference parity (the reference stops at raw transforms); these
+are the small scipy.signal companions users of the convolution/spectral
+layers expect. TPU-native notes: ``wiener``'s local moments run through
+this package's FFT convolution (one fused pass per moment);
+``detrend``'s piecewise fits are tiny host/XLA least-squares per
+breakpoint segment (segment count is static); ``deconvolve`` is an
+inherently sequential polynomial long division — it runs as a host
+recurrence and is documented as such (scipy semantics: quotient =
+lfilter(num, den, impulse)).
+
+scipy parity targets: scipy/signal/_signaltools.py (deconvolve's
+lfilter identity, wiener's moment/threshold schedule,
+correlation_lags index math, choose_conv_method contract) and
+scipy/signal/_signaltools.py detrend (per-segment lstsq design matrix
+[arange(1, N+1)/N, 1]).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PlanConfig
+
+__all__ = ["detrend", "deconvolve", "wiener", "correlation_lags",
+           "choose_conv_method"]
+
+
+def detrend(data, axis: int = -1, type: str = "linear", bp=0,
+            overwrite_data: bool = False):
+    """Remove a constant or piecewise-linear trend
+    (scipy.signal.detrend-compatible, including breakpoints ``bp``)."""
+    if type not in ("linear", "l", "constant", "c"):
+        raise ValueError("Trend type must be 'linear' or 'constant'.")
+    is_np = not isinstance(data, jax.Array)
+    xp = np if is_np else jnp
+    data = xp.asarray(data)
+    if not np.issubdtype(np.dtype(data.dtype), np.inexact):
+        data = data.astype(np.float64 if is_np else jnp.float32)
+    if type in ("constant", "c"):
+        return data - xp.mean(data, axis=axis, keepdims=True)
+
+    shape = data.shape
+    ndim = data.ndim
+    axis = axis % ndim
+    N = shape[axis]
+    bp = np.sort(np.unique(np.concatenate(
+        [np.atleast_1d(np.asarray(v, np.intp)) for v in (0, bp, N)])))
+    if np.any(bp > N):
+        raise ValueError("Breakpoints must be less than length of data "
+                         "along given axis.")
+
+    newdata = xp.moveaxis(data, axis, 0).reshape(N, -1)
+    fdt = np.float64 if is_np else np.dtype(data.dtype)
+    pieces = []
+    for m in range(len(bp) - 1):
+        npts = int(bp[m + 1] - bp[m])
+        # scipy's design matrix: [arange(1, Npts+1)/Npts, 1]
+        A = np.ones((npts, 2), fdt)
+        A[:, 0] = np.arange(1, npts + 1, dtype=np.float64) / npts
+        seg = newdata[int(bp[m]):int(bp[m + 1])]
+        if xp is np:
+            coef, *_ = np.linalg.lstsq(A, seg, rcond=None)
+            pieces.append(seg - A @ coef)
+        else:
+            # the projector A @ pinv(A) is a host f64 plan constant; the
+            # two device matmuls run at HIGHEST precision (a default-
+            # precision f32 dot lowers to bf16 on the MXU and costs
+            # ~3 decimal digits on the fitted trend)
+            pinv = np.linalg.pinv(A.astype(np.float64))
+            Aj = jnp.asarray(A.astype(np.float32))
+            pj = jnp.asarray(pinv.astype(np.float32))
+            coef = jnp.dot(pj, seg, precision=jax.lax.Precision.HIGHEST)
+            pieces.append(seg - jnp.dot(
+                Aj, coef, precision=jax.lax.Precision.HIGHEST))
+    out = xp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+    return xp.moveaxis(out.reshape((N,) + shape[:axis]
+                                   + shape[axis + 1:]), 0, axis)
+
+
+def deconvolve(signal, divisor):
+    """Polynomial deconvolution: ``signal = convolve(divisor, quotient)
+    + remainder`` (scipy.signal.deconvolve-compatible).
+
+    Inherently sequential long division — runs as a host f64 recurrence
+    (the quotient is lfilter(num, den, impulse) in scipy's own
+    definition); the remainder check is a direct convolution."""
+    num = np.atleast_1d(np.asarray(signal, np.float64))
+    den = np.atleast_1d(np.asarray(divisor, np.float64))
+    if num.ndim != 1 or num.size == 0:
+        raise ValueError("Parameter signal must be non-empty 1d array, "
+                         f"but its shape is {np.shape(signal)}!")
+    if den.ndim != 1 or den.size == 0:
+        raise ValueError("Parameter divisor must be non-empty 1d array, "
+                         f"but its shape is {np.shape(divisor)}!")
+    if den[0] == 0:
+        raise ValueError("divisor cannot have a leading zero")
+    N, D = num.size, den.size
+    if D > N:
+        return np.array([]), num.copy()
+    n_out = N - D + 1
+    quot = np.empty(n_out)
+    a = den / den[0]
+    for n in range(n_out):
+        k = min(n, D - 1)
+        acc = num[n] / den[0]
+        if k:
+            acc -= a[1:k + 1] @ quot[n - 1::-1][:k]
+        quot[n] = acc
+    rem = num - np.convolve(den, quot, mode="full")
+    return quot, rem
+
+
+def wiener(im, mysize=None, noise=None, *,
+           config: PlanConfig | None = None):
+    """Adaptive Wiener filter (scipy.signal.wiener-compatible): local
+    mean/variance from box sums — each moment is ONE fused FFT
+    convolution through the framework's kernel path — then the
+    noise-thresholded gain."""
+    from .signal import fftconvolve
+
+    is_np = not isinstance(im, jax.Array)
+    xp = np if is_np else jnp
+    im = xp.asarray(im)
+    if np.issubdtype(np.dtype(im.dtype), np.complexfloating):
+        raise NotImplementedError(
+            "complex wiener is not supported (filter re/im separately)")
+    if not np.issubdtype(np.dtype(im.dtype), np.inexact):
+        im = im.astype(np.float64 if is_np else jnp.float32)
+    if mysize is None:
+        mysize = [3] * im.ndim
+    mysize = np.atleast_1d(np.asarray(mysize, np.intp))
+    if mysize.size == 1:
+        mysize = np.full(im.ndim, int(mysize[0]), np.intp)
+    if mysize.size != im.ndim:
+        raise ValueError("mysize must match the input rank")
+    size = float(np.prod(mysize))
+    box = xp.ones(tuple(int(s) for s in mysize), im.dtype)
+    lmean = fftconvolve(im, box, mode="same", config=config) / size
+    lvar = (fftconvolve(im * im, box, mode="same", config=config) / size
+            - lmean * lmean)
+    if noise is None:
+        noise = xp.mean(lvar)
+    res = (im - lmean) * (1 - noise / lvar) + lmean
+    return xp.where(lvar < noise, lmean, res)
+
+
+def correlation_lags(in1_len: int, in2_len: int,
+                     mode: str = "full") -> np.ndarray:
+    """Lag indices for the output of ``correlate``
+    (scipy.signal.correlation_lags-compatible)."""
+    in1_len, in2_len = int(in1_len), int(in2_len)
+    if in1_len < 1 or in2_len < 1:
+        raise ValueError("input lengths must be positive")
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        lag_bound = in1_len // 2
+        if in1_len % 2 == 0:
+            return lags[mid - lag_bound:mid + lag_bound]
+        return lags[mid - lag_bound:mid + lag_bound + 1]
+    if mode == "valid":
+        lag_bound = in1_len - in2_len
+        if lag_bound >= 0:
+            return np.arange(lag_bound + 1)
+        return np.arange(lag_bound, 1)
+    raise ValueError(f"mode must be full/same/valid, got {mode!r}")
+
+
+def choose_conv_method(in1, in2, mode: str = "full",
+                       measure: bool = False):
+    """Advise 'fft' or 'direct' convolution
+    (scipy.signal.choose_conv_method-compatible contract: exact-integer
+    inputs force 'direct' when the products stay representable;
+    ``measure=True`` times both on the actual inputs)."""
+    a = np.asarray(in1)
+    b = np.asarray(in2)
+
+    def _ints_exact():
+        if not (np.issubdtype(a.dtype, np.integer)
+                and np.issubdtype(b.dtype, np.integer)):
+            return False
+        if a.size == 0 or b.size == 0:
+            return True
+        max_val = int(np.abs(a).max()) * int(np.abs(b).max())
+        max_val *= int(min(a.size, b.size))
+        return max_val < 2 ** 52  # f64 mantissa: fft stays exact below
+
+    if measure and a.ndim == 1 and b.ndim == 1:
+        import timeit
+
+        from .signal import fftconvolve
+
+        times = {}
+        times["direct"] = min(timeit.repeat(
+            lambda: np.convolve(a, b, mode), number=1, repeat=3))
+        times["fft"] = min(timeit.repeat(
+            lambda: fftconvolve(a.astype(np.float64),
+                                b.astype(np.float64), mode),
+            number=1, repeat=3))
+        chosen = "fft" if times["fft"] < times["direct"] else "direct"
+        return chosen, times
+    if measure:
+        # N-D measurement falls back to the heuristic (this package has
+        # no direct N-D convolver to time; the answer stays advisory)
+        choice = choose_conv_method(in1, in2, mode, measure=False)
+        return choice, {}
+    if (np.issubdtype(a.dtype, np.integer)
+            or np.issubdtype(b.dtype, np.integer)):
+        return "direct" if not _ints_exact() else (
+            "fft" if max(a.size, b.size) > 500 else "direct")
+    # float heuristic: direct only for tiny operands
+    return "fft" if min(a.size, b.size) > 32 or \
+        max(a.size, b.size) > 4096 else "direct"
