@@ -563,3 +563,21 @@ def test_stft_fused_segment_group(rng, caplog):
     if isinstance(Z1, SplitComplex):
         Z1 = np.asarray(Z1.re) + 1j * np.asarray(Z1.im)
     _cmp(np.asarray(Z1), Z2, tol=1e-5)
+
+
+def test_istft_fused_segment_group(rng, caplog):
+    """Small-batch istft takes the segment-group path (G > 1) and still
+    inverts the stft exactly, including a tail chunk block."""
+    import logging
+
+    x = rng.standard_normal((5, 3000)).astype(np.float32)
+    cfg = PlanConfig(interpret=True)
+    _, _, Z = tsp.stft(jnp.asarray(x), nperseg=256, noverlap=128,
+                       config=cfg)
+    with caplog.at_level(logging.DEBUG, logger="tpufft"):
+        _, xr = tsp.istft(Z, nperseg=256, noverlap=128, config=cfg)
+    msgs = [r.getMessage() for r in caplog.records]
+    grp = [m for m in msgs if "istft-ola" in m]
+    assert grp and all("group=16" in m for m in grp), msgs
+    np.testing.assert_allclose(np.asarray(xr)[:, :3000], x,
+                               rtol=1e-3, atol=1e-3)

@@ -8,7 +8,7 @@ lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
 + 5 DCT/DST cases + 2 fht cases + 3 czt cases + 5 spectral pipelines
 (incl. the fused overlapped-frame STFT, fused istft OLA and fused
 Welch-accumulator kernels)
-+ 2 Bluestein primes = 78. Last full pass: see RESULT line in the most
++ 2 Bluestein primes + 3 segment-group + 3 multirate/IIR = 84. Last full pass: see RESULT line in the most
 recent run log / working notes."""
 import numpy as np
 import jax, jax.numpy as jnp
@@ -253,6 +253,55 @@ err = np.max(np.abs(np.asarray(Pg) - Pr)) / max(
     1.0, float(np.max(np.abs(Pr))))
 print(f"welch (8,1000): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
       flush=True)
+fails += err >= 1e-3
+
+# small-batch segment-group kernels (G>1: sublane-stacked segments)
+sg = rng.standard_normal((5, 3000)).astype(np.float32)
+_, _, Zg = tpufft.stft(_jnp.asarray(sg), nperseg=256, noverlap=128)
+_, _, Zr = _ssig.stft(sg.astype(np.float64), nperseg=256, noverlap=128)
+Zg = (np.asarray(Zg.re) + 1j * np.asarray(Zg.im)
+      if isinstance(Zg, _SC) else np.asarray(Zg))
+err = np.max(np.abs(Zg - Zr)) / max(1.0, float(np.max(np.abs(Zr))))
+print(f"stft-group (5,3000): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+      flush=True)
+fails += err >= 1e-3
+_, Pg = tpufft.welch(_jnp.asarray(sg), nperseg=256, noverlap=128)
+_, Pr = _ssig.welch(sg.astype(np.float64), nperseg=256, noverlap=128)
+err = np.max(np.abs(np.asarray(Pg) - Pr)) / max(
+    1.0, float(np.max(np.abs(Pr))))
+print(f"welch-group (5,3000): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+fails += err >= 1e-3
+_, xg = tpufft.istft(tpufft.stft(_jnp.asarray(sg), nperseg=256,
+                                 noverlap=128)[2],
+                     nperseg=256, noverlap=128)
+err = np.max(np.abs(np.asarray(xg)[:, :3000] - sg)) / max(
+    1.0, float(np.max(np.abs(sg))))
+print(f"istft-group roundtrip (5,3000): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+fails += err >= 1e-3
+
+# multirate / IIR on-chip (upfirdn rides the fused FFT-conv path;
+# sosfilt is the associative-scan recurrence)
+mr = rng.standard_normal((4, 20000)).astype(np.float32)
+rg = np.asarray(tpufft.resample_poly(_jnp.asarray(mr), 3, 2, axis=-1))
+rr = _ssig.resample_poly(mr.astype(np.float64), 3, 2, axis=-1)
+err = np.max(np.abs(rg - rr)) / max(1.0, float(np.max(np.abs(rr))))
+print(f"resample_poly (4,20000): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+fails += err >= 1e-3
+dg = np.asarray(tpufft.decimate(_jnp.asarray(mr), 4))
+dr = _ssig.decimate(mr.astype(np.float64), 4)
+err = np.max(np.abs(dg - dr)) / max(1.0, float(np.max(np.abs(dr))))
+print(f"decimate-iir (4,20000): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+fails += err >= 1e-3
+_sos = _ssig.butter(6, 0.2, output="sos")
+fg = np.asarray(tpufft.sosfiltfilt(_sos, _jnp.asarray(mr)))
+fr = _ssig.sosfiltfilt(_sos, mr.astype(np.float64))
+err = np.max(np.abs(fg - fr)) / max(1.0, float(np.max(np.abs(fr))))
+print(f"sosfiltfilt (4,20000): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
 fails += err >= 1e-3
 
 # a few big-prime Bluestein cases on-chip

@@ -771,7 +771,7 @@ def build_stft_overlap(mr: np.ndarray, mi: np.ndarray, hop: int,
 
 def build_istft_ola(ar: np.ndarray, ai: np.ndarray, hop: int,
                     nseg: int, bblk: int, precision: str,
-                    interpret: bool):
+                    interpret: bool, group: int = 1):
     """Fused inverse-STFT overlap-add: segment-major spectrum planes
     (nseg, batch, m1) -> (batch, (nseg + K - 1) * hop) real signal in ONE
     kernel pass — the windowed inverse transform AND the overlap-add that
@@ -782,7 +782,15 @@ def build_istft_ola(ar: np.ndarray, ai: np.ndarray, hop: int,
     matmul against the 128-aligned lane slice A[:, k*hop:(k+1)*hop];
     out-of-range segments are masked by a scalar 0/1 factor (the block
     index map clamps). The window-sum normalization is time-varying only
-    at the edges, so it stays an elementwise XLA pass in the caller."""
+    at the edges, so it stays an elementwise XLA pass in the caller.
+
+    ``group`` (G): output chunks per grid step — the segment-group row
+    split for small batches (see build_welch_accum). The T = G+K-1
+    segments covering chunks jG..jG+G-1 are loaded once (each masked by
+    its own validity scalar at load), stacked on sublanes per tap k as a
+    (G*bblk, m1) operand for ONE matmul set, and the per-chunk rows are
+    lane-concatenated back into a (bblk, G*hop) output block — no XLA
+    repack, the output array layout is unchanged."""
     m1, nperseg = int(ar.shape[0]), int(ar.shape[1])
     if nperseg % hop:
         raise ValueError("nperseg must be a multiple of hop")
@@ -790,47 +798,76 @@ def build_istft_ola(ar: np.ndarray, ai: np.ndarray, hop: int,
     tables = _prep_w((np.ascontiguousarray(ar, np.float32),
                       np.ascontiguousarray(ai, np.float32)), precision)
     nchunk = nseg + K - 1
+    G = max(1, min(int(group), nchunk))
+    T = G + K - 1
     logger.debug("mxu_fft istft-ola: nperseg=%d hop=%d K=%d m1=%d "
-                 "nseg=%d bblk=%d precision=%s", nperseg, hop, K, m1,
-                 nseg, bblk, precision)
+                 "nseg=%d bblk=%d group=%d precision=%s", nperseg, hop,
+                 K, m1, nseg, bblk, G, precision)
+
+    def wslice(w, lo, hi):
+        if precision == "bf16x3":
+            rh, rl, ih, il = w
+            return (rh[:, lo:hi], rl[:, lo:hi], ih[:, lo:hi], il[:, lo:hi])
+        wr, wi = w
+        return (wr[:, lo:hi], wi[:, lo:hi])
 
     def kernel(*refs):
         t_refs = refs[:len(tables)]
-        z_refs = refs[len(tables):len(tables) + 2 * K]
-        o_ref = refs[len(tables) + 2 * K]
+        z_refs = refs[len(tables):len(tables) + 2 * T]
+        o_ref = refs[len(tables) + 2 * T]
         w = tuple(r[:] for r in t_refs)
         j = pl.program_id(1)
+        if G == 1:
+            acc = None
+            for k in range(K):
+                zr = _load_f32(z_refs[2 * k])[0]
+                zi = _load_f32(z_refs[2 * k + 1])[0]
+                part = _c2r_mm(precision,
+                               wslice(w, k * hop, (k + 1) * hop), zr, zi)
+                s = j - k
+                mask = jnp.where((s >= 0) & (s < nseg), 1.0, 0.0)
+                part = part * mask
+                acc = part if acc is None else acc + part
+            o_ref[:] = acc.astype(o_ref.dtype)
+            return
+        # grouped: segment t covers index jG - (K-1) + t; mask at load
+        segs = []
+        for t in range(T):
+            s = j * G - (K - 1) + t
+            mask = jnp.where((s >= 0) & (s < nseg), 1.0, 0.0)
+            segs.append((_load_f32(z_refs[2 * t])[0] * mask,
+                         _load_f32(z_refs[2 * t + 1])[0] * mask))
         acc = None
         for k in range(K):
-            zr = _load_f32(z_refs[2 * k])[0]
-            zi = _load_f32(z_refs[2 * k + 1])[0]
-            lo, hi = k * hop, (k + 1) * hop
-            if precision == "bf16x3":
-                rh, rl, ih, il = w
-                part = _c2r_mm(precision,
-                               (rh[:, lo:hi], rl[:, lo:hi],
-                                ih[:, lo:hi], il[:, lo:hi]), zr, zi)
-            else:
-                wr, wi = w
-                part = _c2r_mm(precision, (wr[:, lo:hi], wi[:, lo:hi]),
-                               zr, zi)
-            s = j - k
-            mask = jnp.where((s >= 0) & (s < nseg), 1.0, 0.0)
-            part = part * mask
+            # chunk g at tap k reads segment t = g + (K-1-k)
+            t0 = K - 1 - k
+            zr = jnp.concatenate([segs[t0 + g][0] for g in range(G)],
+                                 axis=0)
+            zi = jnp.concatenate([segs[t0 + g][1] for g in range(G)],
+                                 axis=0)
+            part = _c2r_mm(precision,
+                           wslice(w, k * hop, (k + 1) * hop), zr, zi)
             acc = part if acc is None else acc + part
-        o_ref[:] = acc.astype(o_ref.dtype)
+        # (G*bblk, hop) rows -> (bblk, G*hop) lane-ordered chunks
+        o_ref[:] = jnp.concatenate(
+            [acc[g * bblk:(g + 1) * bblk] for g in range(G)],
+            axis=-1).astype(o_ref.dtype)
 
     def tspec(t):
         return pl.BlockSpec(t.shape, (lambda i, j: (0, 0)),
                             memory_space=pltpu.VMEM)
 
     zspecs = []
-    for k in range(K):
-        idx = (lambda i, j, k=k:
-               (jnp.clip(j - k, 0, nseg - 1), i, 0))
+    for t in range(T):
+        if G == 1:
+            idx = (lambda i, j, k=t:
+                   (jnp.clip(j - k, 0, nseg - 1), i, 0))
+        else:
+            idx = (lambda i, j, t=t:
+                   (jnp.clip(j * G - (K - 1) + t, 0, nseg - 1), i, 0))
         spec = pl.BlockSpec((1, bblk, m1), idx, memory_space=pltpu.VMEM)
         zspecs += [spec, spec]
-    dout = pl.BlockSpec((bblk, hop), lambda i, j: (i, j),
+    dout = pl.BlockSpec((bblk, G * hop), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
 
     def run(zr, zi):
@@ -842,11 +879,11 @@ def build_istft_ola(ar: np.ndarray, ai: np.ndarray, hop: int,
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=_BIG_VMEM_LIMIT)
         zin = []
-        for _ in range(K):
+        for _ in range(T):
             zin += [zr, zi]
         return pl.pallas_call(
             kernel,
-            grid=(pl.cdiv(batch, bblk), nchunk),
+            grid=(pl.cdiv(batch, bblk), pl.cdiv(nchunk, G)),
             in_specs=[tspec(t) for t in tables] + zspecs,
             out_specs=dout,
             out_shape=jax.ShapeDtypeStruct((batch, nchunk * hop),

@@ -411,8 +411,12 @@ def _istft_fused(win_bytes: bytes, nperseg: int, step: int, nfft: int,
 
     @functools.lru_cache(maxsize=8)
     def build(nseg: int, bblk: int):
+        # same segment-group row split as the welch/stft kernels:
+        # small batches stack G chunks' segments per grid step
+        group = max(1, min(nseg, 128 // bblk)) if bblk <= 32 else 1
         return mxu_fft.build_istft_ola(
-            ar, ai, step, nseg, bblk, cfg.precision, bool(cfg.interpret))
+            ar, ai, step, nseg, bblk, cfg.precision, bool(cfg.interpret),
+            group=group)
 
     @jax.custom_vjp
     def f(zr, zi):
