@@ -257,3 +257,82 @@ def test_multirate_exported():
                  "sosfiltfilt"):
         assert hasattr(tpufft, name), name
         assert name in tpufft.__all__
+
+
+# ----------------------------------------------------------------------------
+# lfilter / filtfilt (transfer-function form)
+
+
+def test_lfilter_iir_matches_scipy(rng):
+    b, a = sps.butter(5, 0.25)
+    x = rng.standard_normal((3, 600))
+    np.testing.assert_allclose(tpufft.lfilter(b, a, x),
+                               sps.lfilter(b, a, x), atol=1e-10)
+    zi = np.tile(sps.lfilter_zi(b, a), (3, 1))
+    y1, zf1 = tpufft.lfilter(b, a, x, zi=zi)
+    y0, zf0 = sps.lfilter(b, a, x, zi=zi)
+    np.testing.assert_allclose(y1, y0, atol=1e-10)
+    np.testing.assert_allclose(zf1, zf0, atol=1e-10)
+
+
+def test_lfilter_fir_paths(rng):
+    bf = sps.firwin(101, 0.3)  # order 100 > scan cap: FFT-conv branch
+    x = rng.standard_normal((2, 400))
+    np.testing.assert_allclose(tpufft.lfilter(bf, [1.0], x),
+                               sps.lfilter(bf, [1.0], x), atol=1e-10)
+    zi = rng.standard_normal((2, 100))
+    y1, zf1 = tpufft.lfilter(bf, [1.0], x, zi=zi)
+    y0, zf0 = sps.lfilter(bf, [1.0], x, zi=zi)
+    np.testing.assert_allclose(y1, y0, atol=1e-10)
+    np.testing.assert_allclose(zf1, zf0, atol=1e-10)
+    # signal shorter than the filter: zi shifts into zf
+    y1, zf1 = tpufft.lfilter(bf, [1.0], x[:, :50], zi=zi)
+    y0, zf0 = sps.lfilter(bf, [1.0], x[:, :50], zi=zi)
+    np.testing.assert_allclose(y1, y0, atol=1e-10)
+    np.testing.assert_allclose(zf1, zf0, atol=1e-10)
+
+
+def test_lfilter_long_b_arma_and_errors(rng):
+    x = rng.standard_normal((2, 300))
+    blong = sps.firwin(64, 0.4)
+    a2 = [1.0, -0.5, 0.25]
+    np.testing.assert_allclose(tpufft.lfilter(blong, a2, x),
+                               sps.lfilter(blong, a2, x), atol=1e-9)
+    with pytest.raises(ValueError, match="second-order sections"):
+        tpufft.lfilter(blong, np.r_[1.0, np.ones(30)], x,
+                       zi=np.zeros((2, 63)))
+    with pytest.raises(ValueError, match="nonzero"):
+        tpufft.lfilter([1.0], [0.0, 1.0], x)
+    with pytest.raises(ValueError, match="zi"):
+        tpufft.lfilter([1.0, 0.5], [1.0, -0.3], x, zi=np.zeros((2, 7)))
+
+
+def test_lfilter_device_path(rng):
+    b, a = sps.butter(4, 0.3)
+    x = rng.standard_normal((2, 500)).astype(np.float32)
+    y = tpufft.lfilter(b, a, jnp.asarray(x))
+    assert isinstance(y, jax.Array)
+    np.testing.assert_allclose(np.asarray(y),
+                               sps.lfilter(b, a, x.astype(np.float64)),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("padtype", ["odd", "even", "constant", None])
+def test_filtfilt_matches_scipy(rng, padtype):
+    b, a = sps.butter(4, 0.2)
+    x = rng.standard_normal((2, 400))
+    np.testing.assert_allclose(
+        tpufft.filtfilt(b, a, x, padtype=padtype),
+        sps.filtfilt(b, a, x, padtype=padtype), atol=1e-9)
+
+
+def test_filtfilt_padlen_and_gust(rng):
+    b, a = sps.butter(3, 0.3)
+    x = rng.standard_normal(300)
+    np.testing.assert_allclose(tpufft.filtfilt(b, a, x, padlen=33),
+                               sps.filtfilt(b, a, x, padlen=33),
+                               atol=1e-10)
+    with pytest.raises(NotImplementedError, match="gust|pad"):
+        tpufft.filtfilt(b, a, x, method="gust")
+    with pytest.raises(ValueError, match="padlen"):
+        tpufft.filtfilt(b, a, x[:5])

@@ -155,3 +155,39 @@ def test_sigtools_exported():
                  "choose_conv_method", "hilbert2"):
         assert hasattr(tpufft, name), name
         assert name in tpufft.__all__
+
+
+@pytest.mark.parametrize("mode", ["interp", "mirror", "constant",
+                                  "nearest", "wrap"])
+def test_savgol_matches_scipy(rng, mode):
+    from tpufft.sigtools import savgol_filter
+
+    x = rng.standard_normal((3, 300))
+    kw = dict(mode=mode)
+    if mode == "constant":
+        kw["cval"] = 1.5
+    for wl, po, d in [(11, 3, 0), (21, 4, 1), (31, 5, 2)]:
+        np.testing.assert_allclose(
+            savgol_filter(x, wl, po, deriv=d, delta=0.7, **kw),
+            sps.savgol_filter(x, wl, po, deriv=d, delta=0.7, **kw),
+            atol=1e-10)
+
+
+def test_savgol_axis_device_errors(rng):
+    from tpufft.sigtools import savgol_filter
+
+    x = rng.standard_normal((200, 3))
+    np.testing.assert_allclose(savgol_filter(x, 11, 3, axis=0),
+                               sps.savgol_filter(x, 11, 3, axis=0),
+                               atol=1e-10)
+    xj = jnp.asarray(x.astype(np.float32))
+    y = savgol_filter(xj, 11, 3, axis=0)
+    assert isinstance(y, jax.Array)
+    np.testing.assert_allclose(np.asarray(y),
+                               sps.savgol_filter(x, 11, 3, axis=0),
+                               rtol=1e-3, atol=1e-4)
+    with pytest.raises(ValueError, match="mode"):
+        savgol_filter(x, 11, 3, mode="bogus")
+    with pytest.raises(ValueError, match="window_length"):
+        savgol_filter(x[:8], 11, 3, axis=0)
+    assert "savgol_filter" in tpufft.__all__

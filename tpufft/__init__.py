@@ -34,12 +34,12 @@ from .backend import set_workers, get_workers, scipy_backend
 from .signal import (FilterPlan, correlate, envelope, fftconvolve, hilbert,
                      hilbert2, oaconvolve, plan_filter, resample)
 from .sigtools import (choose_conv_method, correlation_lags, deconvolve,
-                       detrend, wiener)
+                       detrend, savgol_filter, wiener)
 from .czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
                        istft, periodogram, spectrogram, stft, welch)
 from .multirate import decimate, resample_poly, upfirdn
-from .iir import sosfilt, sosfiltfilt
+from .iir import filtfilt, lfilter, sosfilt, sosfiltfilt
 
 __version__ = "0.3.0"
 
@@ -59,6 +59,7 @@ __all__ = [
     "stft", "istft", "spectrogram", "periodogram", "welch", "csd",
     "coherence", "get_window", "check_NOLA", "check_COLA",
     "upfirdn", "resample_poly", "decimate", "sosfilt", "sosfiltfilt",
+    "lfilter", "filtfilt", "savgol_filter",
     "hilbert2", "detrend", "deconvolve", "wiener", "correlation_lags",
     "choose_conv_method",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",

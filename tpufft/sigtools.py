@@ -20,6 +20,7 @@ scipy/signal/_signaltools.py detrend (per-segment lstsq design matrix
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -29,7 +30,7 @@ import numpy as np
 from .config import PlanConfig
 
 __all__ = ["detrend", "deconvolve", "wiener", "correlation_lags",
-           "choose_conv_method"]
+           "choose_conv_method", "savgol_filter"]
 
 
 def detrend(data, axis: int = -1, type: str = "linear", bp=0,
@@ -149,6 +150,117 @@ def wiener(im, mysize=None, noise=None, *,
         noise = xp.mean(lvar)
     res = (im - lmean) * (1 - noise / lvar) + lmean
     return xp.where(lvar < noise, lmean, res)
+
+
+@functools.lru_cache(maxsize=64)
+def _savgol_edge_projector(window_length: int, polyorder: int,
+                           deriv: int, delta: float, halflen: int):
+    """The scipy 'interp' edge fit is a LINEAR map window -> values:
+    P = polyval(eval_pts) @ D^deriv @ pinv(vander) / delta^deriv — a
+    host f64 plan constant (one (halflen, window_length) matrix per
+    edge; the right edge uses the same P at mirrored positions)."""
+    # fit in the centered/normalized variable t' = (t - c0)/s — the raw
+    # Vandermonde at window 31 costs ~1e-9 (cond ~1e8); centered it is
+    # ~1e-14. Chain rule: each derivative picks up a 1/s factor.
+    t = np.arange(window_length, dtype=np.float64)
+    c0 = (window_length - 1) / 2.0
+    s = max(c0, 1.0)
+    V = np.vander((t - c0) / s, polyorder + 1, increasing=True)
+    pinvV = np.linalg.pinv(V)
+    # derivative operator on increasing-power coefficients
+    coeffs = np.eye(polyorder + 1)
+    for _ in range(deriv):
+        coeffs = coeffs[1:] * np.arange(1, coeffs.shape[0])[:, None]
+    left_pts = np.arange(halflen, dtype=np.float64)
+    right_pts = np.arange(window_length - halflen, window_length,
+                          dtype=np.float64)
+
+    def proj(pts):
+        if coeffs.shape[0] == 0:
+            return np.zeros((pts.size, window_length))
+        E = np.vander((pts - c0) / s, coeffs.shape[0], increasing=True)
+        return (E @ coeffs @ pinvV) / ((delta * s) ** deriv)
+
+    return proj(left_pts), proj(right_pts)
+
+
+def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0, axis: int = -1,
+                  mode: str = "interp", cval: float = 0.0, *,
+                  config: PlanConfig | None = None):
+    """Savitzky-Golay smoothing/differentiation
+    (scipy.signal.savgol_filter-compatible). The FIR core runs as ONE
+    batched FFT convolution (coefficients are a host f64 design via
+    scipy.signal.savgol_coeffs); 'interp' edge fits are host-f64
+    projection matrices applied as two tiny matmuls at HIGHEST device
+    precision."""
+    if mode not in ("mirror", "constant", "nearest", "interp", "wrap"):
+        raise ValueError("mode must be 'mirror', 'constant', 'nearest' "
+                         "'wrap' or 'interp'.")
+    from scipy.signal import savgol_coeffs
+
+    window_length = int(window_length)
+    w = np.asarray(savgol_coeffs(window_length, int(polyorder),
+                                 deriv=int(deriv), delta=float(delta)),
+                   np.float64)
+    is_np = not isinstance(x, jax.Array)
+    xp = np if is_np else jnp
+    x = xp.asarray(x)
+    if not np.issubdtype(np.dtype(x.dtype), np.inexact):
+        x = x.astype(np.float64 if is_np else jnp.float32)
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    c = (window_length - 1) // 2
+    cr = window_length - 1 - c
+
+    xm = xp.moveaxis(x, axis, -1)
+
+    def pad(a, mode_):
+        p = [(0, 0)] * a.ndim
+        p[-1] = (c, cr)
+        if mode_ == "constant":
+            return xp.pad(a, p, constant_values=cval)
+        np_mode = {"mirror": "reflect", "nearest": "edge",
+                   "wrap": "wrap"}[mode_]
+        return xp.pad(a, p, mode=np_mode)
+
+    from .signal import fftconvolve
+
+    shape = [1] * xm.ndim
+    shape[-1] = window_length
+    wv = (w if is_np else jnp.asarray(w.astype(np.float32))).reshape(
+        shape)
+    if mode == "interp":
+        if window_length > n:
+            raise ValueError("If mode is 'interp', window_length must "
+                             "be less than or equal to the size of x.")
+        # scipy's interp core always zero-pads (cval applies only to
+        # the explicit 'constant' mode); the padded-region outputs are
+        # overwritten by the edge fits below anyway
+        xe = xp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(c, cr)])
+        yc = fftconvolve(xe, wv, mode="full", axes=(-1,), config=config)
+        y = yc[..., window_length - 1:window_length - 1 + n]
+        halflen = window_length // 2
+        Pl, Pr = _savgol_edge_projector(window_length, int(polyorder),
+                                        int(deriv), float(delta),
+                                        halflen)
+        if is_np:
+            left = xm[..., :window_length] @ Pl.T
+            right = xm[..., n - window_length:] @ Pr.T
+        else:
+            hp = jax.lax.Precision.HIGHEST
+            left = jnp.dot(xm[..., :window_length],
+                           jnp.asarray(Pl.T, xm.dtype), precision=hp)
+            right = jnp.dot(xm[..., n - window_length:],
+                            jnp.asarray(Pr.T, xm.dtype), precision=hp)
+        y = xp.concatenate([left.astype(y.dtype),
+                            y[..., halflen:n - halflen],
+                            right.astype(y.dtype)], axis=-1)
+    else:
+        xe = pad(xm, mode)
+        yc = fftconvolve(xe, wv, mode="full", axes=(-1,), config=config)
+        y = yc[..., window_length - 1:window_length - 1 + n]
+    return xp.moveaxis(y, -1, axis)
 
 
 def correlation_lags(in1_len: int, in2_len: int,
