@@ -40,6 +40,7 @@ from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
                        istft, periodogram, spectrogram, stft, welch)
 from .multirate import decimate, resample_poly, upfirdn
 from .iir import filtfilt, lfilter, sosfilt, sosfiltfilt
+from . import ndimage
 
 __version__ = "0.3.0"
 
@@ -63,7 +64,7 @@ __all__ = [
     "hilbert2", "detrend", "deconvolve", "wiener", "correlation_lags",
     "choose_conv_method",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
-    "set_workers", "get_workers", "scipy_backend",
+    "set_workers", "get_workers", "scipy_backend", "ndimage",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",
     "prev_fast_len", "stage_schedule",
     "__version__",
