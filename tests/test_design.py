@@ -1,0 +1,269 @@
+"""tpufft.design vs scipy.signal: prototypes, full designs, converters,
+order selection, FIR design, response evaluation, zi constants.
+
+sos arrays are compared by RESPONSE (factorizations are not unique);
+prototypes by root-set matching (lexsort order is unstable when equal
+real parts differ in the last bits)."""
+
+import numpy as np
+import pytest
+import scipy.signal as ss
+
+import tpufft
+from tpufft import design as d
+
+
+def rootset_err(a, b):
+    a, b = np.asarray(a, complex), np.asarray(b, complex)
+    if a.shape != b.shape:
+        return np.inf
+    if a.size == 0:
+        return 0.0
+    used = np.zeros(b.size, bool)
+    tot = 0.0
+    for x in a:
+        i = np.argmin(np.where(used, np.inf, np.abs(b - x)))
+        used[i] = True
+        tot = max(tot, abs(b[i] - x) / max(1.0, abs(x)))
+    return tot
+
+
+def resp_err(ba1, ba2, n=512):
+    _, h1 = ss.freqz(*ba1, worN=n)
+    _, h2 = ss.freqz(*ba2, worN=n)
+    return np.max(np.abs(h1 - h2)) / max(1e-30, np.max(np.abs(h2)))
+
+
+@pytest.mark.parametrize("N", [1, 2, 3, 5, 8])
+def test_buttap_cheb_prototypes(N):
+    for mine, ref, args in [(d.buttap, ss.buttap, ()),
+                            (d.cheb1ap, ss.cheb1ap, (1.0,)),
+                            (d.cheb1ap, ss.cheb1ap, (0.05,)),
+                            (d.cheb2ap, ss.cheb2ap, (40.0,)),
+                            (d.cheb2ap, ss.cheb2ap, (80.0,))]:
+        z1, p1, k1 = mine(N, *args)
+        z2, p2, k2 = ref(N, *args)
+        assert rootset_err(p1, p2) < 1e-10
+        assert rootset_err(z1, z2) < 1e-10
+        assert abs(k1 - k2) / abs(k2) < 1e-10
+
+
+@pytest.mark.parametrize("N", [1, 2, 3, 4, 5, 7, 8])
+@pytest.mark.parametrize("rp,rs", [(1.0, 40.0), (0.1, 80.0), (3.0, 30.0),
+                                   (0.01, 100.0)])
+def test_ellipap(N, rp, rs):
+    z1, p1, k1 = d.ellipap(N, rp, rs)
+    z2, p2, k2 = ss.ellipap(N, rp, rs)
+    assert rootset_err(p1, p2) < 1e-8
+    assert rootset_err(z1, z2) < 1e-8
+    assert abs(k1 - k2) / abs(k2) < 1e-8
+
+
+@pytest.mark.parametrize("N", [1, 2, 4, 6, 9, 12])
+@pytest.mark.parametrize("norm", ["phase", "delay", "mag"])
+def test_besselap(N, norm):
+    z1, p1, k1 = d.besselap(N, norm=norm)
+    z2, p2, k2 = ss.besselap(N, norm=norm)
+    assert rootset_err(p1, p2) < 1e-9
+    assert abs(k1 - k2) / abs(k2) < 1e-9
+
+
+@pytest.mark.parametrize("kind,args", [
+    ("butter", (4, 0.3)), ("butter", (5, [0.2, 0.5])),
+    ("cheby1", (4, 1, 0.3)), ("cheby1", (7, 0.5, [0.1, 0.7])),
+    ("cheby2", (6, 40, 0.4)), ("cheby2", (5, 60, [0.3, 0.6])),
+    ("ellip", (5, 1, 40, 0.3)), ("ellip", (4, 0.5, 60, [0.2, 0.6])),
+    ("bessel", (4, 0.25)), ("bessel", (7, [0.1, 0.4])),
+])
+def test_full_designs_response(kind, args):
+    f1, f2 = getattr(d, kind), getattr(ss, kind)
+    btypes = (["low", "high"] if np.ndim(args[-1]) == 0
+              else ["bandpass", "bandstop"])
+    for btype in btypes:
+        assert resp_err(f1(*args, btype=btype),
+                        f2(*args, btype=btype)) < 1e-7
+
+
+def test_analog_and_fs_forms():
+    assert resp_err(d.butter(4, 100, fs=1000), ss.butter(4, 100, fs=1000)) \
+        < 1e-9
+    b1, a1 = d.butter(4, 100, analog=True, btype="low")
+    b2, a2 = ss.butter(4, 100, analog=True, btype="low")
+    assert np.allclose(b1, b2) and np.allclose(a1, a2)
+
+
+def test_sos_output_response_equivalent():
+    for zpk in [ss.ellip(6, 1, 40, [0.2, 0.6], btype="bandpass",
+                         output="zpk"),
+                ss.butter(7, [0.1, 0.3], btype="bandstop", output="zpk"),
+                ss.cheby2(5, 50, 0.4, output="zpk")]:
+        sos = d.zpk2sos(*zpk)
+        b, a = ss.zpk2tf(*zpk)
+        _, h1 = ss.sosfreqz(sos, worN=512)
+        _, h2 = ss.freqz(b, a, worN=512)
+        assert np.max(np.abs(h1 - h2)) / np.max(np.abs(h2)) < 1e-6
+        # highest-Q poles must be in the LAST section (round-off ordering)
+        dist = [abs(1 - np.abs(np.roots(row[3:])).max(initial=0.0))
+                for row in sos]
+        assert dist[-1] == min(dist)
+
+
+def test_converters_roundtrip():
+    sos = ss.butter(6, 0.3, output="sos")
+    b1, a1 = d.sos2tf(sos)
+    b2, a2 = ss.sos2tf(sos)
+    assert np.allclose(b1, b2) and np.allclose(a1, a2)
+    z, p, k = d.sos2zpk(sos)
+    z2, p2, k2 = ss.sos2zpk(sos)
+    assert rootset_err(p, p2) < 1e-12 and abs(k - k2) < 1e-12
+    b, a = ss.butter(4, 0.3)
+    z, p, k = d.tf2zpk(b, a)
+    bb, aa = d.zpk2tf(z, p, k)
+    assert np.allclose(bb, b) and np.allclose(aa, a)
+    assert not np.iscomplexobj(bb)
+
+
+def test_bilinear_matches():
+    b1, a1 = d.bilinear([1.0], [1.0, 1.0], fs=2)
+    b2, a2 = ss.bilinear([1.0], [1.0, 1.0], fs=2)
+    assert np.allclose(b1, b2) and np.allclose(a1, a2)
+
+
+@pytest.mark.parametrize("fn1,fn2", [(d.buttord, ss.buttord),
+                                     (d.cheb1ord, ss.cheb1ord),
+                                     (d.cheb2ord, ss.cheb2ord),
+                                     (d.ellipord, ss.ellipord)])
+@pytest.mark.parametrize("wp,ws", [(0.2, 0.3), (0.4, 0.25),
+                                   ([0.2, 0.5], [0.1, 0.6])])
+def test_ord_selection(fn1, fn2, wp, ws):
+    N1, wn1 = fn1(wp, ws, 3, 60)
+    N2, wn2 = fn2(wp, ws, 3, 60)
+    assert N1 == N2
+    assert np.allclose(np.sort(np.atleast_1d(wn1)),
+                       np.sort(np.atleast_1d(wn2)), atol=1e-9)
+
+
+def test_ord_bandstop_classical():
+    # documented divergence: classical selectivity can pick order >= scipy
+    N1, _ = d.buttord([0.1, 0.6], [0.2, 0.5], 3, 40)
+    N2, _ = ss.buttord([0.1, 0.6], [0.2, 0.5], 3, 40)
+    assert N2 <= N1 <= N2 + 1
+
+
+@pytest.mark.parametrize("args,kw", [
+    ((31, 0.4), {}), ((30, 0.3), {"window": "blackman"}),
+    ((65, [0.2, 0.5]), {"pass_zero": False}),
+    ((33, [0.1, 0.3, 0.6]), {}),
+    ((64, 0.4), {"width": 0.05}),
+    ((21, 0.3), {"pass_zero": "highpass"}),
+    ((129, [0.1, 0.9]), {"pass_zero": "bandstop", "scale": False}),
+    ((31, 100.0), {"fs": 1000.0}),
+])
+def test_firwin(args, kw):
+    assert np.max(np.abs(d.firwin(*args, **kw)
+                         - ss.firwin(*args, **kw))) < 1e-12
+
+
+def test_firwin_errors():
+    with pytest.raises(ValueError):
+        d.firwin(30, 0.5, pass_zero="highpass")  # even taps, nyq pass
+    with pytest.raises(ValueError):
+        d.firwin(31, [0.5, 0.2])
+    with pytest.raises(ValueError):
+        d.firwin(31, 1.5)
+
+
+@pytest.mark.parametrize("args,kw", [
+    ((65, [0, 0.3, 0.7, 1], [1, 1, 0, 0]), {}),
+    ((64, [0, 0.5, 1], [0, 1, 1]), {"antisymmetric": True}),
+    ((33, [0, 0.2, 0.2, 1], [1, 1, 0, 0]), {}),
+    ((51, [0, 0.3, 1], [1, 1, 0]), {"window": "blackman"}),
+])
+def test_firwin2(args, kw):
+    assert np.max(np.abs(d.firwin2(*args, **kw)
+                         - ss.firwin2(*args, **kw))) < 1e-10
+
+
+def test_kaiser_helpers():
+    nt1, b1 = d.kaiserord(60, 0.1)
+    nt2, b2 = ss.kaiserord(60, 0.1)
+    assert nt1 == nt2 and abs(b1 - b2) < 1e-12
+    assert abs(d.kaiser_atten(101, 0.05) - ss.kaiser_atten(101, 0.05)) \
+        < 1e-12
+
+
+def test_freqz_matches_scipy():
+    b, a = ss.butter(4, 0.3)
+    for kw in [{"worN": 256}, {"worN": 256, "whole": True},
+               {"worN": np.linspace(0, np.pi, 64)},
+               {"worN": 128, "fs": 1000.0}]:
+        w1, h1 = d.freqz(b, a, **kw)
+        w2, h2 = ss.freqz(b, a, **kw)
+        assert np.allclose(w1, w2) and np.allclose(h1, h2)
+    # FFT fast path (scalar denominator)
+    w1, h1 = d.freqz(b, worN=256)
+    w2, h2 = ss.freqz(b, worN=256)
+    assert np.allclose(h1, h2)
+
+
+def test_freqz_device_fft_path():
+    import jax.numpy as jnp
+    b = np.asarray(ss.firwin(63, 0.4))
+    w1, h1 = d.freqz(jnp.asarray(b), worN=256)
+    w2, h2 = ss.freqz(b, worN=256)
+    assert np.allclose(np.asarray(h1), h2, atol=1e-6)
+
+
+def test_freqz_zpk_sos_group_delay():
+    z, p, k = ss.butter(4, 0.3, output="zpk")
+    w1, h1 = d.freqz_zpk(z, p, k, worN=128)
+    w2, h2 = ss.freqz_zpk(z, p, k, worN=128)
+    assert np.allclose(h1, h2)
+    sos = ss.butter(6, 0.3, output="sos")
+    w1, h1 = d.sosfreqz(sos, worN=128)
+    w2, h2 = ss.sosfreqz(sos, worN=128)
+    assert np.allclose(h1, h2)
+    b, a = ss.butter(4, 0.3)
+    w1, g1 = d.group_delay((b, a), w=128)
+    w2, g2 = ss.group_delay((b, a), w=128)
+    assert np.allclose(g1, g2)
+
+
+def test_zi_constants():
+    b, a = ss.butter(5, 0.25)
+    assert np.allclose(d.lfilter_zi(b, a), ss.lfilter_zi(b, a))
+    sos = ss.ellip(7, 1, 40, 0.3, output="sos")
+    assert np.allclose(d.sosfilt_zi(sos), ss.sosfilt_zi(sos))
+
+
+def test_savgol_coeffs():
+    from tpufft.sigtools import savgol_coeffs
+    for args, kw in [((31, 4), {}), ((31, 4), {"deriv": 2, "delta": 0.5}),
+                     ((11, 3), {"pos": 2}), ((10, 3), {}),
+                     ((9, 2), {"use": "dot"})]:
+        assert np.allclose(savgol_coeffs(*args, **kw),
+                           ss.savgol_coeffs(*args, **kw), atol=1e-12)
+
+
+def test_native_pipeline_end_to_end():
+    """decimate/filtfilt run on tpufft-designed coefficients with no
+    scipy design call, matching scipy's same pipeline."""
+    x = np.random.default_rng(0).normal(size=(3, 500))
+    assert np.allclose(np.asarray(tpufft.decimate(x, 4, ftype="iir")),
+                       ss.decimate(x, 4, ftype="iir"), atol=1e-10)
+    assert np.allclose(np.asarray(tpufft.decimate(x, 4, ftype="fir")),
+                       ss.decimate(x, 4, ftype="fir"), atol=1e-10)
+    b, a = tpufft.butter(4, 0.2)
+    assert np.allclose(np.asarray(tpufft.filtfilt(b, a, x)),
+                       ss.filtfilt(b, a, x), atol=1e-10)
+
+
+def test_iirfilter_validation():
+    with pytest.raises(ValueError):
+        d.iirfilter(4, 1.5, btype="low")
+    with pytest.raises(ValueError):
+        d.iirfilter(4, [0.5, 0.2], btype="bandpass")
+    with pytest.raises(ValueError):
+        d.iirfilter(4, 0.3, btype="low", ftype="cheby1")  # rp missing
+    with pytest.raises(ValueError):
+        d.butter(4, 0.3, output="bogus")

@@ -40,6 +40,16 @@ from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
                        istft, periodogram, spectrogram, stft, welch)
 from .multirate import decimate, resample_poly, upfirdn
 from .iir import filtfilt, lfilter, sosfilt, sosfiltfilt
+from .design import (
+    firwin, firwin2, kaiser_beta, kaiser_atten, kaiserord,
+    buttap, cheb1ap, cheb2ap, ellipap, besselap,
+    lp2lp_zpk, lp2hp_zpk, lp2bp_zpk, lp2bs_zpk, bilinear, bilinear_zpk,
+    iirfilter, butter, cheby1, cheby2, ellip, bessel,
+    buttord, cheb1ord, cheb2ord, ellipord,
+    zpk2tf, tf2zpk, zpk2sos, tf2sos, sos2tf, sos2zpk, normalize,
+    freqz, freqz_zpk, sosfreqz, group_delay, lfilter_zi, sosfilt_zi,
+)
+from .sigtools import savgol_coeffs
 from . import ndimage
 
 __version__ = "0.3.0"
@@ -62,7 +72,16 @@ __all__ = [
     "upfirdn", "resample_poly", "decimate", "sosfilt", "sosfiltfilt",
     "lfilter", "filtfilt", "savgol_filter",
     "hilbert2", "detrend", "deconvolve", "wiener", "correlation_lags",
-    "choose_conv_method",
+    "choose_conv_method", "savgol_coeffs",
+    "firwin", "firwin2", "kaiser_beta", "kaiser_atten", "kaiserord",
+    "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
+    "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
+    "bilinear", "bilinear_zpk",
+    "iirfilter", "butter", "cheby1", "cheby2", "ellip", "bessel",
+    "buttord", "cheb1ord", "cheb2ord", "ellipord",
+    "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf", "sos2zpk",
+    "normalize", "freqz", "freqz_zpk", "sosfreqz", "group_delay",
+    "lfilter_zi", "sosfilt_zi",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
     "set_workers", "get_workers", "scipy_backend", "ndimage",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",

@@ -1,0 +1,1135 @@
+"""Filter design: FIR windowed-sinc and IIR analog-prototype design,
+representation converters, and frequency-response evaluation.
+
+Completes the DSP story around :mod:`tpufft.iir` / :mod:`tpufft.multirate`:
+those modules *run* filters on TPU (associative-scan IIR, FFT-convolution
+FIR) but until now the coefficients had to come from scipy. This module
+designs them natively, so `decimate`'s anti-alias filters and any user
+pipeline are self-contained.
+
+Design discipline (same as twiddle tables, tpufft/twiddle.py): all
+coefficient math is float64 host numpy at plan time — it is O(N) scalar
+work on tiny arrays and must be exact, so it never belongs on the
+accelerator. What DOES belong on device is response *evaluation* over many
+frequencies: :func:`freqz` routes `jax.Array` inputs through tpufft's own
+FFT (the response of a zero-padded coefficient vector IS its DFT), host
+numpy inputs through an exact f64 Horner evaluation.
+
+Elliptic design uses the Landen-transformation formulation of the Jacobi
+elliptic functions (sn/cd and their inverses, the degree equation, and
+complete elliptic integrals) — the classical recipe from Orfanidis,
+"Lecture Notes on Elliptic Filter Design" — implemented from the math, so
+no scipy.special dependency. Bessel prototypes are roots of the exact
+integer-coefficient reverse Bessel polynomial, with the scipy norm
+conventions ('phase'/'delay'/'mag') solved by bisection.
+
+Reference coverage: the reference (martinvuyk/hackathon-fft) has no design
+layer; scipy parity targets are scipy/signal/_filter_design.py (iirfilter,
+butter/cheby1/cheby2/ellip/bessel, *ord, bilinear, zpk2sos, freqz family)
+and scipy/signal/_fir_filter_design.py (firwin, firwin2, kaiserord).
+`zpk2sos` uses its own documented pairing (nearest-zero to
+farthest-from-unit-circle-pole, peak-gain-last ordering); sos arrays are
+response-equivalent to scipy's, not byte-equal (sos factorizations are
+not unique). `buttord`/`cheb2ord` bandstop uses the classical
+selectivity formula instead of scipy's numeric edge optimization, which
+can (rarely) give an order one higher.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import numpy as np
+
+__all__ = [
+    "firwin", "firwin2", "kaiser_beta", "kaiser_atten", "kaiserord",
+    "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
+    "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
+    "bilinear", "bilinear_zpk",
+    "iirfilter", "butter", "cheby1", "cheby2", "ellip", "bessel",
+    "buttord", "cheb1ord", "cheb2ord", "ellipord",
+    "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf", "sos2zpk",
+    "normalize",
+    "freqz", "freqz_zpk", "sosfreqz", "group_delay",
+    "lfilter_zi", "sosfilt_zi",
+]
+
+_EPS = np.finfo(np.float64).eps
+
+
+# ---------------------------------------------------------------------------
+# Jacobi elliptic machinery (Landen transformations; Orfanidis formulation)
+# ---------------------------------------------------------------------------
+
+def _landen(k: float, kp0=None) -> list:
+    """Descending Landen sequence k -> 0 (quadratic convergence).
+
+    kp0, when given, is the exact complementary modulus sqrt(1-k^2) of the
+    FIRST step — for k extremely close to 1 the subtraction 1-k*k loses
+    half the complement's digits, and the caller often knows it exactly
+    (the degree equation seeds kc's sequence with k1 itself).
+    """
+    v = []
+    k = float(k)
+    first = kp0
+    while k > _EPS:
+        kp = first if first is not None else \
+            math.sqrt(max(0.0, 1.0 - k * k))
+        first = None
+        k = (1.0 - kp) / (1.0 + kp)
+        v.append(k)
+        if len(v) > 64:  # paranoia: never observed past ~10
+            break
+    return v
+
+
+def _ellipk(k: float) -> float:
+    """Complete elliptic integral K(k) (modulus k, NOT parameter m=k^2)."""
+    if k >= 1.0:
+        return np.inf
+    prod = 1.0
+    for vn in _landen(k):
+        prod *= 1.0 + vn
+    return prod * math.pi / 2.0
+
+
+def _cde(u, k: float):
+    """Jacobi cd(u*K, k) for real or complex u (u in units of K)."""
+    v = _landen(k)
+    w = np.cos(np.asarray(u) * (math.pi / 2.0))
+    for vn in reversed(v):
+        w = (1.0 + vn) * w / (1.0 + vn * w * w)
+    return w
+
+
+def _sne(u, k: float, kp0=None):
+    """Jacobi sn(u*K, k) for real or complex u (u in units of K)."""
+    v = _landen(k, kp0)
+    w = np.sin(np.asarray(u) * (math.pi / 2.0))
+    for vn in reversed(v):
+        w = (1.0 + vn) * w / (1.0 + vn * w * w)
+    return w
+
+
+def _acde(w, k: float):
+    """Inverse cd: u with cd(u*K, k) = w (complex capable)."""
+    v = _landen(k)
+    w = np.asarray(w, np.complex128)
+    for n, vn in enumerate(v):
+        v1 = k if n == 0 else v[n - 1]
+        w = 2.0 * w / ((1.0 + vn) * (1.0 + np.sqrt(1.0 - (w * v1) ** 2)))
+    return 2.0 / math.pi * np.arccos(w)
+
+
+def _asne(w, k: float):
+    """Inverse sn: u with sn(u*K, k) = w (complex capable)."""
+    return 1.0 - _acde(w, k)
+
+
+def _ellipdeg(N: int, k1: float) -> float:
+    """Solve the elliptic degree equation for the module k given N, k1."""
+    kc = math.sqrt(max(0.0, 1.0 - k1 * k1))
+    L = N // 2
+    ui = (2.0 * np.arange(1, L + 1) - 1.0) / N
+    kp = kc ** N * float(np.prod(_sne(ui, kc, kp0=k1))) ** 4
+    return math.sqrt(max(0.0, 1.0 - kp * kp))
+
+
+# ---------------------------------------------------------------------------
+# Analog lowpass prototypes (cutoff 1 rad/s, zpk form)
+# ---------------------------------------------------------------------------
+
+def buttap(N: int):
+    """Butterworth analog prototype: N poles on the unit circle, LHP."""
+    N = _check_order(N)
+    k = np.arange(1, N + 1)
+    p = np.exp(1j * math.pi * (2 * k + N - 1) / (2 * N))
+    return np.array([], np.complex128), p.astype(np.complex128), 1.0
+
+
+def cheb1ap(N: int, rp: float):
+    """Chebyshev-I analog prototype (rp dB passband ripple)."""
+    N = _check_order(N)
+    eps = math.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    mu = math.asinh(1.0 / eps) / N
+    theta = math.pi * (2 * np.arange(1, N + 1) - 1) / (2 * N)
+    p = -math.sinh(mu) * np.sin(theta) + 1j * math.cosh(mu) * np.cos(theta)
+    k = float(np.real(np.prod(-p)))
+    if N % 2 == 0:
+        k /= math.sqrt(1.0 + eps * eps)
+    return np.array([], np.complex128), p.astype(np.complex128), k
+
+
+def cheb2ap(N: int, rs: float):
+    """Chebyshev-II (inverse) analog prototype (rs dB stopband atten)."""
+    N = _check_order(N)
+    de = 1.0 / math.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    mu = math.asinh(1.0 / de) / N
+    theta = math.pi * (2 * np.arange(1, N + 1) - 1) / (2 * N)
+    # Chebyshev-I poles, inverted; zeros on the jw axis at sec(theta)
+    p = -(math.sinh(mu) * np.sin(theta) + 1j * math.cosh(mu) * np.cos(theta))
+    p = 1.0 / p
+    c = np.cos(theta)
+    z = 1j / c[np.abs(c) > 1e-12]  # drop the middle zero (odd N)
+    z = np.conj(z)
+    k = float(np.real(np.prod(-p) / np.prod(-z)))
+    return z.astype(np.complex128), p.astype(np.complex128), k
+
+
+def ellipap(N: int, rp: float, rs: float):
+    """Elliptic (Cauer) analog prototype — Landen-recursion design."""
+    N = _check_order(N)
+    ep = math.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    es = math.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    k1 = ep / es
+    if N == 1:
+        p = np.array([-1.0 / ep], np.complex128)
+        return np.array([], np.complex128), p, float(np.real(np.prod(-p)))
+    k = _ellipdeg(N, k1)
+    L = N // 2
+    r = N % 2
+    ui = (2 * np.arange(1, L + 1) - 1.0) / N
+    zeta = _cde(ui, k).real
+    za = 1j / (k * zeta)
+    z = np.concatenate([za, np.conj(za)])
+    v0 = float(np.real(-1j * _asne(1j / ep, k1))) / N
+    pa = 1j * _cde(ui - 1j * v0, k)
+    p = np.concatenate([pa, np.conj(pa)])
+    if r:
+        p0 = 1j * _sne(1j * v0, k)
+        p = np.concatenate([p, [complex(p0)]])
+    h0 = 1.0 if r else 10.0 ** (-rp / 20.0)
+    k_gain = h0 * float(np.real(np.prod(-p) / np.prod(-z)))
+    return z.astype(np.complex128), p.astype(np.complex128), k_gain
+
+
+def _reverse_bessel_poly(N: int) -> np.ndarray:
+    """theta_N(s) coefficients, highest power first (exact integers)."""
+    c = [math.factorial(2 * N - j)
+         // (2 ** (N - j) * math.factorial(j) * math.factorial(N - j))
+         for j in range(N, -1, -1)]
+    return np.array(c, np.float64)
+
+
+def besselap(N: int, norm: str = "phase"):
+    """Bessel/Thomson analog prototype.
+
+    norm='delay': unit group delay at DC. norm='phase': asymptote-matched
+    to Butterworth — poles scaled by theta_N(0)^(-1/N), which puts the
+    phase midpoint at w=1 (scipy default; closed form). norm='mag':
+    -3 dB at w=1, solved by bisection on the delay-normalized poles.
+    """
+    N = _check_order(N)
+    if norm not in ("phase", "delay", "mag"):
+        raise ValueError("norm must be 'phase', 'delay' or 'mag'")
+    if N == 0:
+        return np.array([], np.complex128), np.array([], np.complex128), 1.0
+    a = _reverse_bessel_poly(N)
+    p = np.roots(a)  # theta_N is monic; prod(-p) = a[-1]
+    da = a[:-1] * np.arange(N, 0, -1)
+    for _ in range(2):  # Newton polish (np.roots drifts by ~1e-7 at N~9)
+        p -= np.polyval(a, p) / np.polyval(da, p)
+    a0 = a[-1]
+
+    if norm == "delay":
+        w0 = 1.0
+    elif norm == "phase":
+        w0 = a0 ** (1.0 / N)
+    else:
+        def f(w):
+            return (abs(a0 / np.prod(1j * w - p)) ** 2) - 0.5
+        lo, hi = 1e-6, 1e6
+        flo = f(lo)
+        for _ in range(200):
+            mid = math.sqrt(lo * hi)  # geometric bisection (decades apart)
+            if (f(mid) > 0) == (flo > 0):
+                lo = mid
+            else:
+                hi = mid
+            if hi / lo < 1 + 1e-15:
+                break
+        w0 = math.sqrt(lo * hi)
+    p = p / w0
+    k = float(np.real(np.prod(-p)))
+    return np.array([], np.complex128), p.astype(np.complex128), k
+
+
+def _check_order(N) -> int:
+    import operator
+    N = operator.index(N)
+    if N < 0:
+        raise ValueError("filter order must be non-negative")
+    return N
+
+
+# ---------------------------------------------------------------------------
+# Frequency transformations (zpk form) and the bilinear transform
+# ---------------------------------------------------------------------------
+
+def _zpk_arrays(z, p):
+    z = np.atleast_1d(np.asarray(z, np.complex128))
+    p = np.atleast_1d(np.asarray(p, np.complex128))
+    return z, p
+
+
+def lp2lp_zpk(z, p, k, wo: float = 1.0):
+    """Lowpass prototype -> lowpass at cutoff wo (rad/s)."""
+    z, p = _zpk_arrays(z, p)
+    degree = _relative_degree(z, p)
+    return z * wo, p * wo, k * wo ** degree
+
+
+def lp2hp_zpk(z, p, k, wo: float = 1.0):
+    """Lowpass prototype -> highpass at cutoff wo (rad/s)."""
+    z, p = _zpk_arrays(z, p)
+    degree = _relative_degree(z, p)
+    z_hp = wo / z if z.size else z
+    p_hp = wo / p
+    z_hp = np.append(z_hp, np.zeros(degree))
+    k_hp = k * float(np.real(np.prod(-z) / np.prod(-p)))
+    return z_hp, p_hp, k_hp
+
+
+def lp2bp_zpk(z, p, k, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandpass (center wo, bandwidth bw, rad/s)."""
+    z, p = _zpk_arrays(z, p)
+    degree = _relative_degree(z, p)
+    z_lp = z * bw / 2.0
+    p_lp = p * bw / 2.0
+    z_bp = np.concatenate([z_lp + np.sqrt(z_lp ** 2 - wo ** 2),
+                           z_lp - np.sqrt(z_lp ** 2 - wo ** 2)])
+    p_bp = np.concatenate([p_lp + np.sqrt(p_lp ** 2 - wo ** 2),
+                           p_lp - np.sqrt(p_lp ** 2 - wo ** 2)])
+    z_bp = np.append(z_bp, np.zeros(degree))
+    return z_bp, p_bp, k * bw ** degree
+
+
+def lp2bs_zpk(z, p, k, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandstop (center wo, bandwidth bw, rad/s)."""
+    z, p = _zpk_arrays(z, p)
+    degree = _relative_degree(z, p)
+    z_hp = (bw / 2.0) / z if z.size else z
+    p_hp = (bw / 2.0) / p
+    z_bs = np.concatenate([z_hp + np.sqrt(z_hp ** 2 - wo ** 2),
+                           z_hp - np.sqrt(z_hp ** 2 - wo ** 2)])
+    p_bs = np.concatenate([p_hp + np.sqrt(p_hp ** 2 - wo ** 2),
+                           p_hp - np.sqrt(p_hp ** 2 - wo ** 2)])
+    z_bs = np.append(z_bs, np.concatenate([1j * wo * np.ones(degree),
+                                           -1j * wo * np.ones(degree)]))
+    k_bs = k * float(np.real(np.prod(-z) / np.prod(-p)))
+    return z_bs, p_bs, k_bs
+
+
+def _relative_degree(z, p) -> int:
+    degree = len(p) - len(z)
+    if degree < 0:
+        raise ValueError("improper transfer function: more zeros than poles")
+    return degree
+
+
+def bilinear_zpk(z, p, k, fs: float):
+    """Analog zpk -> digital zpk via the bilinear (Tustin) transform."""
+    z, p = _zpk_arrays(z, p)
+    degree = _relative_degree(z, p)
+    fs2 = 2.0 * float(fs)
+    z_d = (fs2 + z) / (fs2 - z)
+    p_d = (fs2 + p) / (fs2 - p)
+    z_d = np.append(z_d, -np.ones(degree))
+    k_d = k * float(np.real(np.prod(fs2 - z) / np.prod(fs2 - p)))
+    return z_d, p_d, k_d
+
+
+def bilinear(b, a, fs: float = 1.0):
+    """Analog (b, a) -> digital (b, a) via the bilinear transform."""
+    z, p, k = tf2zpk(b, a)
+    z_d, p_d, k_d = bilinear_zpk(z, p, k, fs)
+    return zpk2tf(z_d, p_d, k_d)
+
+
+# ---------------------------------------------------------------------------
+# IIR design orchestrator and the classic entry points
+# ---------------------------------------------------------------------------
+
+_BTYPES = {"lowpass": "lowpass", "low": "lowpass", "lp": "lowpass",
+           "highpass": "highpass", "high": "highpass", "hp": "highpass",
+           "bandpass": "bandpass", "band": "bandpass", "bp": "bandpass",
+           "pass": "bandpass",
+           "bandstop": "bandstop", "stop": "bandstop", "bs": "bandstop",
+           "bands": "bandstop"}
+
+_FTYPES = {"butter": "butter", "butterworth": "butter",
+           "cheby1": "cheby1", "chebyshev1": "cheby1", "cheby_1": "cheby1",
+           "cheby2": "cheby2", "chebyshev2": "cheby2", "cheby_2": "cheby2",
+           "ellip": "ellip", "elliptic": "ellip", "cauer": "ellip",
+           "bessel": "bessel", "bessel_phase": "bessel_phase",
+           "bessel_delay": "bessel_delay", "bessel_mag": "bessel_mag"}
+
+
+def _validate_wn(Wn, btype: str, fs, analog: bool):
+    Wn = np.atleast_1d(np.asarray(Wn, np.float64))
+    if fs is not None:
+        if analog:
+            raise ValueError("fs cannot be specified for an analog filter")
+        Wn = 2.0 * Wn / float(fs)
+    if btype in ("lowpass", "highpass"):
+        if Wn.size != 1:
+            raise ValueError(f"{btype} needs a scalar critical frequency")
+    else:
+        if Wn.size != 2:
+            raise ValueError(f"{btype} needs [low, high] critical "
+                             "frequencies")
+        if Wn[0] >= Wn[1]:
+            raise ValueError("Wn[0] must be less than Wn[1]")
+    if not analog and (np.any(Wn <= 0) or np.any(Wn >= 1)):
+        raise ValueError("digital critical frequencies must satisfy "
+                         "0 < Wn < 1 (Wn = 1 is the Nyquist frequency)"
+                         + ("" if fs is None else f" — got Wn*2/fs={Wn}"))
+    if analog and np.any(Wn <= 0):
+        raise ValueError("analog critical frequencies must be positive")
+    return Wn
+
+
+def iirfilter(N: int, Wn, rp=None, rs=None, btype: str = "band",
+              analog: bool = False, ftype: str = "butter",
+              output: str = "ba", fs=None):
+    """Design an Nth-order IIR filter (scipy.signal.iirfilter-compatible).
+
+    Prototype -> frequency transform -> (digital) bilinear, all in f64
+    zpk form; conversion to 'ba'/'sos' happens last so coefficient
+    round-off never compounds through the design.
+    """
+    try:
+        btype = _BTYPES[btype.lower()]
+    except KeyError:
+        raise ValueError(f"invalid btype {btype!r}") from None
+    try:
+        ftype = _FTYPES[ftype.lower()]
+    except KeyError:
+        raise ValueError(f"invalid ftype {ftype!r}") from None
+    if output not in ("ba", "zpk", "sos"):
+        raise ValueError("output must be 'ba', 'zpk' or 'sos'")
+    Wn = _validate_wn(Wn, btype, fs, analog)
+
+    if ftype == "butter":
+        z, p, k = buttap(N)
+    elif ftype == "cheby1":
+        if rp is None:
+            raise ValueError("cheby1 needs passband ripple rp (dB)")
+        z, p, k = cheb1ap(N, rp)
+    elif ftype == "cheby2":
+        if rs is None:
+            raise ValueError("cheby2 needs stopband attenuation rs (dB)")
+        z, p, k = cheb2ap(N, rs)
+    elif ftype == "ellip":
+        if rp is None or rs is None:
+            raise ValueError("ellip needs both rp and rs (dB)")
+        z, p, k = ellipap(N, rp, rs)
+    else:  # bessel family
+        norm = {"bessel": "phase", "bessel_phase": "phase",
+                "bessel_delay": "delay", "bessel_mag": "mag"}[ftype]
+        z, p, k = besselap(N, norm=norm)
+
+    if analog:
+        warped = Wn
+    else:
+        fs_internal = 2.0
+        warped = 2.0 * fs_internal * np.tan(math.pi * Wn / fs_internal)
+
+    if btype == "lowpass":
+        z, p, k = lp2lp_zpk(z, p, k, wo=float(warped[0]))
+    elif btype == "highpass":
+        z, p, k = lp2hp_zpk(z, p, k, wo=float(warped[0]))
+    elif btype == "bandpass":
+        bw = float(warped[1] - warped[0])
+        wo = float(np.sqrt(warped[0] * warped[1]))
+        z, p, k = lp2bp_zpk(z, p, k, wo=wo, bw=bw)
+    else:
+        bw = float(warped[1] - warped[0])
+        wo = float(np.sqrt(warped[0] * warped[1]))
+        z, p, k = lp2bs_zpk(z, p, k, wo=wo, bw=bw)
+
+    if not analog:
+        z, p, k = bilinear_zpk(z, p, k, fs=fs_internal)
+
+    if output == "zpk":
+        return z, p, k
+    if output == "ba":
+        return zpk2tf(z, p, k)
+    return zpk2sos(z, p, k)
+
+
+def butter(N, Wn, btype="low", analog=False, output="ba", fs=None):
+    """Butterworth filter design (scipy.signal.butter-compatible)."""
+    return iirfilter(N, Wn, btype=btype, analog=analog, output=output,
+                     ftype="butter", fs=fs)
+
+
+def cheby1(N, rp, Wn, btype="low", analog=False, output="ba", fs=None):
+    """Chebyshev-I filter design (scipy.signal.cheby1-compatible)."""
+    return iirfilter(N, Wn, rp=rp, btype=btype, analog=analog,
+                     output=output, ftype="cheby1", fs=fs)
+
+
+def cheby2(N, rs, Wn, btype="low", analog=False, output="ba", fs=None):
+    """Chebyshev-II filter design (scipy.signal.cheby2-compatible)."""
+    return iirfilter(N, Wn, rs=rs, btype=btype, analog=analog,
+                     output=output, ftype="cheby2", fs=fs)
+
+
+def ellip(N, rp, rs, Wn, btype="low", analog=False, output="ba", fs=None):
+    """Elliptic (Cauer) filter design (scipy.signal.ellip-compatible)."""
+    return iirfilter(N, Wn, rp=rp, rs=rs, btype=btype, analog=analog,
+                     output=output, ftype="ellip", fs=fs)
+
+
+def bessel(N, Wn, btype="low", analog=False, output="ba", norm="phase",
+           fs=None):
+    """Bessel/Thomson filter design (scipy.signal.bessel-compatible)."""
+    return iirfilter(N, Wn, btype=btype, analog=analog, output=output,
+                     ftype={"phase": "bessel_phase", "delay": "bessel_delay",
+                            "mag": "bessel_mag"}[norm], fs=fs)
+
+
+# ---------------------------------------------------------------------------
+# Representation converters
+# ---------------------------------------------------------------------------
+
+def _real_if_close(c: np.ndarray) -> np.ndarray:
+    if np.iscomplexobj(c) and np.allclose(c.imag, 0.0,
+                                          atol=1e4 * _EPS * max(
+                                              1.0, float(np.abs(c).max(initial=0.0)))):
+        return c.real.copy()
+    return c
+
+
+def zpk2tf(z, p, k):
+    """Zeros/poles/gain -> transfer-function (b, a) polynomials."""
+    z, p = _zpk_arrays(z, p)
+    b = _real_if_close(np.atleast_1d(k * np.poly(z)))
+    a = _real_if_close(np.atleast_1d(np.poly(p)))
+    return b, a
+
+
+def normalize(b, a):
+    """Normalize (b, a) so a[0] == 1; trims leading numerator zeros."""
+    b = np.atleast_1d(np.asarray(b, np.float64 if not np.iscomplexobj(b)
+                      else np.complex128))
+    a = np.atleast_1d(np.asarray(a, np.float64 if not np.iscomplexobj(a)
+                      else np.complex128))
+    if a.ndim != 1 or b.ndim > 1:
+        raise ValueError("b and a must be 1-D")
+    if np.all(a == 0) or a[0] == 0:
+        raise ValueError("denominator must have a nonzero leading "
+                         "coefficient")
+    b = b / a[0]
+    a = a / a[0]
+    # trim leading zeros of b (keep at least one coefficient)
+    nz = np.nonzero(b)[0]
+    if nz.size == 0:
+        b = b[:1]
+    elif nz[0] > 0:
+        warnings.warn("badly conditioned transfer function: leading "
+                      "numerator coefficients are zero", stacklevel=2)
+        b = b[nz[0]:]
+    return b, a
+
+
+def tf2zpk(b, a):
+    """Transfer function (b, a) -> zeros/poles/gain."""
+    b, a = normalize(b, a)
+    k = float(np.real(b[0])) if not np.iscomplexobj(b) else complex(b[0])
+    b = b / b[0] if b[0] != 0 else b
+    z = np.roots(b) if len(b) > 1 else np.array([], np.complex128)
+    p = np.roots(a) if len(a) > 1 else np.array([], np.complex128)
+    return z, p, k
+
+
+def _cplxreal(v, tol=None):
+    """Split a root list into (upper-half conjugate-pair members, reals).
+
+    Every strictly-complex root must have a conjugate partner within
+    tolerance (pairs are averaged), mirroring scipy's contract.
+    """
+    v = np.atleast_1d(np.asarray(v, np.complex128))
+    if v.size == 0:
+        return v, v.real
+    if tol is None:
+        tol = 100.0 * _EPS
+    scale = np.maximum(np.abs(v), 1.0)
+    real_mask = np.abs(v.imag) <= tol * scale
+    zr = np.sort(v[real_mask].real)
+    vc = v[~real_mask]
+    pos = vc[vc.imag > 0]
+    neg = vc[vc.imag < 0]
+    if pos.size != neg.size:
+        raise ValueError("array has complex roots with no conjugate pair")
+    order_p = np.lexsort((pos.imag, pos.real))
+    order_n = np.lexsort((-neg.imag, neg.real))
+    pos, neg = pos[order_p], neg[order_n]
+    if not np.allclose(pos, np.conj(neg),
+                       atol=tol * float(np.abs(vc).max(initial=1.0)),
+                       rtol=tol):
+        raise ValueError("array has complex roots with no conjugate pair")
+    zc = (pos + np.conj(neg)) / 2.0
+    return zc, zr
+
+
+def _root_units(roots):
+    """Group roots into degree-2/degree-1 units: conjugate pairs first,
+    then reals paired by closeness to the unit circle (leftover real
+    becomes a degree-1 unit)."""
+    zc, zr = _cplxreal(roots)
+    units = [[c, np.conj(c)] for c in zc]
+    zr = sorted(zr, key=lambda r: abs(1.0 - abs(r)))
+    while len(zr) >= 2:
+        units.append([zr.pop(0), zr.pop(0)])
+    if zr:
+        units.append([zr.pop()])
+    return units
+
+
+def zpk2sos(z, p, k, *, pairing: str = "nearest"):
+    """Zeros/poles/gain -> second-order sections.
+
+    Pairing: conjugate pole pairs (and paired reals) are each matched with
+    the remaining zero unit nearest in the z-plane; sections are emitted
+    farthest-from-unit-circle poles first, so the highest-Q section runs
+    last (scipy's peak-round-off ordering). The section set is
+    response-equivalent to scipy's, not byte-identical — sos
+    factorizations are not unique.
+    """
+    if pairing not in ("nearest",):
+        raise ValueError("only pairing='nearest' is supported")
+    z, p = _zpk_arrays(z, p)
+    if len(z) == len(p) == 0:
+        return np.array([[float(k), 0.0, 0.0, 1.0, 0.0, 0.0]])
+    p_units = _root_units(p)
+    z_units = _root_units(z)
+    # poles farthest from the unit circle first
+    p_units.sort(key=lambda u: -abs(1.0 - abs(np.mean(u))))
+    while len(z_units) > len(p_units):
+        p_units.append([])  # zero-excess sections get FIR-only slots
+    sections = []
+    for pu in p_units:
+        if z_units:
+            pc = np.mean(pu) if pu else 0.0
+            j = min(range(len(z_units)),
+                    key=lambda i: abs(np.mean(z_units[i]) - pc))
+            zu = z_units.pop(j)
+        else:
+            zu = []
+        b = np.real(np.poly(zu)) if zu else np.array([1.0])
+        a = np.real(np.poly(pu)) if pu else np.array([1.0])
+        b = np.concatenate([b, np.zeros(3 - b.size)])
+        a = np.concatenate([a, np.zeros(3 - a.size)])
+        sections.append(np.concatenate([b, a]))
+    sos = np.array(sections)
+    sos[0, :3] *= float(k)
+    return sos
+
+
+def tf2sos(b, a, *, pairing: str = "nearest"):
+    """Transfer function -> second-order sections."""
+    return zpk2sos(*tf2zpk(b, a), pairing=pairing)
+
+
+def sos2tf(sos):
+    """Second-order sections -> transfer function (b, a)."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos must have shape (n_sections, 6)")
+    b, a = np.array([1.0]), np.array([1.0])
+    for row in sos:
+        b = np.convolve(b, row[:3])
+        a = np.convolve(a, row[3:])
+    # trim trailing zero coefficients shared by construction
+    while b.size > 1 and b[-1] == 0 and a.size > 1 and a[-1] == 0:
+        b, a = b[:-1], a[:-1]
+    return b, a
+
+
+def sos2zpk(sos):
+    """Second-order sections -> zeros/poles/gain (2 roots per section,
+    origin-padded, matching scipy's convention)."""
+    sos = np.asarray(sos, np.float64)
+    n = sos.shape[0]
+    z = np.zeros(2 * n, np.complex128)
+    p = np.zeros(2 * n, np.complex128)
+    k = 1.0
+    for i, row in enumerate(sos):
+        zi, pi, ki = tf2zpk(row[:3], row[3:])
+        z[2 * i:2 * i + len(zi)] = zi
+        p[2 * i:2 * i + len(pi)] = pi
+        k *= ki
+    return z, p, k
+
+
+# ---------------------------------------------------------------------------
+# Order selection
+# ---------------------------------------------------------------------------
+
+def _ord_prepare(wp, ws, analog: bool, fs):
+    wp = np.atleast_1d(np.asarray(wp, np.float64))
+    ws = np.atleast_1d(np.asarray(ws, np.float64))
+    if fs is not None:
+        if analog:
+            raise ValueError("fs cannot be specified for an analog filter")
+        wp, ws = 2.0 * wp / float(fs), 2.0 * ws / float(fs)
+    if wp.shape != ws.shape or wp.size not in (1, 2):
+        raise ValueError("wp and ws must both be scalars or both pairs")
+    if wp.size == 1:
+        btype = "lowpass" if wp[0] < ws[0] else "highpass"
+    else:
+        if not (wp[0] < wp[1] and ws[0] < ws[1]):
+            raise ValueError("band edges must be increasing")
+        if wp[0] > ws[0]:  # passband inside stopband edges
+            btype = "bandpass"
+        else:
+            btype = "bandstop"
+    if not analog:
+        if np.any(wp <= 0) or np.any(wp >= 1) or np.any(ws <= 0) \
+                or np.any(ws >= 1):
+            raise ValueError("digital band edges must satisfy 0 < w < 1")
+        warp = np.tan(math.pi * wp / 2.0)
+        wars = np.tan(math.pi * ws / 2.0)
+    else:
+        warp, wars = wp, ws
+    # selectivity: stop/pass edge ratio of the equivalent lowpass prototype
+    if btype == "lowpass":
+        nat = wars[0] / warp[0]
+    elif btype == "highpass":
+        nat = warp[0] / wars[0]
+    elif btype == "bandpass":
+        nat = min(abs((wars[i] ** 2 - warp[0] * warp[1])
+                      / (wars[i] * (warp[0] - warp[1]))) for i in (0, 1))
+    else:  # bandstop — classical formula (scipy optimizes the edges)
+        nat = min(abs((wars[i] * (warp[0] - warp[1]))
+                      / (wars[i] ** 2 - warp[0] * warp[1])) for i in (0, 1))
+    return wp, ws, warp, wars, float(nat), btype
+
+
+def _gd(g: float) -> float:
+    return 10.0 ** (0.1 * abs(g)) - 1.0
+
+
+def buttord(wp, ws, gpass: float, gstop: float, analog: bool = False,
+            fs=None):
+    """Butterworth order selection (scipy.signal.buttord-compatible;
+    returned Wn is the 3 dB corner meeting the passband spec exactly)."""
+    wp, ws, warp, wars, nat, btype = _ord_prepare(wp, ws, analog, fs)
+    N = int(math.ceil(math.log10(_gd(gstop) / _gd(gpass))
+                      / (2.0 * math.log10(nat))))
+    # prototype corner that meets gpass exactly, mapped back to this band
+    W0 = _gd(gpass) ** (-1.0 / (2.0 * N))
+    d = warp[-1] - warp[0]
+    if btype == "lowpass":
+        WN = np.array([W0 * warp[0]])
+    elif btype == "highpass":
+        WN = np.array([warp[0] / W0])
+    elif btype == "bandpass":
+        W0pm = np.array([-W0, W0])
+        WN = (-W0pm * d / 2.0
+              + np.sqrt(W0pm ** 2 / 4.0 * d ** 2 + warp[0] * warp[1]))
+    else:  # bandstop
+        disc = math.sqrt(d ** 2 + 4.0 * W0 ** 2 * warp[0] * warp[1])
+        WN = np.array([(d + disc) / (2.0 * W0), (d - disc) / (2.0 * W0)])
+    WN = np.sort(np.abs(np.atleast_1d(WN)))
+    wn = WN if analog else (2.0 / math.pi) * np.arctan(WN)
+    if fs is not None:
+        wn = wn * float(fs) / 2.0
+    wn = float(wn[0]) if wn.size == 1 else wn
+    return N, wn
+
+
+def cheb1ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
+             fs=None):
+    """Chebyshev-I order selection; Wn is the passband edge (scipy)."""
+    wp, ws, _, _, nat, _ = _ord_prepare(wp, ws, analog, fs)
+    N = int(math.ceil(math.acosh(math.sqrt(_gd(gstop) / _gd(gpass)))
+                      / math.acosh(nat)))
+    wn = wp if analog or fs is None else wp * float(fs) / 2.0
+    wn = float(wn[0]) if wn.size == 1 else wn
+    return N, wn
+
+
+def cheb2ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
+             fs=None):
+    """Chebyshev-II order selection; Wn meets the passband spec exactly."""
+    wp, ws, warp, wars, nat, btype = _ord_prepare(wp, ws, analog, fs)
+    N = int(math.ceil(math.acosh(math.sqrt(_gd(gstop) / _gd(gpass)))
+                      / math.acosh(nat)))
+    # corner that just meets gpass at the passband edge
+    nf = 1.0 / math.cosh(math.acosh(math.sqrt(_gd(gstop) / _gd(gpass))) / N)
+    if btype == "lowpass":
+        WN = np.array([warp[0] / nf])
+    elif btype == "highpass":
+        WN = np.array([warp[0] * nf])
+    elif btype == "bandpass":
+        w0 = (warp[0] - warp[1]) / (2.0 * nf) \
+            + math.sqrt((warp[1] - warp[0]) ** 2 / (4.0 * nf ** 2)
+                        + warp[0] * warp[1])
+        WN = np.array([w0, warp[0] * warp[1] / w0])
+    else:  # bandstop
+        w0 = nf / 2.0 * (warp[0] - warp[1]) \
+            + math.sqrt(nf ** 2 * (warp[1] - warp[0]) ** 2 / 4.0
+                        + warp[0] * warp[1])
+        WN = np.array([w0, warp[0] * warp[1] / w0])
+    WN = np.sort(np.abs(np.atleast_1d(WN)))
+    wn = WN if analog else (2.0 / math.pi) * np.arctan(WN)
+    if fs is not None:
+        wn = wn * float(fs) / 2.0
+    wn = float(wn[0]) if wn.size == 1 else wn
+    return N, wn
+
+
+def ellipord(wp, ws, gpass: float, gstop: float, analog: bool = False,
+             fs=None):
+    """Elliptic order selection via the complete-elliptic-integral degree
+    equation; Wn is the passband edge (scipy)."""
+    wp, ws, _, _, nat, _ = _ord_prepare(wp, ws, analog, fs)
+    k = 1.0 / nat
+    k1 = math.sqrt(_gd(gpass) / _gd(gstop))
+    kc = math.sqrt(max(0.0, 1.0 - k * k))
+    k1c = math.sqrt(max(0.0, 1.0 - k1 * k1))
+    N = int(math.ceil(_ellipk(k) * _ellipk(k1c)
+                      / (_ellipk(kc) * _ellipk(k1))))
+    wn = wp if analog or fs is None else wp * float(fs) / 2.0
+    wn = float(wn[0]) if wn.size == 1 else wn
+    return N, wn
+
+
+# ---------------------------------------------------------------------------
+# FIR design (windowed sinc)
+# ---------------------------------------------------------------------------
+
+def kaiser_beta(a: float) -> float:
+    """Kaiser-window beta for a dB of sidelobe attenuation."""
+    a = abs(a)
+    if a > 50:
+        return 0.1102 * (a - 8.7)
+    if a > 21:
+        return 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21)
+    return 0.0
+
+
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Attenuation (dB) of a Kaiser-window FIR of numtaps and transition
+    width (fraction of Nyquist)."""
+    return 2.285 * (numtaps - 1) * math.pi * width + 7.95
+
+
+def kaiserord(ripple: float, width: float):
+    """(numtaps, beta) meeting a ripple (dB) / transition-width spec."""
+    A = abs(ripple)
+    if A < 8:
+        raise ValueError("ripple attenuation too small for the Kaiser "
+                         "formula (need at least 8 dB)")
+    beta = kaiser_beta(A)
+    numtaps = (A - 7.95) / 2.285 / (math.pi * width) + 1
+    return int(math.ceil(numtaps)), beta
+
+
+_PASS_ZERO = {"bandpass": False, "lowpass": True, "highpass": False,
+              "bandstop": True}
+
+
+def firwin(numtaps: int, cutoff, width=None, window="hamming",
+           pass_zero=True, scale: bool = True, fs=None):
+    """Windowed-sinc FIR design (scipy.signal.firwin-compatible)."""
+    import operator
+    numtaps = operator.index(numtaps)
+    if numtaps < 1:
+        raise ValueError("numtaps must be at least 1")
+    nyq = 1.0 if fs is None else float(fs) / 2.0
+    cutoff = np.atleast_1d(np.asarray(cutoff, np.float64)) / nyq
+    if cutoff.ndim > 1:
+        raise ValueError("cutoff must be scalar or 1-D")
+    if cutoff.size == 0:
+        raise ValueError("at least one cutoff frequency required")
+    if np.any(cutoff <= 0) or np.any(cutoff >= 1):
+        raise ValueError("cutoff must satisfy 0 < cutoff < fs/2")
+    if np.any(np.diff(cutoff) <= 0):
+        raise ValueError("cutoff frequencies must be strictly increasing")
+
+    if isinstance(pass_zero, str):
+        try:
+            pz = _PASS_ZERO[pass_zero]
+        except KeyError:
+            raise ValueError(f"invalid pass_zero {pass_zero!r}") from None
+        if pass_zero in ("lowpass", "highpass") and cutoff.size != 1:
+            raise ValueError(f"{pass_zero} needs exactly one cutoff")
+        if pass_zero in ("bandpass", "bandstop") and cutoff.size < 2:
+            raise ValueError(f"{pass_zero} needs at least two cutoffs")
+        pass_zero = pz
+    pass_zero = bool(pass_zero)
+    pass_nyquist = bool(cutoff.size & 1) ^ pass_zero
+    if pass_nyquist and numtaps % 2 == 0:
+        raise ValueError("an even-numtaps filter must have zero response "
+                         "at the Nyquist frequency")
+
+    if width is not None:
+        atten = kaiser_atten(numtaps, width / nyq)
+        window = ("kaiser", kaiser_beta(atten))
+
+    cutoff = np.hstack([[0.0] * pass_zero, cutoff, [1.0] * pass_nyquist])
+    bands = cutoff.reshape(-1, 2)
+    alpha = 0.5 * (numtaps - 1)
+    m = np.arange(numtaps) - alpha
+    h = np.zeros(numtaps)
+    for left, right in bands:
+        h += right * np.sinc(right * m) - left * np.sinc(left * m)
+
+    from .spectral import get_window
+    win = get_window(window, numtaps, fftbins=False)
+    h *= win
+
+    if scale:
+        left, right = bands[0]
+        if left == 0:
+            f_scale = 0.0
+        elif right == 1:
+            f_scale = 1.0
+        else:
+            f_scale = 0.5 * (left + right)
+        c = np.cos(math.pi * m * f_scale)
+        h /= np.sum(h * c)
+    return h
+
+
+def firwin2(numtaps: int, freq, gain, nfreqs=None, window="hamming",
+            antisymmetric: bool = False, fs=None):
+    """FIR design by frequency sampling (scipy.signal.firwin2-compatible).
+
+    The sampled response is inverted through tpufft's own irfft — the
+    design IS an inverse real FFT of the interpolated target response.
+    """
+    import operator
+    numtaps = operator.index(numtaps)
+    nyq = 1.0 if fs is None else float(fs) / 2.0
+    freq = np.asarray(freq, np.float64)
+    gain = np.asarray(gain, np.float64)
+    if freq.ndim != 1 or freq.shape != gain.shape:
+        raise ValueError("freq and gain must be 1-D of the same length")
+    if freq[0] != 0 or freq[-1] != nyq:
+        raise ValueError(f"freq must start at 0 and end at fs/2 (= {nyq})")
+    d = np.diff(freq)
+    if np.any(d < 0):
+        raise ValueError("freq must be nondecreasing")
+    if nfreqs is None:
+        nfreqs = 1 + 2 ** int(math.ceil(math.log2(max(numtaps, 2))))
+    if numtaps >= nfreqs:
+        raise ValueError("nfreqs must exceed numtaps")
+
+    # filter type: parity x (anti)symmetry, with the standard constraints
+    if antisymmetric:
+        ftype = 3 if numtaps % 2 else 4
+    else:
+        ftype = 1 if numtaps % 2 else 2
+    if ftype == 2 and gain[-1] != 0.0:
+        raise ValueError("type II filter (even numtaps, symmetric) must "
+                         "have zero gain at Nyquist")
+    if ftype == 3 and (gain[0] != 0.0 or gain[-1] != 0.0):
+        raise ValueError("type III filter must have zero gain at 0 and "
+                         "Nyquist")
+    if ftype == 4 and gain[0] != 0.0:
+        raise ValueError("type IV filter must have zero gain at 0")
+
+    # nudge duplicated interior breakpoints apart so interp is one-sided
+    freq = freq.copy()
+    eps = np.finfo(np.float64).eps * nyq
+    for i in range(1, freq.size - 1):
+        if freq[i] == freq[i - 1]:
+            freq[i - 1] -= eps
+            freq[i] += eps
+    if np.any(np.diff(freq) <= 0):
+        raise ValueError("freq cannot contain more than two duplicates")
+
+    x = np.linspace(0.0, nyq, nfreqs)
+    fx = np.interp(x, freq, gain)
+    shift = np.exp(-(numtaps - 1) / 2.0 * 1j * math.pi * x / nyq)
+    if ftype > 2:
+        shift *= 1j
+    fx2 = fx * shift
+
+    from .api import irfft
+    out_full = np.asarray(irfft(fx2.astype(np.complex128),
+                                2 * (nfreqs - 1)))
+    from .spectral import get_window
+    win = get_window(window, numtaps, fftbins=False)
+    out = out_full[:numtaps] * win
+    if ftype == 3:
+        out[numtaps // 2] = 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Frequency response evaluation
+# ---------------------------------------------------------------------------
+
+def _polyval_zinv(c: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Evaluate sum_k c[k] * exp(-1j*w*k) (Horner in z^-1, f64)."""
+    zinv = np.exp(-1j * np.asarray(w, np.float64))
+    h = np.zeros_like(zinv)
+    for ck in c[::-1]:
+        h = h * zinv + ck
+    return h
+
+
+def freqz(b, a=1, worN=512, whole: bool = False, fs=2 * math.pi,
+          include_nyquist: bool = False, *, config=None):
+    """Digital filter frequency response (scipy.signal.freqz-compatible).
+
+    Two evaluation paths, keyed on the INPUT's placement (the module's
+    host-in/host-out, device-in/device-out contract): host numpy
+    coefficients evaluate by exact float64 Horner recursion; a
+    ``jax.Array`` numerator with scalar denominator routes through
+    tpufft's own FFT — the response at worN uniform points IS the DFT of
+    the zero-padded coefficient vector, so the evaluation runs on device
+    through the same kernels as any other transform.
+    """
+    import jax
+
+    b_is_dev = isinstance(b, jax.Array)
+    b_arr = np.atleast_1d(np.asarray(b)) if not b_is_dev else b
+    a_arr = np.atleast_1d(np.asarray(a))
+    a_scalar = a_arr.size == 1
+    fs = float(fs)
+
+    if isinstance(worN, (int, np.integer)):
+        N = int(worN)
+        if N < 1:
+            raise ValueError("worN must be positive")
+        lastpoint = 2 * math.pi if whole else math.pi
+        w = np.linspace(0.0, lastpoint, N,
+                        endpoint=include_nyquist and not whole)
+        n_fft = N if whole else 2 * (N - (1 if include_nyquist else 0))
+        nb = int(b.shape[0]) if b_is_dev else b_arr.shape[0]
+        if a_scalar and n_fft >= nb and b_is_dev:
+            from .api import fft
+            h = fft(b, n=n_fft, axis=0, config=config)
+            h = h[:N] / complex(a_arr[0])
+            return w * fs / (2 * math.pi), h
+        if not b_is_dev and a_scalar and n_fft >= nb and n_fft >= 32:
+            from .api import fft
+            hb = np.asarray(fft(np.asarray(b_arr, np.complex128),
+                                n=n_fft, axis=0, config=config))
+            h = hb[:N] / complex(a_arr[0])
+            return w * fs / (2 * math.pi), h
+    else:
+        w = np.asarray(worN, np.float64) * (2 * math.pi) / fs
+
+    if b_is_dev:
+        b_arr = np.atleast_1d(np.asarray(b))
+    h = _polyval_zinv(np.asarray(b_arr, np.complex128), w)
+    if not a_scalar:
+        h = h / _polyval_zinv(np.asarray(a_arr, np.complex128), w)
+    else:
+        h = h / complex(a_arr[0])
+    return w * fs / (2 * math.pi), h
+
+
+def freqz_zpk(z, p, k, worN=512, whole: bool = False, fs=2 * math.pi):
+    """Frequency response from zeros/poles/gain."""
+    z, p = _zpk_arrays(z, p)
+    fs = float(fs)
+    if isinstance(worN, (int, np.integer)):
+        lastpoint = 2 * math.pi if whole else math.pi
+        w = np.linspace(0.0, lastpoint, int(worN), endpoint=False)
+    else:
+        w = np.asarray(worN, np.float64) * (2 * math.pi) / fs
+    zm = np.exp(1j * w)
+    h = np.full(w.shape, complex(k), np.complex128)
+    for zi in z:
+        h *= zm - zi
+    for pi in p:
+        h /= zm - pi
+    return w * fs / (2 * math.pi), h
+
+
+def sosfreqz(sos, worN=512, whole: bool = False, fs=2 * math.pi):
+    """Frequency response of cascaded second-order sections."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos must have shape (n_sections, 6)")
+    if sos.shape[0] == 0:
+        raise ValueError("sos must have at least one section")
+    h = None
+    for row in sos:
+        w, rowh = freqz(row[:3], row[3:], worN=worN, whole=whole, fs=fs)
+        h = rowh if h is None else h * rowh
+    return w, h
+
+
+def group_delay(system, w=512, whole: bool = False, fs=2 * math.pi):
+    """Group delay of a digital filter (b, a) in samples."""
+    b, a = system
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    fs = float(fs)
+    if isinstance(w, (int, np.integer)):
+        lastpoint = 2 * math.pi if whole else math.pi
+        wgrid = np.linspace(0.0, lastpoint, int(w), endpoint=False)
+    else:
+        wgrid = np.asarray(w, np.float64) * (2 * math.pi) / fs
+    c = np.convolve(b, a[::-1])
+    cr = c * np.arange(c.size)
+    z = np.exp(-1j * wgrid)
+    num = np.polynomial.polynomial.polyval(z, cr.astype(np.complex128))
+    den = np.polynomial.polynomial.polyval(z, c.astype(np.complex128))
+    singular = np.abs(den) < 10.0 * _EPS * np.abs(cr).sum()
+    if np.any(singular):
+        warnings.warn("group_delay: frequency response is singular at "
+                      "some evaluation points; setting group delay to 0 "
+                      "there", stacklevel=2)
+    gd = np.zeros_like(wgrid)
+    ok = ~singular
+    gd[ok] = np.real(num[ok] / den[ok]) - (a.size - 1)
+    return wgrid * fs / (2 * math.pi), gd
+
+
+# ---------------------------------------------------------------------------
+# Steady-state initial conditions (coefficient-domain linear solves)
+# ---------------------------------------------------------------------------
+
+def lfilter_zi(b, a):
+    """Initial filter state for step-response steady state
+    (scipy.signal.lfilter_zi-compatible: solves (I - A^T) zi = B on the
+    direct-form-II-transposed companion system, host f64)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    while a.size > 1 and a[0] == 0.0:
+        a = a[1:]
+    if a.size < 1:
+        raise ValueError("at least one denominator coefficient required")
+    if a[0] != 1.0:
+        b = b / a[0]
+        a = a / a[0]
+    n = max(a.size, b.size)
+    if n == 1:
+        return np.zeros(0)
+    a = np.concatenate([a, np.zeros(n - a.size)])
+    b = np.concatenate([b, np.zeros(n - b.size)])
+    comp = np.zeros((n - 1, n - 1))
+    comp[0, :] = -a[1:]
+    if n > 2:
+        comp[1:, :-1] = np.eye(n - 2)
+    B = b[1:] - a[1:] * b[0]
+    return np.linalg.solve(np.eye(n - 1) - comp.T, B)
+
+
+def sosfilt_zi(sos):
+    """Initial state per second-order section for step-response steady
+    state (scipy.signal.sosfilt_zi-compatible): each section's lfilter_zi
+    scaled by the cumulative DC gain of the sections before it."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos must have shape (n_sections, 6)")
+    n = sos.shape[0]
+    zi = np.empty((n, 2))
+    scale = 1.0
+    for k in range(n):
+        bk, ak = sos[k, :3], sos[k, 3:]
+        zi[k] = scale * lfilter_zi(bk, ak)
+        scale *= bk.sum() / ak.sum()
+    return zi

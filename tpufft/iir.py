@@ -378,7 +378,7 @@ def filtfilt(b, a, x, axis: int = -1, padtype: str = "odd",
     ext = _ext(x, edge, axis,
                {"constant": "const"}.get(padtype, padtype), xp)
 
-    from scipy.signal import lfilter_zi
+    from .design import lfilter_zi
 
     zi = np.asarray(lfilter_zi(b, a), np.float64)  # (S,)
     zi_shape = [1] * x.ndim
@@ -471,7 +471,7 @@ def sosfiltfilt(sos, x, axis: int = -1, padtype: str = "odd",
 
     # steady-state step-response initial conditions (host f64 design
     # constant, same discipline as window/twiddle tables)
-    from scipy.signal import sosfilt_zi
+    from .design import sosfilt_zi
 
     zi = np.asarray(sosfilt_zi(sos), np.float64)  # (ns, 2)
     zi_shape = [1] * x.ndim

@@ -246,7 +246,7 @@ def resample_poly(x, up: int, down: int, axis: int = 0,
     else:
         # linear-phase lowpass at the tighter of the two rates
         # (host-side f64 design, same discipline as get_window)
-        from scipy.signal import firwin
+        from .design import firwin
 
         max_rate = max(up, down)
         half_len = 10 * max_rate
@@ -311,7 +311,7 @@ def decimate(x, q: int, n: int | None = None, ftype: str = "iir",
     axis = axis % x.ndim
 
     if ftype == "fir":
-        from scipy.signal import firwin
+        from .design import firwin
 
         if n is None:
             n = 2 * (10 * q)
@@ -326,7 +326,7 @@ def decimate(x, q: int, n: int | None = None, ftype: str = "iir",
         sl[axis] = slice(None, n_out)
         return y[tuple(sl)]
     if ftype == "iir":
-        from scipy.signal import cheby1
+        from .design import cheby1
 
         from .iir import sosfilt, sosfiltfilt
 

@@ -30,7 +30,7 @@ import numpy as np
 from .config import PlanConfig
 
 __all__ = ["detrend", "deconvolve", "wiener", "correlation_lags",
-           "choose_conv_method", "savgol_filter"]
+           "choose_conv_method", "savgol_filter", "savgol_coeffs"]
 
 
 def detrend(data, axis: int = -1, type: str = "linear", bp=0,
@@ -197,12 +197,9 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
     if mode not in ("mirror", "constant", "nearest", "interp", "wrap"):
         raise ValueError("mode must be 'mirror', 'constant', 'nearest' "
                          "'wrap' or 'interp'.")
-    from scipy.signal import savgol_coeffs
-
     window_length = int(window_length)
-    w = np.asarray(savgol_coeffs(window_length, int(polyorder),
-                                 deriv=int(deriv), delta=float(delta)),
-                   np.float64)
+    w = savgol_coeffs(window_length, int(polyorder),
+                      deriv=int(deriv), delta=float(delta))
     is_np = not isinstance(x, jax.Array)
     xp = np if is_np else jnp
     x = xp.asarray(x)
@@ -332,3 +329,35 @@ def choose_conv_method(in1, in2, mode: str = "full",
     # float heuristic: direct only for tiny operands
     return "fft" if min(a.size, b.size) > 32 or \
         max(a.size, b.size) > 4096 else "direct"
+
+
+def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0, pos=None, use: str = "conv"):
+    """Savitzky-Golay FIR coefficients (scipy.signal.savgol_coeffs-
+    compatible): the least-squares polynomial fit over the window is a
+    LINEAR map, so the deriv-th derivative at `pos` is one row of the
+    Vandermonde pseudo-inverse scaled by deriv!/delta^deriv. Host f64."""
+    window_length = int(window_length)
+    polyorder = int(polyorder)
+    if polyorder >= window_length:
+        raise ValueError("polyorder must be less than window_length")
+    halflen, rem = divmod(window_length, 2)
+    if pos is None:
+        pos = halflen if rem else halflen - 0.5
+    if not 0 <= pos <= window_length - 1:
+        raise ValueError("pos must be nonnegative and less than "
+                         "window_length")
+    if use not in ("conv", "dot"):
+        raise ValueError("use must be 'conv' or 'dot'")
+    if int(deriv) > polyorder:
+        return np.zeros(window_length)
+    x = np.arange(-pos, window_length - pos, dtype=np.float64)
+    if use == "conv":
+        x = x[::-1]
+    order = np.arange(polyorder + 1).reshape(-1, 1)
+    A = x ** order
+    import math as _math
+    y = np.zeros(polyorder + 1)
+    y[int(deriv)] = _math.factorial(int(deriv)) / (float(delta) ** int(deriv))
+    coeffs, _, _, _ = np.linalg.lstsq(A, y, rcond=None)
+    return coeffs
