@@ -62,14 +62,19 @@ def test_matches_jax_path(rng):
 
 
 def test_packaged_source_in_sync():
-    """tpufft/native_src/ ships the engine source as package data; it must
-    stay identical to the canonical native/tpufft_cpu.cpp."""
+    """The package-data copy under tpufft/native_src/ is produced at
+    BUILD time by setup.py from the single source of truth
+    native/tpufft_cpu.cpp. Belt-and-braces: if a (stale) copy exists in
+    the working tree it must match, and the build hook must exist."""
     import os
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     a = open(os.path.join(root, "native", "tpufft_cpu.cpp")).read()
-    b = open(os.path.join(root, "tpufft", "native_src",
-                          "tpufft_cpu.cpp")).read()
-    assert a == b, "run: cp native/tpufft_cpu.cpp tpufft/native_src/"
+    copy = os.path.join(root, "tpufft", "native_src", "tpufft_cpu.cpp")
+    if os.path.exists(copy):
+        assert open(copy).read() == a, \
+            "stale build copy: rm tpufft/native_src/tpufft_cpu.cpp"
+    hook = open(os.path.join(root, "setup.py")).read()
+    assert "native_src" in hook and "build_py" in hook
 
 
 def test_n1_scale_through_c_abi():

@@ -8,8 +8,10 @@ lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
 + 5 DCT/DST cases + 2 fht cases + 3 czt cases + 5 spectral pipelines
 (incl. the fused overlapped-frame STFT, fused istft OLA and fused
 Welch-accumulator kernels)
-+ 2 Bluestein primes + 3 segment-group + 3 multirate/IIR = 84. Last full pass: see RESULT line in the most
-recent run log / working notes."""
++ 3 segment-group + 3 multirate/IIR + 2 Bluestein primes = 87.
+The script counts checks itself and the RESULT line prints the
+authoritative passed/total; the last committed full-pass RESULT is in
+FUZZ_RESULT.txt."""
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -20,6 +22,7 @@ from tpufft import PlanConfig
 LENGTHS = [8, 48, 64, 93, 128, 131, 160, 256, 384, 512, 1024, 2053, 4096]
 rng = np.random.default_rng(123)
 fails = 0
+_T = 0
 for case in range(40):
     ndim = int(rng.integers(1, 4))
     shape = tuple(int(rng.choice(LENGTHS[:10])) for _ in range(ndim))
@@ -45,6 +48,7 @@ for case in range(40):
         ok = err < 1e-3
     except Exception as e:
         err, ok = str(e)[:80], False
+    _T += 1
     if not ok:
         fails += 1
         print(f"FAIL case {case}: shape={shape} axes={axes} norm={norm} "
@@ -64,6 +68,7 @@ for n in (93, 128, 131, 1024):
     ok = err < 1e-3 and berr < 1e-3
     print(f"r2c/c2r {n}: e={err:.1e} rt={berr:.1e} {'ok' if ok else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += not ok
 
 # big-n lengths that dispatch to the sublane two-pass on-chip (VERDICT
@@ -76,6 +81,7 @@ for n in (4096, 16384, 7680):
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"two-pass {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # big-pass shapes (plane >= 64 MB routes ONE full-length kernel pass
@@ -89,6 +95,7 @@ for shape, ax in (((4096, 4320), 1), ((2, 7680, 2048), 1)):
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"big-pass {shape} ax={ax}: e={err:.1e} "
           f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # fused zero-pad cases (rectangular pad-DFT minor kernel; pair kernel
@@ -103,6 +110,7 @@ for shape, s, axes in (((512, 93), (128,), (1,)),
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"fused-pad {shape}->{s}: e={err:.1e} "
           f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # fused whole-cube kernel shapes (lane-fused design: concat/roll/slice
@@ -116,6 +124,7 @@ for shape in ((7, 64, 64, 64), (3, 16, 32, 128), (2, 8, 64, 64, 64)):
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"cube {shape}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # fused middle-pair kernel (channels-last layout: fft over the two axes
@@ -128,6 +137,7 @@ for shape in ((2, 24, 16, 128), (4, 40, 64, 256)):
     err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
     print(f"mid-pair {shape}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # signal-layer pipelines on-chip (these route through rfftn/irfftn and
@@ -148,6 +158,7 @@ for name, got, ref in checks:
     err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
     print(f"signal {name}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # fused circulant filter kernel (signal.plan_filter: one dense-matmul
@@ -163,6 +174,7 @@ for n in (93, 128, 480):
     err = np.max(np.abs(got - ref)) / scale
     print(f"filter {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # DCT/DST r2r matmul kernels on-chip (types x norms sample)
@@ -177,6 +189,7 @@ for kind, type_, n in (("dct", 2, 128), ("dct", 3, 93), ("dst", 2, 256),
     err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
     print(f"{kind}{type_} {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # fast Hankel transform (FFTLog on the r2c/c2r kernel path)
@@ -189,6 +202,7 @@ for n, mu in ((128, 0.0), (256, 0.5)):
     err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
     print(f"fht n={n} mu={mu}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # czt / zoom_fft (chirp-z through the kernel path incl. fused pad-DFT)
@@ -202,6 +216,7 @@ for n, m in ((128, 128), (100, 77), (480, 300)):
     err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
     print(f"czt ({n},{m}): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
 
 # spectral layer on-chip: stft batched r2c launch + welch planes pipeline
@@ -212,6 +227,7 @@ err = np.max(np.abs(np.asarray(Zg) - Zr)) / max(
     1.0, float(np.max(np.abs(Zr))))
 print(f"stft (8,1000): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
       flush=True)
+_T += 1
 fails += err >= 1e-3
 # fused overlapped-frame STFT kernel (hop%128==0 routes to
 # mxu_fft.build_stft_overlap: frames stream from HBM, window+pad+DFT
@@ -228,6 +244,7 @@ Zg = (np.asarray(Zg.re) + 1j * np.asarray(Zg.im)
 err = np.max(np.abs(Zg - Zr)) / max(1.0, float(np.max(np.abs(Zr))))
 print(f"stft-fused (16,4096): e={err:.1e} "
       f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
 fails += err >= 1e-3
 # fused Welch accumulator (mxu_fft.build_welch_accum: per-segment
 # spectra never touch HBM)
@@ -237,6 +254,7 @@ err = np.max(np.abs(np.asarray(Pg) - Pr)) / max(
     1.0, float(np.max(np.abs(Pr))))
 print(f"welch-fused (16,4096): e={err:.1e} "
       f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
 fails += err >= 1e-3
 # fused istft overlap-add kernel roundtrip (mxu_fft.build_istft_ola)
 _, xg = tpufft.istft(tpufft.stft(_jnp.asarray(sf), nperseg=256,
@@ -246,6 +264,7 @@ err = np.max(np.abs(np.asarray(xg)[:, :4096] - sf)) / max(
     1.0, float(np.max(np.abs(sf))))
 print(f"istft-fused roundtrip (16,4096): e={err:.1e} "
       f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
 fails += err >= 1e-3
 _, Pg = tpufft.welch(sw, nperseg=256)
 _, Pr = _ssig.welch(sw.astype(np.float64), nperseg=256)
@@ -253,6 +272,7 @@ err = np.max(np.abs(np.asarray(Pg) - Pr)) / max(
     1.0, float(np.max(np.abs(Pr))))
 print(f"welch (8,1000): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
       flush=True)
+_T += 1
 fails += err >= 1e-3
 
 # small-batch segment-group kernels (G>1: sublane-stacked segments)
@@ -264,6 +284,7 @@ Zg = (np.asarray(Zg.re) + 1j * np.asarray(Zg.im)
 err = np.max(np.abs(Zg - Zr)) / max(1.0, float(np.max(np.abs(Zr))))
 print(f"stft-group (5,3000): e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
       flush=True)
+_T += 1
 fails += err >= 1e-3
 _, Pg = tpufft.welch(_jnp.asarray(sg), nperseg=256, noverlap=128)
 _, Pr = _ssig.welch(sg.astype(np.float64), nperseg=256, noverlap=128)
@@ -271,6 +292,7 @@ err = np.max(np.abs(np.asarray(Pg) - Pr)) / max(
     1.0, float(np.max(np.abs(Pr))))
 print(f"welch-group (5,3000): e={err:.1e} "
       f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
 fails += err >= 1e-3
 _, xg = tpufft.istft(tpufft.stft(_jnp.asarray(sg), nperseg=256,
                                  noverlap=128)[2],
@@ -279,6 +301,7 @@ err = np.max(np.abs(np.asarray(xg)[:, :3000] - sg)) / max(
     1.0, float(np.max(np.abs(sg))))
 print(f"istft-group roundtrip (5,3000): e={err:.1e} "
       f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
 fails += err >= 1e-3
 
 # multirate / IIR on-chip (upfirdn rides the fused FFT-conv path;
@@ -289,12 +312,14 @@ rr = _ssig.resample_poly(mr.astype(np.float64), 3, 2, axis=-1)
 err = np.max(np.abs(rg - rr)) / max(1.0, float(np.max(np.abs(rr))))
 print(f"resample_poly (4,20000): e={err:.1e} "
       f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
 fails += err >= 1e-3
 dg = np.asarray(tpufft.decimate(_jnp.asarray(mr), 4))
 dr = _ssig.decimate(mr.astype(np.float64), 4)
 err = np.max(np.abs(dg - dr)) / max(1.0, float(np.max(np.abs(dr))))
 print(f"decimate-iir (4,20000): e={err:.1e} "
       f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
 fails += err >= 1e-3
 _sos = _ssig.butter(6, 0.2, output="sos")
 fg = np.asarray(tpufft.sosfiltfilt(_sos, _jnp.asarray(mr)))
@@ -302,6 +327,7 @@ fr = _ssig.sosfiltfilt(_sos, mr.astype(np.float64))
 err = np.max(np.abs(fg - fr)) / max(1.0, float(np.max(np.abs(fr))))
 print(f"sosfiltfilt (4,20000): e={err:.1e} "
       f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
 fails += err >= 1e-3
 
 # a few big-prime Bluestein cases on-chip
@@ -313,5 +339,7 @@ for n in (2053, 4099):
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"bluestein {n}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
     fails += err >= 1e-3
-print("RESULT:", "ALL OK" if fails == 0 else f"{fails} FAILURES", flush=True)
+print(f"RESULT: {_T - fails}/{_T} ok"
+      + ("" if fails == 0 else f" — {fails} FAILURES"), flush=True)

@@ -30,9 +30,10 @@ and scipy/signal/_fir_filter_design.py (firwin, firwin2, kaiserord).
 `zpk2sos` uses its own documented pairing (nearest-zero to
 farthest-from-unit-circle-pole, peak-gain-last ordering); sos arrays are
 response-equivalent to scipy's, not byte-equal (sos factorizations are
-not unique). `buttord`/`cheb2ord` bandstop uses the classical
-selectivity formula instead of scipy's numeric edge optimization, which
-can (rarely) give an order one higher.
+not unique). Bandstop order selection matches scipy exactly: all four
+ord functions minimize the continuous order over the movable passband
+edges (the numeric edge optimization scipy's bandstop path performs)
+before ceiling to N.
 """
 
 from __future__ import annotations
@@ -606,16 +607,21 @@ def zpk2sos(z, p, k, *, pairing: str = "nearest"):
         return np.array([[float(k), 0.0, 0.0, 1.0, 0.0, 0.0]])
     p_units = _root_units(p)
     z_units = _root_units(z)
-    # poles farthest from the unit circle first
-    p_units.sort(key=lambda u: -abs(1.0 - abs(np.mean(u))))
+    # poles farthest from the unit circle first (distance by max root
+    # MODULUS, not np.mean — the mean of a conjugate pair is Re(p) and
+    # misorders near-imaginary poles)
+    p_units.sort(key=lambda u: -abs(1.0 - max(abs(r) for r in u)))
     while len(z_units) > len(p_units):
         p_units.append([])  # zero-excess sections get FIR-only slots
     sections = []
     for pu in p_units:
         if z_units:
-            pc = np.mean(pu) if pu else 0.0
-            j = min(range(len(z_units)),
-                    key=lambda i: abs(np.mean(z_units[i]) - pc))
+            # nearest zero unit by true z-plane root distance
+            def _dist(zu, pu=pu):
+                if not pu:
+                    return min(abs(r) for r in zu)
+                return min(abs(zr - pr) for zr in zu for pr in pu)
+            j = min(range(len(z_units)), key=lambda i: _dist(z_units[i]))
             zu = z_units.pop(j)
         else:
             zu = []
@@ -669,7 +675,57 @@ def sos2zpk(sos):
 # Order selection
 # ---------------------------------------------------------------------------
 
-def _ord_prepare(wp, ws, analog: bool, fs):
+def _band_stop_obj(wp_edge: float, ind: int, passb, stopb,
+                   gpass: float, gstop: float, kind: str) -> float:
+    """Continuous (un-ceiled) filter order for a bandstop spec with one
+    passband edge moved to ``wp_edge`` — the objective scipy's *ord
+    functions minimize over the movable edge (scipy.signal
+    _filter_design.band_stop_obj parity)."""
+    pb = np.array(passb, np.float64)
+    pb[ind] = float(np.atleast_1d(wp_edge)[0])
+    nat = float(np.min(np.abs((stopb * (pb[0] - pb[1]))
+                              / (stopb ** 2 - pb[0] * pb[1]))))
+    gs, gp = _gd(gstop), _gd(gpass)
+    if kind == "butter":
+        return math.log10(gs / gp) / (2.0 * math.log10(nat))
+    if kind == "cheby":
+        return math.acosh(math.sqrt(gs / gp)) / math.acosh(nat)
+    # elliptic: complete-elliptic-integral degree equation
+    k = 1.0 / nat
+    k1 = math.sqrt(gp / gs)
+    kc = math.sqrt(max(0.0, 1.0 - k * k))
+    k1c = math.sqrt(max(0.0, 1.0 - k1 * k1))
+    return (_ellipk(k) * _ellipk(k1c)) / (_ellipk(kc) * _ellipk(k1))
+
+
+def _fminbound(fun, a: float, b: float, args) -> float:
+    """Bounded 1-D minimizer: scipy.optimize.fminbound when available
+    (bit-parity with scipy's ord functions, which use it), else a
+    golden-section fallback over the same bracket."""
+    try:
+        from scipy.optimize import fminbound
+        return float(fminbound(fun, a, b, args=args, disp=0))
+    except ImportError:
+        pass
+    inv = (math.sqrt(5.0) - 1.0) / 2.0
+    c, d = b - inv * (b - a), a + inv * (b - a)
+    fc, fd = fun(c, *args), fun(d, *args)
+    for _ in range(200):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - inv * (b - a)
+            fc = fun(c, *args)
+        else:
+            a, c, fc = c, d, fd
+            d = a + inv * (b - a)
+            fd = fun(d, *args)
+        if abs(b - a) <= 1e-12 * max(1.0, abs(b)):
+            break
+    return 0.5 * (a + b)
+
+
+def _ord_prepare(wp, ws, analog: bool, fs, gpass=None, gstop=None,
+                 kind=None):
     wp = np.atleast_1d(np.asarray(wp, np.float64))
     ws = np.atleast_1d(np.asarray(ws, np.float64))
     if fs is not None:
@@ -703,7 +759,17 @@ def _ord_prepare(wp, ws, analog: bool, fs):
     elif btype == "bandpass":
         nat = min(abs((wars[i] ** 2 - warp[0] * warp[1])
                       / (wars[i] * (warp[0] - warp[1]))) for i in (0, 1))
-    else:  # bandstop — classical formula (scipy optimizes the edges)
+    else:  # bandstop — scipy-parity numeric edge optimization
+        if kind is not None:
+            # minimize the continuous order over each movable passband
+            # edge (scipy's buttord/cheb*ord/ellipord bandstop): bounded
+            # search between the original passband edge and its stopband
+            # edge, BOTH against the ORIGINAL passb (scipy _find_nat_freq)
+            wp0 = _fminbound(_band_stop_obj, warp[0], wars[0] - 1e-12,
+                             (0, warp, wars, gpass, gstop, kind))
+            wp1 = _fminbound(_band_stop_obj, wars[1] + 1e-12, warp[1],
+                             (1, warp, wars, gpass, gstop, kind))
+            warp = np.array([wp0, wp1], np.float64)
         nat = min(abs((wars[i] * (warp[0] - warp[1]))
                       / (wars[i] ** 2 - warp[0] * warp[1])) for i in (0, 1))
     return wp, ws, warp, wars, float(nat), btype
@@ -717,7 +783,8 @@ def buttord(wp, ws, gpass: float, gstop: float, analog: bool = False,
             fs=None):
     """Butterworth order selection (scipy.signal.buttord-compatible;
     returned Wn is the 3 dB corner meeting the passband spec exactly)."""
-    wp, ws, warp, wars, nat, btype = _ord_prepare(wp, ws, analog, fs)
+    wp, ws, warp, wars, nat, btype = _ord_prepare(
+        wp, ws, analog, fs, gpass, gstop, "butter")
     N = int(math.ceil(math.log10(_gd(gstop) / _gd(gpass))
                       / (2.0 * math.log10(nat))))
     # prototype corner that meets gpass exactly, mapped back to this band
@@ -744,11 +811,15 @@ def buttord(wp, ws, gpass: float, gstop: float, analog: bool = False,
 
 def cheb1ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
              fs=None):
-    """Chebyshev-I order selection; Wn is the passband edge (scipy)."""
-    wp, ws, _, _, nat, _ = _ord_prepare(wp, ws, analog, fs)
+    """Chebyshev-I order selection; Wn is the passband edge (scipy) —
+    for bandstop, the edge-OPTIMIZED passband edges, like scipy."""
+    wp, ws, warp, _, nat, _ = _ord_prepare(
+        wp, ws, analog, fs, gpass, gstop, "cheby")
     N = int(math.ceil(math.acosh(math.sqrt(_gd(gstop) / _gd(gpass)))
                       / math.acosh(nat)))
-    wn = wp if analog or fs is None else wp * float(fs) / 2.0
+    wn = warp if analog else (2.0 / math.pi) * np.arctan(warp)
+    if fs is not None:
+        wn = wn * float(fs) / 2.0
     wn = float(wn[0]) if wn.size == 1 else wn
     return N, wn
 
@@ -756,7 +827,8 @@ def cheb1ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
 def cheb2ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
              fs=None):
     """Chebyshev-II order selection; Wn meets the passband spec exactly."""
-    wp, ws, warp, wars, nat, btype = _ord_prepare(wp, ws, analog, fs)
+    wp, ws, warp, wars, nat, btype = _ord_prepare(
+        wp, ws, analog, fs, gpass, gstop, "cheby")
     N = int(math.ceil(math.acosh(math.sqrt(_gd(gstop) / _gd(gpass)))
                       / math.acosh(nat)))
     # corner that just meets gpass at the passband edge
@@ -786,15 +858,19 @@ def cheb2ord(wp, ws, gpass: float, gstop: float, analog: bool = False,
 def ellipord(wp, ws, gpass: float, gstop: float, analog: bool = False,
              fs=None):
     """Elliptic order selection via the complete-elliptic-integral degree
-    equation; Wn is the passband edge (scipy)."""
-    wp, ws, _, _, nat, _ = _ord_prepare(wp, ws, analog, fs)
+    equation; Wn is the passband edge (scipy) — for bandstop, the
+    edge-OPTIMIZED passband edges, like scipy."""
+    wp, ws, warp, _, nat, _ = _ord_prepare(
+        wp, ws, analog, fs, gpass, gstop, "ellip")
     k = 1.0 / nat
     k1 = math.sqrt(_gd(gpass) / _gd(gstop))
     kc = math.sqrt(max(0.0, 1.0 - k * k))
     k1c = math.sqrt(max(0.0, 1.0 - k1 * k1))
     N = int(math.ceil(_ellipk(k) * _ellipk(k1c)
                       / (_ellipk(kc) * _ellipk(k1))))
-    wn = wp if analog or fs is None else wp * float(fs) / 2.0
+    wn = warp if analog else (2.0 / math.pi) * np.arctan(warp)
+    if fs is not None:
+        wn = wn * float(fs) / 2.0
     wn = float(wn[0]) if wn.size == 1 else wn
     return N, wn
 
@@ -1011,11 +1087,16 @@ def freqz(b, a=1, worN=512, whole: bool = False, fs=2 * math.pi,
             h = h[:N] / complex(a_arr[0])
             return w * fs / (2 * math.pi), h
         if not b_is_dev and a_scalar and n_fft >= nb and n_fft >= 32:
-            from .api import fft
-            hb = np.asarray(fft(np.asarray(b_arr, np.complex128),
-                                n=n_fft, axis=0, config=config))
-            h = hb[:N] / complex(a_arr[0])
-            return w * fs / (2 * math.pi), h
+            # host-numpy fast path only when it is actually exact: with
+            # x64 disabled the CPU transform runs in the float32 tier,
+            # which would silently break the module's f64 host contract
+            import jax as _jax
+            if _jax.config.jax_enable_x64:
+                from .api import fft
+                hb = np.asarray(fft(np.asarray(b_arr, np.complex128),
+                                    n=n_fft, axis=0, config=config))
+                h = hb[:N] / complex(a_arr[0])
+                return w * fs / (2 * math.pi), h
     else:
         w = np.asarray(worN, np.float64) * (2 * math.pi) / fs
 
