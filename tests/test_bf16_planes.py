@@ -123,3 +123,48 @@ def test_ignored_for_f64(rng):
         interpret=True, plane_dtype="bfloat16")))
     scale = max(1.0, float(np.max(np.abs(np.fft.fft(x)))))
     assert np.max(np.abs(got - np.fft.fft(x))) / scale < 1e-6
+
+
+class TestFastProfile:
+    """PlanConfig(profile="fast"): the documented one-switch speed tier
+    (bf16 planes + one-pass bf16 matmuls, ~8e-3 worst-case rel error)."""
+
+    def test_profile_fills_defaults_only(self):
+        c = PlanConfig(profile="fast")
+        assert c.precision == "default" and c.plane_dtype == "bfloat16"
+        c = PlanConfig(profile="fast", precision="highest")
+        assert c.precision == "highest" and c.plane_dtype == "bfloat16"
+        c = PlanConfig(profile="fast", plane_dtype="float32")
+        assert c.precision == "default" and c.plane_dtype == "float32"
+        c = PlanConfig()
+        assert c.precision == "bf16x3" and c.plane_dtype == "float32"
+        with pytest.raises(ValueError, match="profile"):
+            PlanConfig(profile="turbo")
+
+    @pytest.mark.parametrize("n", [128, 256, 1024])
+    def test_minor_axis_fast_profile(self, n, rng):
+        cfg = PlanConfig(profile="fast", interpret=True, backend="pallas")
+        x = (rng.standard_normal((16, n))
+             + 1j * rng.standard_normal((16, n))).astype(np.complex64)
+        got = np.asarray(tpufft.fft(x, config=cfg))
+        ref = np.fft.fft(x)
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 3e-2
+
+    def test_nd_fast_profile(self, rng):
+        cfg = PlanConfig(profile="fast", interpret=True, backend="pallas")
+        x = (rng.standard_normal((4, 64, 128))
+             + 1j * rng.standard_normal((4, 64, 128))).astype(np.complex64)
+        got = np.asarray(tpufft.fftn(x, axes=(1, 2), config=cfg))
+        ref = np.fft.fftn(x, axes=(1, 2))
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 3e-2
+
+    def test_f64_plan_ignores_profile(self, rng):
+        cfg = PlanConfig(profile="fast")
+        x = (rng.standard_normal((8, 64))
+             + 1j * rng.standard_normal((8, 64))).astype(np.complex128)
+        got = np.asarray(tpufft.fft(x, config=cfg))
+        ref = np.fft.fft(x)
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-12

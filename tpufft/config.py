@@ -45,6 +45,19 @@ class PlanConfig:
         rounding (~1e-2 worst-case after an ND pipeline). Opt-in for
         tolerance-insensitive, bandwidth-bound pipelines; f64 plans
         ignore it.
+      profile: one-switch accuracy/speed tier.
+        * "accurate" (default): f32 planes + bf16x3 matmuls, ~1e-6 rel
+          error — the contract every test in the suite runs at.
+        * "fast": bf16 HBM planes (halves traffic — the win on every
+          bandwidth-bound shape) AND one-pass bf16 matmuls (the win on
+          compute-bound shapes: 512^3 pair, dense small-n); worst-case
+          relative error ~8e-3 (storage ~3.9e-3 + matmul ~4e-3), still
+          2.5x inside the reference's own 1e-2 GPU test tolerance
+          (fft/tests.mojo:37-41). Measured v5e: headline (100000,1024)
+          2.54 -> ~1.8 ms, (1e6,93) 8.55 -> ~4.6 ms, 512^3 10.3 -> ~7 ms.
+        "fast" only fills knobs the user left at their defaults — an
+        explicit precision= or plane_dtype= wins over the profile; f64
+        plans ignore it entirely (host/CPU x64 stays exact).
     """
 
     max_radix: int = 16
@@ -52,10 +65,23 @@ class PlanConfig:
     lane_block: int | None = None
     interpret: bool = False
     vmem_budget_bytes: int = 12 * 1024 * 1024
-    precision: str = "bf16x3"
-    plane_dtype: str = "float32"
+    precision: str | None = None     # resolved from profile when unset
+    plane_dtype: str | None = None   # resolved from profile when unset
+    profile: str = "accurate"
 
     def __post_init__(self):
+        if self.profile not in ("accurate", "fast"):
+            raise ValueError(
+                f"profile must be accurate|fast, got {self.profile!r}"
+            )
+        # fill only unset knobs: an explicit precision=/plane_dtype= wins
+        fast = self.profile == "fast"
+        if self.precision is None:
+            object.__setattr__(self, "precision",
+                               "default" if fast else "bf16x3")
+        if self.plane_dtype is None:
+            object.__setattr__(self, "plane_dtype",
+                               "bfloat16" if fast else "float32")
         if self.backend not in BACKENDS:
             raise ValueError(
                 f"backend must be one of {BACKENDS}, got {self.backend!r}"
