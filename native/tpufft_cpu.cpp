@@ -16,9 +16,12 @@
 // C ABI only; bound from Python via ctypes (tpufft/native.py).
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cmath>
 #include <complex>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <unordered_map>
@@ -35,6 +38,47 @@
 namespace {
 
 constexpr double kTau = 6.283185307179586476925286766559;
+
+// Phase profiler (TPUFFT_PROF=1): nanosecond accumulators read/reset via
+// tpufft_prof_read(). Timer pairs sit at phase granularity (per batch
+// group / four-step pass), so the overhead is negligible when enabled and
+// a single branch when not.
+enum ProfPhase {
+  kProfGather = 0,
+  kProfTransform,
+  kProfScatter,
+  kProfFsP1Copy,
+  kProfFsP1Fft,
+  kProfFsP1Tw,
+  kProfFsP2Fft,
+  kProfFsP2Scatter,
+  kProfLGather,
+  kProfLTransform,
+  kProfLScatter,
+  kProfPhases
+};
+std::atomic<int64_t> g_prof_ns[kProfPhases];
+
+inline bool prof_on() {
+  static const bool on = std::getenv("TPUFFT_PROF") != nullptr;
+  return on;
+}
+
+struct ProfTimer {
+  int phase;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfTimer(int p) : phase(p) {
+    if (prof_on()) t0 = std::chrono::steady_clock::now();
+  }
+  ~ProfTimer() {
+    if (prof_on()) {
+      auto dt = std::chrono::steady_clock::now() - t0;
+      g_prof_ns[phase].fetch_add(
+          std::chrono::duration_cast<std::chrono::nanoseconds>(dt).count(),
+          std::memory_order_relaxed);
+    }
+  }
+};
 
 struct Stage {
   int64_t radix;
@@ -83,13 +127,14 @@ std::vector<int64_t> choose_radices(int64_t n, bool vec16,
   for (int64_t v : f) {
     if (v == 2) ++twos; else odd.push_back(v);
   }
-  for (;;) {
-    std::sort(odd.begin(), odd.end());
-    if (odd.size() < 2 || odd[0] * odd[1] > max_radix) break;
-    int64_t merged = odd[0] * odd[1];
-    odd.erase(odd.begin(), odd.begin() + 2);
-    odd.push_back(merged);
-  }
+  // 3s and 5s stay UNMERGED: the dedicated radix-3/5 butterflies cost
+  // ~r adds + O(1) muls per element where the generic load-once stage
+  // pays r complex MACs — a split [3,5] pair (8 cmac-equivalents over
+  // two L1-resident passes) beats one generic radix-15 (15 cmacs).
+  // Merging only ever produced 9/15 (the sole odd pairs <= 16), so no
+  // other composites are affected.
+  (void)max_radix;
+  std::sort(odd.begin(), odd.end());
   if (vec16) {
     // pick the 16/8/4/2 mix minimizing (stage count, radix-2 passes, #16s)
     int best_k = 0, best_cost = 1 << 30;
@@ -330,7 +375,7 @@ bool transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
     if ((int64_t)gscratch.size() < 2 * r * r) gscratch.resize(2 * r * r);
     T* wre_f = gscratch.data();
     T* wim_f = gscratch.data() + r * r;
-    if (r != 2 && r != 4 && r != 8) {
+    if (r != 2 && r != 3 && r != 4 && r != 5 && r != 8 && r != 16) {
       for (int64_t e = 0; e < r * r; ++e) {
         wre_f[e] = T(st.w_re[e]);
         wim_f[e] = T(st.w_im[e]);
@@ -488,6 +533,70 @@ bool transform_batch_v(const Plan& plan, T* a_re, T* a_im, T* b_re, T* b_im,
             }
           }
         }
+      } else if (r == 3) {
+        // radix-3: y0 = x0 + t1; y1/y2 = (x0 - t1/2) +- i*isign*s3*(x1-x2)
+        const T c3 = T(-0.5);
+        const T s3 = T(0.86602540378443864676);  // sin(2*pi/3)
+        for (int64_t q = 0; q < s; ++q) {
+          const Tv x0r = xin[q], x0i = yin[q];
+          const Tv x1r = xin[bstep + q], x1i = yin[bstep + q];
+          const Tv x2r = xin[2 * bstep + q], x2i = yin[2 * bstep + q];
+          const Tv t1r = x1r + x2r, t1i = x1i + x2i;
+          const Tv t2r = x0r + c3 * t1r, t2i = x0i + c3 * t1i;
+          const Tv t3r = -isign * s3 * (x1i - x2i);
+          const Tv t3i = isign * s3 * (x1r - x2r);
+          const Tv y0r = x0r + t1r, y0i = x0i + t1i;
+          const Tv y1r = t2r + t3r, y1i = t2i + t3i;
+          const Tv y2r = t2r - t3r, y2i = t2i - t3i;
+          xout[q] = twr[0] * y0r - twi[0] * y0i;
+          yout[q] = twr[0] * y0i + twi[0] * y0r;
+          xout[jstep + q] = twr[1] * y1r - twi[1] * y1i;
+          yout[jstep + q] = twr[1] * y1i + twi[1] * y1r;
+          xout[2 * jstep + q] = twr[2] * y2r - twi[2] * y2i;
+          yout[2 * jstep + q] = twr[2] * y2i + twi[2] * y2r;
+        }
+      } else if (r == 5) {
+        // radix-5 via the conjugate-pair split: y_{1,4} and y_{2,3} each
+        // share one (a, b) pair — 8 real muls per output pair where the
+        // generic stage pays 5 complex MACs per output
+        const T c51 = T(0.30901699437494742410);   // cos(2*pi/5)
+        const T c52 = T(-0.80901699437494742410);  // cos(4*pi/5)
+        const T s51 = T(0.95105651629515357212);   // sin(2*pi/5)
+        const T s52 = T(0.58778525229247312917);   // sin(4*pi/5)
+        for (int64_t q = 0; q < s; ++q) {
+          const Tv x0r = xin[q], x0i = yin[q];
+          const Tv x1r = xin[bstep + q], x1i = yin[bstep + q];
+          const Tv x2r = xin[2 * bstep + q], x2i = yin[2 * bstep + q];
+          const Tv x3r = xin[3 * bstep + q], x3i = yin[3 * bstep + q];
+          const Tv x4r = xin[4 * bstep + q], x4i = yin[4 * bstep + q];
+          const Tv t1r = x1r + x4r, t1i = x1i + x4i;
+          const Tv t2r = x2r + x3r, t2i = x2i + x3i;
+          const Tv t3r = x1r - x4r, t3i = x1i - x4i;
+          const Tv t4r = x2r - x3r, t4i = x2i - x3i;
+          const Tv y0r = x0r + t1r + t2r, y0i = x0i + t1i + t2i;
+          const Tv a1r = x0r + c51 * t1r + c52 * t2r;
+          const Tv a1i = x0i + c51 * t1i + c52 * t2i;
+          const Tv b1r = s51 * t3r + s52 * t4r;
+          const Tv b1i = s51 * t3i + s52 * t4i;
+          const Tv a2r = x0r + c52 * t1r + c51 * t2r;
+          const Tv a2i = x0i + c52 * t1i + c51 * t2i;
+          const Tv b2r = s52 * t3r - s51 * t4r;
+          const Tv b2i = s52 * t3i - s51 * t4i;
+          const Tv y1r = a1r - isign * b1i, y1i = a1i + isign * b1r;
+          const Tv y4r = a1r + isign * b1i, y4i = a1i - isign * b1r;
+          const Tv y2r = a2r - isign * b2i, y2i = a2i + isign * b2r;
+          const Tv y3r = a2r + isign * b2i, y3i = a2i - isign * b2r;
+          xout[q] = twr[0] * y0r - twi[0] * y0i;
+          yout[q] = twr[0] * y0i + twi[0] * y0r;
+          xout[jstep + q] = twr[1] * y1r - twi[1] * y1i;
+          yout[jstep + q] = twr[1] * y1i + twi[1] * y1r;
+          xout[2 * jstep + q] = twr[2] * y2r - twi[2] * y2i;
+          yout[2 * jstep + q] = twr[2] * y2i + twi[2] * y2r;
+          xout[3 * jstep + q] = twr[3] * y3r - twi[3] * y3i;
+          yout[3 * jstep + q] = twr[3] * y3i + twi[3] * y3r;
+          xout[4 * jstep + q] = twr[4] * y4r - twi[4] * y4i;
+          yout[4 * jstep + q] = twr[4] * y4i + twi[4] * y4r;
+        }
       } else {
         // generic radix: dense accumulation in SIMD-register accumulators
         for (int64_t q = 0; q < s; ++q) {
@@ -530,11 +639,23 @@ int64_t fourstep_split(int64_t n) {
   // vs 328 four-step on (100000,1024) — the per-column memcpy/twiddle
   // overhead beats the locality win); the four-step's value is extending
   // the lane-batch path past the scratch-bound 2048 ceiling.
-  if (n <= 2048 || n > 16384) return 0;
-  int64_t best = 0;
+  // TPUFFT_FS_MIN overrides the crossover for A/B profiling.
+  static const int64_t fs_min = [] {
+    const char* e = std::getenv("TPUFFT_FS_MIN");
+    return e ? std::atoll(e) : 2048;
+  }();
+  if (n <= fs_min || n > 16384) return 0;
+  int64_t best = 0, best16 = 0;
   for (int64_t d = 2; d * d <= n; ++d) {
-    if (n % d == 0) best = d;  // largest divisor <= sqrt(n)
+    if (n % d == 0) {
+      best = d;  // largest divisor <= sqrt(n)
+      if (d % 16 == 0) best16 = d;
+    }
   }
+  // Prefer a 16-multiple na even when a larger split exists: it unlocks
+  // the ka-major pass-2 (in-place region ping-pong, digit transpose fused
+  // into the caller's scatter) — worth more than a balanced split.
+  if (best16 != 0 && n / best16 <= 2048) best = best16;
   if (best == 0) return 0;                  // prime
   if (best > 2048 || n / best > 2048) return 0;
   return best;
@@ -568,14 +689,16 @@ const FourStepTw& fourstep_twiddle(int64_t na, int64_t nb, bool inverse) {
   return it->second;
 }
 
-// a/b: (n, V) scratch planes; result left in B (returns like
-// transform_batch_v's in-b flag, always true). tiny: 4 * max(na, nb) * V
-// elements of per-thread sub-transform scratch.
+// a/b: (n, V) scratch planes. Returns a result code: bit 0 = result in
+// the b planes; bit 1 = result is KA-MAJOR digit-permuted (element
+// kp*na+ka of the transform lives at position ka*nb+kp — the caller's
+// scatter applies the transpose, saving a full strided store pass).
+// tiny: 4 * max(na, nb) * V elements of per-thread sub-transform scratch.
 template <typename T, int V>
-bool transform_batch_fourstep(int64_t n, int64_t na, bool inverse,
-                              double scale, T* a_re, T* a_im, T* b_re,
-                              T* b_im, std::vector<T>& tiny,
-                              std::vector<T>& gscratch) {
+int transform_batch_fourstep(int64_t n, int64_t na, bool inverse,
+                             double scale, T* a_re, T* a_im, T* b_re,
+                             T* b_im, std::vector<T>& tiny,
+                             std::vector<T>& gscratch) {
   const int64_t nb = n / na;
   const Plan& plan_a = cached_plan(na, inverse, true);
   const Plan& plan_b = cached_plan(nb, inverse, true);
@@ -587,16 +710,27 @@ bool transform_batch_fourstep(int64_t n, int64_t na, bool inverse,
   T* u_re = tiny.data() + 2 * tlen;
   T* u_im = tiny.data() + 3 * tlen;
   // pass 1: columns p (rows {a * nb + p}), na-point, twiddle at store,
-  // in place (the row set per p is closed)
+  // in place (the row set per p is closed). NOTE a V*4-lane column-block
+  // variant (contiguous 4-column gathers + one wide transform) was tried
+  // and REVERTED: 64-lane GCC vectors spill the radix-16 body's register
+  // file (19 vs 8.5 ms on (100, 16384)).
   for (int64_t p = 0; p < nb; ++p) {
-    for (int64_t a = 0; a < na; ++a) {
-      std::memcpy(t_re + a * V, a_re + (a * nb + p) * V, sizeof(T) * V);
-      std::memcpy(t_im + a * V, a_im + (a * nb + p) * V, sizeof(T) * V);
+    {
+      ProfTimer pt(kProfFsP1Copy);
+      for (int64_t a = 0; a < na; ++a) {
+        std::memcpy(t_re + a * V, a_re + (a * nb + p) * V, sizeof(T) * V);
+        std::memcpy(t_im + a * V, a_im + (a * nb + p) * V, sizeof(T) * V);
+      }
     }
-    const bool in_u = transform_batch_v<T, V>(plan_a, t_re, t_im, u_re,
-                                              u_im, 1.0, gscratch);
+    bool in_u;
+    {
+      ProfTimer pt(kProfFsP1Fft);
+      in_u = transform_batch_v<T, V>(plan_a, t_re, t_im, u_re, u_im, 1.0,
+                                     gscratch);
+    }
     const T* sr0 = in_u ? u_re : t_re;
     const T* si0 = in_u ? u_im : t_im;
+    ProfTimer pt(kProfFsP1Tw);
     for (int64_t ka = 0; ka < na; ++ka) {
       const T wr = T(tw.re[ka * nb + p]);
       const T wi = T(tw.im[ka * nb + p]);
@@ -610,21 +744,41 @@ bool transform_batch_fourstep(int64_t n, int64_t na, bool inverse,
       }
     }
   }
-  // pass 2: contiguous blocks [ka * nb, (ka+1) * nb), nb-point with the
-  // norm scale, natural-order strided store into b
+  // pass 2, ka-major fast path (na % 16 == 0, required so the caller's
+  // 16-wide vector scatter can absorb the digit transpose): each block
+  // transforms IN PLACE, ping-ponging its own [ka*nb, (ka+1)*nb) region
+  // of a against the same region of b — no tiny copy, no strided store.
+  if (na % 16 == 0) {
+    bool in_b = false;
+    ProfTimer pt(kProfFsP2Fft);
+    for (int64_t ka = 0; ka < na; ++ka) {
+      const int64_t off = ka * nb * V;
+      in_b = transform_batch_v<T, V>(plan_b, a_re + off, a_im + off,
+                                     b_re + off, b_im + off, scale,
+                                     gscratch);
+    }
+    return in_b ? 3 : 2;
+  }
+  // pass 2, general: contiguous blocks [ka * nb, (ka+1) * nb), nb-point
+  // with the norm scale, natural-order strided store into b
   for (int64_t ka = 0; ka < na; ++ka) {
-    std::memcpy(t_re, a_re + ka * nb * V, sizeof(T) * nb * V);
-    std::memcpy(t_im, a_im + ka * nb * V, sizeof(T) * nb * V);
-    const bool in_u = transform_batch_v<T, V>(plan_b, t_re, t_im, u_re,
-                                              u_im, scale, gscratch);
+    bool in_u;
+    {
+      ProfTimer pt(kProfFsP2Fft);
+      std::memcpy(t_re, a_re + ka * nb * V, sizeof(T) * nb * V);
+      std::memcpy(t_im, a_im + ka * nb * V, sizeof(T) * nb * V);
+      in_u = transform_batch_v<T, V>(plan_b, t_re, t_im, u_re, u_im, scale,
+                                     gscratch);
+    }
     const T* sr0 = in_u ? u_re : t_re;
     const T* si0 = in_u ? u_im : t_im;
+    ProfTimer pt(kProfFsP2Scatter);
     for (int64_t kp = 0; kp < nb; ++kp) {
       std::memcpy(b_re + (kp * na + ka) * V, sr0 + kp * V, sizeof(T) * V);
       std::memcpy(b_im + (kp * na + ka) * V, si0 + kp * V, sizeof(T) * V);
     }
   }
-  return true;
+  return 1;
 }
 
 // In-register 16x16 f32 transpose: 4 rounds of two-source lane shuffles
@@ -754,6 +908,7 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
           }
         }
       };
+      ProfTimer* gt = prof_on() ? new ProfTimer(kProfGather) : nullptr;
       if constexpr (sizeof(T) == 4) {
         if (use_vec) {
           typedef typename VecOf<T, V>::type Tv;
@@ -809,26 +964,39 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
       } else {
         gather_scalar(0);
       }
+      delete gt;
       const T* res_re = sa_re.data();
       const T* res_im = sa_im.data();
-      const bool res_in_b =
-          na_fs ? transform_batch_fourstep<T, V>(
-                      n, na_fs, inverse, scale, sa_re.data(), sa_im.data(),
-                      sb_re.data(), sb_im.data(), tiny, gscratch)
-                : transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(),
-                                          sb_re.data(), sb_im.data(), scale,
-                                          gscratch);
-      if (res_in_b) {  // odd stage count / four-step: result in b
+      int res_code;
+      {
+        ProfTimer pt(kProfTransform);
+        res_code =
+            na_fs ? transform_batch_fourstep<T, V>(
+                        n, na_fs, inverse, scale, sa_re.data(), sa_im.data(),
+                        sb_re.data(), sb_im.data(), tiny, gscratch)
+                  : (transform_batch_v<T, V>(plan, sa_re.data(),
+                                             sa_im.data(), sb_re.data(),
+                                             sb_im.data(), scale, gscratch)
+                         ? 1
+                         : 0);
+      }
+      if (res_code & 1) {  // odd stage count / four-step: result in b
         res_re = sb_re.data();
         res_im = sb_im.data();
       }
+      // ka-major four-step result: transform element i = kp*na+ka sits at
+      // res position ka*nb+kp — fold the digit transpose into the scatter
+      const bool dperm = res_code >= 2;
+      const int64_t pna = na_fs, pnb = na_fs ? n / na_fs : 0;
+      ProfTimer st(kProfScatter);
       const auto scatter_scalar = [&](int64_t i0) {
         for (int64_t v = 0; v < V; ++v) {
           T* wr = out_re + (g * V + v) * dist_out * ES_OUT;
           T* wi = out_im + (g * V + v) * dist_out * ES_OUT;
           for (int64_t i = i0; i < n; ++i) {
-            wr[i * ES_OUT] = res_re[i * V + v];
-            wi[i * ES_OUT] = res_im[i * V + v];
+            const int64_t si = dperm ? (i % pna) * pnb + i / pna : i;
+            wr[i * ES_OUT] = res_re[si * V + v];
+            wi[i * ES_OUT] = res_im[si * V + v];
           }
         }
       };
@@ -859,12 +1027,18 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
 #endif
           if constexpr (ES_OUT == 1) {
             for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+              // digit-permuted source: the 16 consecutive outputs i0+j
+              // share kp (pna % 16 == 0 guarantees it) and step ka by 1,
+              // i.e. source positions step by pnb — a strided 16-gather
+              // absorbed by the transpose the scatter does anyway
+              const int64_t sb = dperm ? (i0 % pna) * pnb + i0 / pna : i0;
+              const int64_t ss = dperm ? pnb : 1;
               for (int pl = 0; pl < 2; ++pl) {
                 const T* src = pl ? res_im : res_re;
                 T* dst = pl ? dst_im : dst_re;
                 Tv blk[16];
                 for (int j = 0; j < 16; ++j)
-                  blk[j] = *(const Tv*)(src + (i0 + j) * V);
+                  blk[j] = *(const Tv*)(src + (sb + j * ss) * V);
                 transpose16(blk);
 #if defined(__AVX512F__)
                 if (stream) {
@@ -886,10 +1060,12 @@ int fft_batched_v(const T* in_re, const T* in_im, T* out_re, T* out_im,
             const __m512i vl = _mm512_load_si512(kIntLo);
             const __m512i vh = _mm512_load_si512(kIntHi);
             for (int64_t i0 = 0; i0 < nb; i0 += 16) {
+              const int64_t sb = dperm ? (i0 % pna) * pnb + i0 / pna : i0;
+              const int64_t ss = dperm ? pnb : 1;
               Tv blkR[16], blkI[16];
               for (int j = 0; j < 16; ++j) {
-                blkR[j] = *(const Tv*)(res_re + (i0 + j) * V);
-                blkI[j] = *(const Tv*)(res_im + (i0 + j) * V);
+                blkR[j] = *(const Tv*)(res_re + (sb + j * ss) * V);
+                blkI[j] = *(const Tv*)(res_im + (sb + j * ss) * V);
               }
               transpose16(blkR);
               transpose16(blkI);
@@ -986,28 +1162,54 @@ int fft_lines_batched_v(const T* in_re, const T* in_im, T* out_re,
     for (int64_t g = 0; g < groups; ++g) {
       const T* src_re = in_re + g * V;
       const T* src_im = in_im + g * V;
-      for (int64_t i = 0; i < n; ++i) {
-        std::memcpy(&sa_re[i * V], src_re + i * stride, sizeof(T) * V);
-        std::memcpy(&sa_im[i * V], src_im + i * stride, sizeof(T) * V);
+      {
+        ProfTimer pt(kProfLGather);
+        for (int64_t i = 0; i < n; ++i) {
+          std::memcpy(&sa_re[i * V], src_re + i * stride, sizeof(T) * V);
+          std::memcpy(&sa_im[i * V], src_im + i * stride, sizeof(T) * V);
+        }
       }
       // long n (> the scratch-bound direct ceiling): the same L1-resident
       // four-step the contiguous path uses — without it, non-minor axes
       // like 3840/4320 fell to the per-line scalar path (measured 4x
       // slower than PocketFFT on (1, 3840, 2160))
-      const bool in_b =
-          na_fs ? transform_batch_fourstep<T, V>(
-                      n, na_fs, inverse, scale, sa_re.data(), sa_im.data(),
-                      sb_re.data(), sb_im.data(), tiny, gscratch)
-                : transform_batch_v<T, V>(plan, sa_re.data(), sa_im.data(),
-                                          sb_re.data(), sb_im.data(), scale,
-                                          gscratch);
-      const T* res_re = in_b ? sb_re.data() : sa_re.data();
-      const T* res_im = in_b ? sb_im.data() : sa_im.data();
+      int res_code;
+      {
+        ProfTimer pt(kProfLTransform);
+        res_code =
+            na_fs ? transform_batch_fourstep<T, V>(
+                        n, na_fs, inverse, scale, sa_re.data(), sa_im.data(),
+                        sb_re.data(), sb_im.data(), tiny, gscratch)
+                  : (transform_batch_v<T, V>(plan, sa_re.data(),
+                                             sa_im.data(), sb_re.data(),
+                                             sb_im.data(), scale, gscratch)
+                         ? 1
+                         : 0);
+      }
+      const T* res_re = (res_code & 1) ? sb_re.data() : sa_re.data();
+      const T* res_im = (res_code & 1) ? sb_im.data() : sa_im.data();
       T* dst_re = out_re + g * V;
       T* dst_im = out_im + g * V;
-      for (int64_t i = 0; i < n; ++i) {
-        std::memcpy(dst_re + i * stride, res_re + i * V, sizeof(T) * V);
-        std::memcpy(dst_im + i * stride, res_im + i * V, sizeof(T) * V);
+      ProfTimer st(kProfLScatter);
+      if (res_code >= 2) {
+        // ka-major four-step result: iterate (kp, ka) so the digit
+        // transpose rides the scatter's existing per-line copies
+        const int64_t pna = na_fs, pnb = n / na_fs;
+        int64_t i = 0;
+        for (int64_t kp = 0; kp < pnb; ++kp) {
+          for (int64_t ka = 0; ka < pna; ++ka, ++i) {
+            const int64_t si = ka * pnb + kp;
+            std::memcpy(dst_re + i * stride, res_re + si * V,
+                        sizeof(T) * V);
+            std::memcpy(dst_im + i * stride, res_im + si * V,
+                        sizeof(T) * V);
+          }
+        }
+      } else {
+        for (int64_t i = 0; i < n; ++i) {
+          std::memcpy(dst_re + i * stride, res_re + i * V, sizeof(T) * V);
+          std::memcpy(dst_im + i * stride, res_im + i * V, sizeof(T) * V);
+        }
       }
     }
     // remainder lines: per-line scalar path
@@ -1388,6 +1590,16 @@ int tpufft_fft_nd_skipminor_f64(double* re, double* im, const int64_t* dims,
                                 int nthreads) {
   return fft_nd<double>(re, im, re, im, dims, rank, inverse != 0, scale,
                         nthreads, /*skip_minor=*/true);
+}
+
+int tpufft_prof_read(double* out_ms, int k) {
+  // Copy up to k phase accumulators (milliseconds) and reset them.
+  // Phase order: gather, transform, scatter, fs-p1-copy, fs-p1-fft,
+  // fs-p1-tw, fs-p2-fft, fs-p2-scatter. Returns the phase count.
+  for (int i = 0; i < k && i < kProfPhases; ++i) {
+    out_ms[i] = g_prof_ns[i].exchange(0, std::memory_order_relaxed) * 1e-6;
+  }
+  return kProfPhases;
 }
 
 int tpufft_num_threads() {
