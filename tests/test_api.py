@@ -358,3 +358,91 @@ class TestTransformMajorLayout:
         sc = p.pack(x)
         assert sc.shape == (8, 16)
         assert p.unpack(sc) is sc
+
+
+class TestLaneFusedLayout:
+    """layout='lane-fused' plans: ONE real array (..., n1, n2, 2*n3) with
+    lanes [re|im] — dense aligned IO for the fused cube kernel."""
+
+    def _mk(self, shape, rng):
+        return (rng.standard_normal(shape)
+                + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    def test_kernel_path_matches_numpy(self, rng):
+        shape = (4, 16, 16, 64)
+        x = self._mk(shape, rng)
+        p = tpufft.plan_fft(shape, axes=(-3, -2, -1), layout="lane-fused",
+                            config=tpufft.PlanConfig(interpret=True))
+        st = p.pack(x)
+        assert st.shape == shape[:-1] + (2 * shape[-1],)
+        got = p.unpack(np.asarray(p(st)))
+        ref = np.fft.fftn(x, axes=(-3, -2, -1))
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+    def test_fallback_path_and_roundtrip(self, rng):
+        shape = (2, 16, 16, 64)
+        x = self._mk(shape, rng)
+        fwd = tpufft.plan_fft(shape, axes=(-3, -2, -1), layout="lane-fused")
+        inv = tpufft.plan_fft(shape, axes=(-3, -2, -1), layout="lane-fused",
+                              inverse=True)
+        st = fwd.pack(x)
+        back = inv.unpack(np.asarray(inv(fwd(st))))
+        assert np.max(np.abs(back - x)) < 1e-4
+
+    def test_unpack_device_gives_splitcomplex(self, rng):
+        shape = (2, 8, 8, 64)
+        x = self._mk(shape, rng)
+        p = tpufft.plan_fft(shape, axes=(-3, -2, -1), layout="lane-fused")
+        out = p(p.pack(x))
+        sc = p.unpack(out)
+        assert isinstance(sc, tpufft.SplitComplex) and sc.shape == shape
+
+    def test_grad_through_fused_kernel(self, rng):
+        import jax
+        import jax.numpy as jnp
+        shape = (1, 8, 8, 64)
+        p = tpufft.plan_fft(shape, axes=(-3, -2, -1), layout="lane-fused",
+                            config=tpufft.PlanConfig(interpret=True))
+        st = p.pack(self._mk(shape, rng))
+        g = jax.grad(lambda s: jnp.sum(p._fn_fused(s) ** 2))(st)
+        assert g.shape == st.shape
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    @pytest.mark.parametrize("tier", ["pair", "minor"])
+    def test_sub_cube_tiers(self, rng, monkeypatch, tier):
+        """Cube gate closed (e.g. 128^3 working set): the pair tier runs
+        the last two axes in one pass; with the pair gate also closed the
+        minor tier runs per-axis passes (inner, inner-m1, block-complex
+        minor)."""
+        from tpufft.kernels import mxu_fft
+        from tpufft import execute
+        monkeypatch.setattr(mxu_fft, "cube_supported",
+                            lambda *a, **k: False)
+        monkeypatch.setattr(execute, "cube_supported",
+                            lambda *a, **k: False)
+        if tier == "minor":
+            monkeypatch.setattr(mxu_fft, "pair_fused_supported",
+                                lambda *a, **k: False)
+        # distinct shapes: plans (and their traced executables) are
+        # lru-cached, so tiers must not share a plan signature
+        shape = (2, 16, 8, 64) if tier == "pair" else (2, 8, 16, 64)
+        x = self._mk(shape, rng)
+        p = tpufft.plan_fft(shape, axes=(-3, -2, -1), layout="lane-fused",
+                            config=tpufft.PlanConfig(interpret=True))
+        got = p.unpack(np.asarray(p(p.pack(x))))
+        ref = np.fft.fftn(x, axes=(-3, -2, -1))
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+    def test_rejects_bad_specs(self):
+        with pytest.raises(ValueError, match="last three"):
+            tpufft.plan_fft((8, 8, 8, 64), axes=(0, 1, 2),
+                            layout="lane-fused")
+        with pytest.raises(ValueError, match="without"):
+            tpufft.plan_fft((8, 8, 64), axes=(0, 1, 2), s=(8, 8, 128),
+                            layout="lane-fused")
+        p = tpufft.plan_fft((8, 8, 8, 64), axes=(-3, -2, -1),
+                            layout="lane-fused")
+        with pytest.raises(ValueError, match="fused shape"):
+            p(np.zeros((8, 8, 8, 64), np.float32))

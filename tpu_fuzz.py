@@ -8,7 +8,8 @@ lengths + 2 big-pass shapes + 3 fused-pad cases + 3 fused-cube shapes
 + 5 DCT/DST cases + 2 fht cases + 3 czt cases + 5 spectral pipelines
 (incl. the fused overlapped-frame STFT, fused istft OLA and fused
 Welch-accumulator kernels)
-+ 3 segment-group + 3 multirate/IIR + 2 Bluestein primes = 87.
++ 3 lane-fused-layout plans
++ 3 segment-group + 3 multirate/IIR + 2 Bluestein primes = 90.
 The script counts checks itself and the RESULT line prints the
 authoritative passed/total; the last committed full-pass RESULT is in
 FUZZ_RESULT.txt."""
@@ -124,6 +125,23 @@ for shape in ((7, 64, 64, 64), (3, 16, 32, 128), (2, 8, 64, 64, 64)):
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"cube {shape}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
           flush=True)
+    _T += 1
+    fails += err >= 1e-3
+
+# lane-fused STORAGE plans (layout='lane-fused': ONE real array with
+# lanes [re|im]; dense aligned DMA). Three dispatch tiers exercised:
+# whole-cube, pair (cube gate closed at 128^3), and 4-axis leading-pass
+for shape in ((4, 64, 64, 64), (2, 128, 128, 128), (2, 16, 16, 16, 64)):
+    axes = tuple(range(1, len(shape)))
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    p = tpufft.plan_fft(shape, np.complex64, axes=axes,
+                        layout="lane-fused")
+    got = p.unpack(np.asarray(p(p.pack(x))))
+    ref = np.fft.fftn(x, axes=axes)
+    err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+    print(f"lane-fused {shape}: e={err:.1e} "
+          f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
     _T += 1
     fails += err >= 1e-3
 

@@ -163,6 +163,11 @@ class Plan:
         """Jitted split-plane executable: (re, im|None) -> (re, im|None)."""
         return jax.jit(functools.partial(_apply_plan_split, plan=self))
 
+    @functools.cached_property
+    def _fn_fused(self):
+        """Jitted lane-fused executable: st -> st (layout='lane-fused')."""
+        return jax.jit(functools.partial(_apply_plan_fused, plan=self))
+
     def __call__(self, x):
         """Execute the plan.
 
@@ -174,6 +179,19 @@ class Plan:
         * numpy in -> numpy complex out (host convenience form);
         * ``c2r`` returns the real plane.
         """
+        if self.layout == "lane-fused":
+            xn = x if isinstance(x, jax.Array) else jnp.asarray(np.asarray(x))
+            expect = self.shape[:-1] + (2 * self.shape[-1],)
+            if tuple(xn.shape) != expect:
+                raise ValueError(
+                    f"lane-fused plan expects fused shape {expect} "
+                    f"(lanes [re|im]), got {tuple(xn.shape)}; use "
+                    "Plan.pack() to convert")
+            rdt = real_dtype_for(self.dtype)
+            if (self.config.plane_dtype == "bfloat16"
+                    and jnp.dtype(rdt) == jnp.dtype(jnp.float32)):
+                rdt = jnp.bfloat16
+            return self._fn_fused(xn.astype(rdt))
         split_io = isinstance(x, SplitComplex)
         device_in = isinstance(x, jax.Array)
         ar, ai = self._split_input(x)
@@ -253,11 +271,27 @@ class Plan:
     # pack once at pipeline entry (host-side when the data starts on host),
     # keep planes in plan layout across every call, unpack once at exit.
 
-    def pack(self, x) -> SplitComplex:
+    def pack(self, x):
         """Convert a LOGICAL-layout array to this plan's physical layout.
 
-        Host numpy input transposes on host (the device never sees the
-        misaligned layout); device input pays one on-device repack."""
+        Host numpy input converts on host (the device never sees the
+        unfavourable layout); device input pays one on-device repack.
+        transform-major -> SplitComplex with the transform axis first;
+        lane-fused -> ONE real array (..., n1, n2, 2*n3), lanes [re|im]."""
+        if self.layout == "lane-fused":
+            if isinstance(x, SplitComplex):
+                return jnp.concatenate([x.re, x.im], axis=-1)
+            if isinstance(x, jax.Array):
+                re = jnp.real(x)
+                im = (jnp.imag(x) if jnp.iscomplexobj(x)
+                      else jnp.zeros_like(re))
+                return jnp.concatenate([re, im], axis=-1)
+            xn = np.asarray(x)
+            rdt = np.float32
+            re = np.asarray(xn.real, rdt)
+            im = (np.asarray(xn.imag, rdt) if np.iscomplexobj(xn)
+                  else np.zeros_like(re))
+            return jnp.asarray(np.concatenate([re, im], axis=-1))
         if self.layout != "transform-major":
             return SplitComplex.from_array(x)
         ax = self.logical_axis
@@ -281,8 +315,20 @@ class Plan:
     def unpack(self, y):
         """Convert a plan-layout result back to the LOGICAL layout.
 
-        ``SplitComplex`` in -> ``SplitComplex`` out (one on-device
-        moveaxis); numpy complex otherwise (combined on host)."""
+        transform-major: ``SplitComplex`` in -> ``SplitComplex`` out (one
+        on-device moveaxis); numpy complex otherwise (combined on host).
+        lane-fused: fused array -> ``SplitComplex`` (device, two lane
+        slices) or numpy complex (host)."""
+        if self.layout == "lane-fused":
+            n3 = self.lengths[-1]
+            if isinstance(y, jax.Array):
+                re, im = y[..., :n3], y[..., n3:]
+                if jnp.dtype(re.dtype) == jnp.dtype(jnp.bfloat16):
+                    re, im = (re.astype(jnp.float32),
+                              im.astype(jnp.float32))
+                return SplitComplex(re, im)
+            yn = np.asarray(y)
+            return yn[..., :n3] + 1j * yn[..., n3:]
         if self.layout != "transform-major":
             return y
         ax = self.logical_axis
@@ -291,6 +337,61 @@ class Plan:
                                 jnp.moveaxis(y.im, 0, ax))
         yn = y if isinstance(y, np.ndarray) else np.asarray(y)
         return np.ascontiguousarray(np.moveaxis(yn, 0, ax))
+
+
+def _apply_plan_fused(st, *, plan: "Plan"):
+    """Trace-time body for layout='lane-fused' plans: one array whose
+    lanes hold [re(k) | im(k)] for the minor transform axis. On TPU the
+    trailing 2*n3 dim is lane-aligned, so the cube kernel reads dense
+    full-bandwidth tiles (the split-plane minor-64 layout is stored
+    128-padded and reads at a fraction of peak). Falls back to the
+    split-plane pipeline (lane slice / re-concat) off the kernel path."""
+    from .kernels import mxu_fft as _mxu
+
+    n3 = plan.lengths[-1]
+    scale = _norm_scale(plan.norm, math.prod(plan.lengths), plan.inverse)
+    cfg = plan.config
+    kernel_ok = cfg.backend in ("auto", "pallas") and (
+        cfg.interpret or _execute._is_tpu_backend())
+    lead = plan.axes[:-3]
+    l2 = 2 * n3
+    if (kernel_ok
+            and _execute.cube_supported(*plan.lengths[-3:], st.dtype, cfg)
+            and all(_mxu.inner_fused_supported(plan.lengths[i], st.dtype,
+                                               cfg, l2)
+                    for i in range(len(lead)))):
+        for i, a in enumerate(lead):
+            st = _execute.fft_axis_fused(
+                st, a, inverse=plan.inverse, scale=1.0, config=cfg)
+        return _execute.fft_cube_fused(
+            st, inverse=plan.inverse, scale=scale, config=plan.config)
+    if (kernel_ok
+            and _mxu.pair_fused_supported(plan.lengths[-2], n3, st.dtype,
+                                          cfg)
+            and all(_mxu.inner_fused_supported(plan.lengths[i], st.dtype,
+                                               cfg, l2)
+                    for i in range(len(plan.axes) - 2))):
+        # cube working set over VMEM (e.g. 128^3): last two axes in one
+        # pair pass, leading axes as inner passes — every pass still
+        # reads dense lane-aligned tiles, no plane pair
+        for a in plan.axes[:-2]:
+            st = _execute.fft_axis_fused(
+                st, a, inverse=plan.inverse, scale=1.0, config=cfg)
+        return _execute.fft_pair_fused(
+            st, inverse=plan.inverse, scale=scale, config=cfg)
+    if (kernel_ok
+            and _mxu.minor_fused_supported(n3, st.dtype, cfg)
+            and all(_mxu.inner_fused_supported(plan.lengths[i], st.dtype,
+                                               cfg, l2)
+                    for i in range(len(plan.axes) - 1))):
+        # pair tile over VMEM too: per-axis fused passes
+        for a in plan.axes[:-1]:
+            st = _execute.fft_axis_fused(
+                st, a, inverse=plan.inverse, scale=1.0, config=cfg)
+        return _execute.fft_minor_fused(
+            st, inverse=plan.inverse, scale=scale, config=cfg)
+    outr, outi = _apply_plan_split(st[..., :n3], st[..., n3:], plan=plan)
+    return jnp.concatenate([outr, outi], axis=-1)
 
 
 def _apply_plan_split(ar, ai, *, plan: Plan):
@@ -700,9 +801,26 @@ def plan_fft(
     axes = _canon_axes(len(shape), axes)
     if isinstance(s, str):
         s = (s,) * len(axes)
-    if layout not in ("natural", "transform-major"):
+    if layout not in ("natural", "transform-major", "lane-fused"):
         raise ValueError(
-            f"layout must be 'natural' or 'transform-major', got {layout!r}")
+            "layout must be 'natural', 'transform-major' or 'lane-fused', "
+            f"got {layout!r}")
+    if layout == "lane-fused":
+        if kind != "c2c" or len(axes) < 3 or s is not None:
+            raise ValueError(
+                "layout='lane-fused' supports >=3-axis c2c plans without "
+                "resize (s)")
+        if (len(shape) - 3 not in axes or len(shape) - 2 not in axes
+                or len(shape) - 1 not in axes):
+            raise ValueError(
+                "layout='lane-fused' requires the transform axes to "
+                f"include the last three, got {axes}")
+        lengths = tuple(shape[a] for a in axes)
+        bases = _resolve_bases(lengths, bases, cfg)
+        return _cached_plan(
+            shape, str(jnp.dtype(dtype)), axes, lengths, bases, inverse,
+            norm, kind, cfg, layout, shape, None,
+        )
     if layout == "transform-major":
         if kind != "c2c" or len(axes) != 1:
             raise ValueError(

@@ -541,6 +541,144 @@ def fft_cube_last(
 
 
 @functools.lru_cache(maxsize=None)
+def _fft_cube_fused_diff(inverse: bool, scale: float, config: PlanConfig):
+    """custom-vjp wrapper for the fused-STORAGE cube kernel (plan
+    layout='lane-fused'). The fused array is the stacked [re | im] real
+    vector, on which the DFT is the real matrix A = [[Fr, -Fi], [Fi, Fr]];
+    F symmetric gives A^T = the opposite-sign transform, same scale."""
+
+    @jax.custom_vjp
+    def f(st):
+        return mxu_fft.fft_cube_fused_pallas(
+            st, inverse=inverse, scale=scale, config=config
+        )
+
+    def fwd(st):
+        return f(st), None
+
+    def bwd(_, g):
+        return (_fft_cube_fused_diff(not inverse, scale, config)(g),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fft_cube_fused(
+    st: jnp.ndarray,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> jnp.ndarray:
+    """Fused-storage transform of the last three logical axes of a
+    lane-fused (..., n1, n2, 2*n3) array (differentiable)."""
+    return _fft_cube_fused_diff(bool(inverse), float(scale), config)(st)
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_pair_fused_diff(inverse: bool, scale: float, config: PlanConfig):
+    """custom-vjp wrapper for the fused-storage pair pass (both real
+    matrices transpose to the opposite-sign transform, same scale)."""
+
+    @jax.custom_vjp
+    def f(st):
+        return mxu_fft.fft_pair_fused_pallas(
+            st, inverse=inverse, scale=scale, config=config
+        )
+
+    def fwd(st):
+        return f(st), None
+
+    def bwd(_, g):
+        return (_fft_pair_fused_diff(not inverse, scale, config)(g),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fft_pair_fused(
+    st: jnp.ndarray,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> jnp.ndarray:
+    """Fused-storage transform of the last two logical axes of a
+    lane-fused (..., n2, 2*n3) array (differentiable)."""
+    return _fft_pair_fused_diff(bool(inverse), float(scale), config)(st)
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_minor_fused_diff(inverse: bool, scale: float, config: PlanConfig):
+    """custom-vjp wrapper for the fused-storage minor pass (the block
+    matrix [[Wr, Wi], [-Wi, Wr]] is transposed by flipping the transform
+    sign, same scale)."""
+
+    @jax.custom_vjp
+    def f(st):
+        return mxu_fft.fft_minor_fused_pallas(
+            st, inverse=inverse, scale=scale, config=config
+        )
+
+    def fwd(st):
+        return f(st), None
+
+    def bwd(_, g):
+        return (_fft_minor_fused_diff(not inverse, scale, config)(g),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fft_minor_fused(
+    st: jnp.ndarray,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> jnp.ndarray:
+    """Fused-storage transform of the minor logical axis of a lane-fused
+    (..., 2*n) array (differentiable)."""
+    return _fft_minor_fused_diff(bool(inverse), float(scale), config)(st)
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_axis_fused_diff(axis: int, inverse: bool, scale: float,
+                         config: PlanConfig):
+    """custom-vjp wrapper for the fused-storage leading-axis pass (same
+    opposite-sign transpose identity)."""
+
+    @jax.custom_vjp
+    def f(st):
+        return mxu_fft.fft_axis_fused_pallas(
+            st, axis, inverse=inverse, scale=scale, config=config
+        )
+
+    def fwd(st):
+        return f(st), None
+
+    def bwd(_, g):
+        return (_fft_axis_fused_diff(axis, not inverse, scale, config)(g),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fft_axis_fused(
+    st: jnp.ndarray,
+    axis: int,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> jnp.ndarray:
+    """Fused-storage transform along a leading logical axis
+    (differentiable)."""
+    return _fft_axis_fused_diff(int(axis), bool(inverse), float(scale),
+                                config)(st)
+
+
+@functools.lru_cache(maxsize=None)
 def _fft_axis_diff(axis: int, bases: tuple[int, ...], inverse: bool,
                    scale: float, config: PlanConfig):
     """custom-vjp wrapper per static config.

@@ -1852,6 +1852,26 @@ def cube_supported(n1: int, n2: int, n3: int, dtype, cfg: PlanConfig) -> bool:
     return (_CUBE_PLANES + 8) * n1 * n2 * n3 * 4 <= _BIG_VMEM_LIMIT
 
 
+def _axis_dim0_fused(wr_pack, wi_pack, st, precision: str):
+    """Complex DFT over dim 0 of a lane-fused (n, m, 2*l) tile.
+
+    ``st`` holds ``[re | im]`` on its lane halves; the complex combine is
+    ``P + sign * roll(Q, l)`` with P/Q the Wr/Wi real contractions and
+    sign = -1 on the re half (the lane half-swap turns -Wi*im / +Wi*re
+    into one rolled add)."""
+    l2 = st.shape[-1]
+    if precision == "bf16x3":
+        sth, stl = _split_bf16(st)
+    else:
+        sth, stl = st, None
+    p = _rdot3(wr_pack, precision, sth, stl)
+    q = _rdot3(wi_pack, precision, sth, stl)
+    qs = jnp.roll(q, l2 // 2, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, qs.shape, qs.ndim - 1)
+    sign = jnp.where(lane < l2 // 2, -1.0, 1.0).astype(jnp.float32)
+    return p + qs * sign
+
+
 @functools.lru_cache(maxsize=None)
 def _build_3d(n1: int, n2: int, n3: int, inverse: bool, scale: float,
               precision: str, interpret: bool, storage: str = "f32",
@@ -1885,18 +1905,7 @@ def _build_3d(n1: int, n2: int, n3: int, inverse: bool, scale: float,
     bf3 = precision == "bf16x3"
 
     def axis_dim0(wr_pack, wi_pack, st):
-        """Complex DFT over dim 0 of a lane-fused (n, m, 2*l) tile."""
-        l2 = st.shape[-1]
-        if bf3:
-            sth, stl = _split_bf16(st)
-        else:
-            sth, stl = st, None
-        p = _rdot3(wr_pack, precision, sth, stl)
-        q = _rdot3(wi_pack, precision, sth, stl)
-        qs = jnp.roll(q, l2 // 2, axis=-1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, qs.shape, qs.ndim - 1)
-        sign = jnp.where(lane < l2 // 2, -1.0, 1.0).astype(jnp.float32)
-        return p + qs * sign
+        return _axis_dim0_fused(wr_pack, wi_pack, st, precision)
 
     def kernel(*refs):
         packs = [tuple(r[:] for r in refs[i * n_per:(i + 1) * n_per])
@@ -1972,6 +1981,473 @@ def fft_cube_pallas(
                     bool(config.interpret), storage_of(ar.dtype), int(pblk))
     outr, outi = run(ar.reshape(pre, n1, n2, n3), ai.reshape(pre, n1, n2, n3))
     return outr.reshape(shape), outi.reshape(shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_3d_fused(n1: int, n2: int, n3: int, inverse: bool, scale: float,
+                    precision: str, interpret: bool, storage: str = "f32",
+                    pblk: int = 1):
+    """(pre, n1, n2, 2*n3) -> (pre, n1, n2, 2*n3): the lane-fused-STORAGE
+    cube kernel (plan layout="lane-fused").
+
+    Same math as ``_build_3d`` but the HBM array IS the fused tile — lanes
+    hold ``[re(k) | im(k)]``. Two wins over the split-plane cube: (a) the
+    trailing dim (2*n3 >= 128) is lane-aligned, so the DMA reads dense
+    full-bandwidth tiles instead of the half-empty padded layout a minor
+    dim of 64 forces (measured v5e: the padded rank-4 read wastes 2x the
+    bytes AND runs the pattern at a fraction of peak), and (b) the
+    in-kernel concat/split of the planes disappears. No reference
+    counterpart — the reference's interleaved complex layout
+    (fft/fft/fft.mojo:20-47) wastes lane pairs; this fuses at the TILE
+    level instead."""
+    tw1 = [_prep_real(m, precision)
+           for m in _cis_outer(n1, n1, float(n1), inverse)]
+    tw2 = [_prep_real(m, precision)
+           for m in _cis_outer(n2, n2, float(n2), inverse)]
+    w3 = _prep_real(_tables_block_w(n3, inverse, scale), precision)
+    logger.debug("mxu_fft 3d-cube-fused: (%d, %d, %d) pblk=%d inverse=%s "
+                 "precision=%s", n1, n2, n3, pblk, inverse, precision)
+    flat_tables = [np.ascontiguousarray(t) for pair in tw1 + tw2
+                   for t in pair] + [np.ascontiguousarray(t) for t in w3]
+    n_per = len(tw1[0])
+    out_dt = _STORAGE_DTYPES[storage]
+    bf3 = precision == "bf16x3"
+
+    def kernel(*refs):
+        packs = [tuple(r[:] for r in refs[i * n_per:(i + 1) * n_per])
+                 for i in range(5)]
+        wr1, wi1, wr2, wi2, wb3 = packs
+        st_ref, o_ref = refs[-2:]
+        for p in range(pblk):
+            st = st_ref[p].astype(jnp.float32)       # (n1, n2, 2*n3)
+            st = _axis_dim0_fused(wr1, wi1, st, precision)
+            st = st.transpose(1, 0, 2)
+            st = _axis_dim0_fused(wr2, wi2, st, precision)
+            st = st.transpose(1, 0, 2)
+            flat = st.reshape(n1 * n2, 2 * n3)
+            if bf3:
+                fh, fl = _split_bf16(flat)
+            else:
+                fh, fl = flat, None
+            z = _rdot3(wb3, precision, fh, fl, right=True)
+            o_ref[p] = z.reshape(n1, n2, 2 * n3).astype(o_ref.dtype)
+
+    data = pl.BlockSpec((pblk, n1, n2, 2 * n3), lambda p: (p, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda p: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    def run(st):
+        pre = st.shape[0]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(pre, pblk),),
+            in_specs=[tspec(t) for t in flat_tables] + [data],
+            out_specs=data,
+            out_shape=jax.ShapeDtypeStruct((pre, n1, n2, 2 * n3), out_dt),
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in flat_tables], st)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_inner_fused(n: int, inverse: bool, scale: float, mblk: int,
+                       l2: int, precision: str, interpret: bool,
+                       storage: str = "f32"):
+    """(pre, n, M, 2*L) fused-storage -> same: transform dim 1.
+
+    The lane-fused analog of ``_build_inner_nd``: the array's lane halves
+    hold [re | im] of the minor logical axis, so a leading-axis complex
+    DFT is one ``_axis_dim0_fused`` contraction per (n, mblk, 2L) tile —
+    no plane pair, no concat. Scale folds into the cis tables."""
+    wr, wi = _cis_outer(n, n, float(n), inverse)
+    tw = [_prep_real(np.ascontiguousarray(m * scale), precision)
+          for m in (wr, wi)]
+    flat_tables = [t for pair in tw for t in pair]
+    n_per = len(tw[0])
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft inner-fused: n=%d mblk=%d l2=%d inverse=%s "
+                 "precision=%s", n, mblk, l2, inverse, precision)
+
+    def kernel(*refs):
+        wr_pack = tuple(r[:] for r in refs[:n_per])
+        wi_pack = tuple(r[:] for r in refs[n_per:2 * n_per])
+        x_ref, o_ref = refs[-2:]
+        st = x_ref[0].astype(jnp.float32)        # (n, mblk, 2L)
+        z = _axis_dim0_fused(wr_pack, wi_pack, st, precision)
+        o_ref[0] = z.astype(o_ref.dtype)
+
+    data = pl.BlockSpec((1, n, mblk, l2), lambda p, m: (p, 0, m, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda p, m: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    def run(st):
+        pre, _, M, _ = st.shape
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pre, pl.cdiv(M, mblk)),
+            in_specs=[tspec(t) for t in flat_tables] + [data],
+            out_specs=data,
+            out_shape=jax.ShapeDtypeStruct(st.shape, out_dt),
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in flat_tables], st)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_inner_fused_m1(n: int, inverse: bool, scale: float, l2: int,
+                          precision: str, interpret: bool,
+                          storage: str = "f32", pblk: int = 1):
+    """(pre, n, 2*L) fused-storage -> same: transform dim 1 — the M == 1
+    case of the inner-fused pass (the axis ADJACENT to the minor, where
+    the rank-4 tiling would pad an 8-wide sublane block over a unit dim).
+    Rank-3 (pblk, n, l2) blocks; the dim-0 contraction runs per leading
+    slot."""
+    wr, wi = _cis_outer(n, n, float(n), inverse)
+    tw = [_prep_real(np.ascontiguousarray(m * scale), precision)
+          for m in (wr, wi)]
+    flat_tables = [t for pair in tw for t in pair]
+    n_per = len(tw[0])
+    out_dt = _STORAGE_DTYPES[storage]
+    logger.debug("mxu_fft inner-fused-m1: n=%d l2=%d pblk=%d inverse=%s "
+                 "precision=%s", n, l2, pblk, inverse, precision)
+
+    def kernel(*refs):
+        wr_pack = tuple(r[:] for r in refs[:n_per])
+        wi_pack = tuple(r[:] for r in refs[n_per:2 * n_per])
+        x_ref, o_ref = refs[-2:]
+        for p in range(pblk):
+            st = x_ref[p].astype(jnp.float32)    # (n, l2)
+            z = _axis_dim0_fused(wr_pack, wi_pack, st, precision)
+            o_ref[p] = z.astype(o_ref.dtype)
+
+    data = pl.BlockSpec((pblk, n, l2), lambda p: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda p: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    def run(st):
+        pre = st.shape[0]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(pre, pblk),),
+            in_specs=[tspec(t) for t in flat_tables] + [data],
+            out_specs=data,
+            out_shape=jax.ShapeDtypeStruct(st.shape, out_dt),
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in flat_tables], st)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_minor_fused(n: int, inverse: bool, scale: float, bblk: int,
+                       precision: str, interpret: bool,
+                       storage: str = "f32"):
+    """(B, 2*n) fused-storage -> same: the MINOR logical axis as ONE
+    block-complex right-multiply ``st @ [[Wr, Wi], [-Wi, Wr]]`` — the
+    cube kernel's lane pass as a standalone kernel, for fused-layout
+    plans whose cube working set exceeds VMEM (e.g. 128^3). The norm
+    scale rides the block matrix."""
+    w = _prep_real(_tables_block_w(n, inverse, scale), precision)
+    flat_tables = [np.ascontiguousarray(t) for t in w]
+    out_dt = _STORAGE_DTYPES[storage]
+    bf3 = precision == "bf16x3"
+    logger.debug("mxu_fft minor-fused: n=%d bblk=%d inverse=%s "
+                 "precision=%s", n, bblk, inverse, precision)
+
+    def kernel(*refs):
+        pack = tuple(r[:] for r in refs[:-2])
+        x_ref, o_ref = refs[-2:]
+        st = x_ref[:].astype(jnp.float32)        # (bblk, 2n)
+        if bf3:
+            sth, stl = _split_bf16(st)
+        else:
+            sth, stl = st, None
+        z = _rdot3(pack, precision, sth, stl, right=True)
+        o_ref[:] = z.astype(o_ref.dtype)
+
+    data = pl.BlockSpec((bblk, 2 * n), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda b: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    def run(st):
+        B = st.shape[0]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(B, bblk),),
+            in_specs=[tspec(t) for t in flat_tables] + [data],
+            out_specs=data,
+            out_shape=jax.ShapeDtypeStruct(st.shape, out_dt),
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in flat_tables], st)
+
+    return run
+
+
+def inner_fused_supported(n: int, dtype, cfg: PlanConfig,
+                          l2: int | None = None) -> bool:
+    """Leading-axis lane-fused pass: dense-W lengths only; with ``l2``
+    also checks the lane width (the dim-0 3D dot_general compiles only
+    with a 128-multiple lane dim) and the minimum-tile VMEM fit."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    k = kernel_factors(n)
+    if k is None or k[0] != "small":
+        return False
+    if l2 is not None:
+        if l2 % 128:
+            return False
+        # smallest schedulable tile (mblk=8 rank-4 / pblk=1 rank-3)
+        if 10 * n * 8 * l2 * 4 > _BIG_VMEM_LIMIT:
+            return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pair_fused(n2: int, n3: int, inverse: bool, scale: float,
+                      precision: str, interpret: bool,
+                      storage: str = "f32", pblk: int = 1):
+    """(B, n2, 2*n3) fused-storage -> same: the LAST TWO logical axes in
+    one HBM pass — the cube kernel minus its first dim-0 contraction, for
+    fused-layout plans whose full cube exceeds VMEM (e.g. 128^3: the
+    (128, 256) pair tile is 131 KB where the cube tile is 16.8 MB). n2 as
+    a dim-0 contraction with the lane half-swap combine, n3 as the
+    block-complex right-multiply carrying the norm scale."""
+    tw2 = [_prep_real(m, precision)
+           for m in _cis_outer(n2, n2, float(n2), inverse)]
+    w3 = _prep_real(_tables_block_w(n3, inverse, scale), precision)
+    flat_tables = [np.ascontiguousarray(t) for pair in tw2
+                   for t in pair] + [np.ascontiguousarray(t) for t in w3]
+    n_per = len(tw2[0])
+    out_dt = _STORAGE_DTYPES[storage]
+    bf3 = precision == "bf16x3"
+    logger.debug("mxu_fft pair-fused: (%d, %d) pblk=%d inverse=%s "
+                 "precision=%s", n2, n3, pblk, inverse, precision)
+
+    def kernel(*refs):
+        wr2 = tuple(r[:] for r in refs[:n_per])
+        wi2 = tuple(r[:] for r in refs[n_per:2 * n_per])
+        wb3 = tuple(r[:] for r in refs[2 * n_per:3 * n_per])
+        x_ref, o_ref = refs[-2:]
+        for p in range(pblk):
+            st = x_ref[p].astype(jnp.float32)    # (n2, 2*n3)
+            st = _axis_dim0_fused(wr2, wi2, st, precision)
+            if bf3:
+                fh, fl = _split_bf16(st)
+            else:
+                fh, fl = st, None
+            z = _rdot3(wb3, precision, fh, fl, right=True)
+            o_ref[p] = z.astype(o_ref.dtype)
+
+    data = pl.BlockSpec((pblk, n2, 2 * n3), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, (lambda b: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    def run(st):
+        B = st.shape[0]
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_BIG_VMEM_LIMIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(B, pblk),),
+            in_specs=[tspec(t) for t in flat_tables] + [data],
+            out_specs=data,
+            out_shape=jax.ShapeDtypeStruct(st.shape, out_dt),
+            interpret=interpret,
+            **params,
+        )(*[jnp.asarray(t) for t in flat_tables], st)
+
+    return run
+
+
+def pair_fused_supported(n2: int, n3: int, dtype, cfg: PlanConfig) -> bool:
+    """Two-axis fused pass: dense-W lengths, vreg-aligned halves, pair
+    tile + block tables inside VMEM."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    for n in (n2, n3):
+        k = kernel_factors(n)
+        if k is None or k[0] != "small":
+            return False
+    if n2 % 8 or n3 % 64:
+        return False
+    tables = (2 * n3) * (2 * n3) * 4 + 2 * n2 * n2 * 4
+    return tables + 10 * n2 * 2 * n3 * 4 <= _BIG_VMEM_LIMIT
+
+
+def fft_pair_fused_pallas(
+    st: jnp.ndarray,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> jnp.ndarray:
+    """Fused-storage transform of the LAST TWO logical axes of a
+    lane-fused array (..., n2, 2*n3)."""
+    n2, n3 = st.shape[-2], st.shape[-1] // 2
+    if not pair_fused_supported(n2, n3, st.dtype, config):
+        raise NotImplementedError(f"no fused pair pass for ({n2},{n3})")
+    shape = st.shape
+    B = math.prod(shape[:-2])
+    tile = n2 * 2 * n3 * 4
+    raw = config.vmem_budget_bytes // (10 * tile)
+    # measured (10,128^3) on v5e: pblk=8 0.46 ms, pblk=9 (un-rounded)
+    # ~0.6, pblk=4 0.61 — land on an 8-multiple when the budget allows
+    pblk = max(1, min(B, raw // 8 * 8 if raw >= 8 else raw))
+    run = _build_pair_fused(n2, n3, inverse, float(scale),
+                            config.precision, bool(config.interpret),
+                            storage_of(st.dtype), int(pblk))
+    out = run(st.reshape(B, n2, 2 * n3))
+    return out.reshape(shape)
+
+
+def minor_fused_supported(n: int, dtype, cfg: PlanConfig) -> bool:
+    """Standalone fused minor pass: dense-W length, vreg-aligned halves
+    (n % 64 keeps each [re|im] half on a 128-lane boundary), block matrix
+    + one bblk=8 tile row inside VMEM."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    k = kernel_factors(n)
+    if k is None or k[0] != "small" or n % 64:
+        return False
+    tables = (2 * n) * (2 * n) * 4
+    return tables + 8 * 8 * (2 * n) * 4 <= _BIG_VMEM_LIMIT
+
+
+def fft_minor_fused_pallas(
+    st: jnp.ndarray,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> jnp.ndarray:
+    """Fused-storage transform of the MINOR logical axis of a lane-fused
+    array (..., 2*n)."""
+    n = st.shape[-1] // 2
+    if not minor_fused_supported(n, st.dtype, config):
+        raise NotImplementedError(f"no fused minor pass for n={n}")
+    shape = st.shape
+    B = math.prod(shape[:-1])
+    tile = 2 * n * 4
+    bblk = max(8, min(B // 8 * 8 or 8,
+                      config.vmem_budget_bytes // (6 * tile) // 8 * 8,
+                      1024))
+    run = _build_minor_fused(n, inverse, float(scale), int(bblk),
+                             config.precision, bool(config.interpret),
+                             storage_of(st.dtype))
+    out = run(st.reshape(B, 2 * n))
+    return out.reshape(shape)
+
+
+def fft_axis_fused_pallas(
+    st: jnp.ndarray,
+    axis: int,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+) -> jnp.ndarray:
+    """Fused-storage transform along a leading LOGICAL axis of a
+    lane-fused array (..., 2*n_minor). ``axis`` must not be the last."""
+    ndim = st.ndim
+    axis = axis % ndim
+    if axis >= ndim - 1:
+        raise ValueError("fft_axis_fused_pallas serves leading axes only")
+    n = st.shape[axis]
+    l2 = st.shape[-1]
+    if not inner_fused_supported(n, st.dtype, config, l2):
+        raise NotImplementedError(f"no fused-storage pass for n={n}")
+    shape = st.shape
+    pre = math.prod(shape[:axis]) if axis > 0 else 1
+    M = math.prod(shape[axis + 1:-1]) if axis < ndim - 2 else 1
+    if M == 1:
+        # axis adjacent to the minor: rank-3 tiles, batch on the grid dim
+        tile = n * l2 * 4
+        pblk = max(1, min(pre,
+                          config.vmem_budget_bytes // (12 * tile)))
+        run = _build_inner_fused_m1(n, inverse, float(scale), l2,
+                                    config.precision,
+                                    bool(config.interpret),
+                                    storage_of(st.dtype), int(pblk))
+        out = run(st.reshape(pre, n, l2))
+        return out.reshape(shape)
+    # tile VMEM model: ~10 live tile-equivalents (splits + P/Q/roll)
+    per_m = n * l2 * 4
+    mblk = max(8, min(M, config.vmem_budget_bytes // (10 * per_m) // 8 * 8,
+                      512))
+    run = _build_inner_fused(n, inverse, float(scale), int(mblk), l2,
+                             config.precision, bool(config.interpret),
+                             storage_of(st.dtype))
+    out = run(st.reshape(pre, n, M, l2))
+    return out.reshape(shape)
+
+
+def fft_cube_fused_pallas(
+    st: jnp.ndarray,
+    *,
+    inverse: bool,
+    scale: float,
+    config: PlanConfig,
+    pblk: int = 1,
+) -> jnp.ndarray:
+    """Fused-storage transform of the last three LOGICAL axes of ``st``
+    (shape (..., n1, n2, 2*n3), lanes [re|im])."""
+    n1, n2, n3 = st.shape[-3], st.shape[-2], st.shape[-1] // 2
+    if not cube_supported(n1, n2, n3, st.dtype, config):
+        raise NotImplementedError(f"no fused 3D kernel for ({n1},{n2},{n3})")
+    shape = st.shape
+    pre = math.prod(shape[:-3]) if len(shape) > 3 else 1
+    run = _build_3d_fused(n1, n2, n3, inverse, float(scale),
+                          config.precision, bool(config.interpret),
+                          storage_of(st.dtype), int(pblk))
+    out = run(st.reshape(pre, n1, n2, 2 * n3))
+    return out.reshape(shape)
 
 
 # ----------------------------------------------------------------------------
