@@ -104,8 +104,8 @@ def run_cpu(iters: int, with_native: bool, shapes=SHAPES) -> None:
         print(row, flush=True)
 
 
-def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str = "float32",
-            precision: str = "bf16x3") -> None:
+def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str | None = None,
+            precision: str | None = None, profile: str = "accurate") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -115,9 +115,12 @@ def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str = "float32",
     import tpufft
     from tpufft import SplitComplex
 
+    resolved = tpufft.PlanConfig(plane_dtype=plane_dtype,
+                                 precision=precision, profile=profile)
+    plane_dtype, precision = resolved.plane_dtype, resolved.precision
     dt = jnp.bfloat16 if plane_dtype == "bfloat16" else jnp.float32
     print(f"backend: {jax.default_backend()} planes: {plane_dtype} "
-          f"precision: {precision}", file=sys.stderr)
+          f"precision: {precision} profile: {profile}", file=sys.stderr)
     print("| shape | tpufft fused (ms) | tpufft XLA-path (ms) |")
     print("|---|---|---|")
     rng = np.random.default_rng(0)
@@ -230,6 +233,118 @@ def run_tpu_aligned(iters: int) -> None:
               f"{t_alignin:.2f} |", flush=True)
 
 
+def run_tpu_tmajor(iters: int) -> None:
+    """layout='transform-major' rows: misaligned minor lengths with the
+    plan's device planes stored transform-axis-first (exact semantics —
+    no padding), vs the natural layout at the misaligned-DMA floor.
+    Third column combines with profile='fast' (bf16 planes + 1-pass
+    matmuls, ~8e-3 err)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import tpufft
+    from tpufft import SplitComplex, PlanConfig
+
+    rng = np.random.default_rng(0)
+    print("| shape | natural (ms) | transform-major (ms) | "
+          "tmajor + profile='fast' (ms) |")
+    print("|---|---|---|---|")
+    for shape in [(1_000_000, 93), (500_000, 363)]:
+        batch, n = shape
+
+        def timed(plan, shp, dt):
+            x = SplitComplex(
+                jnp.asarray(rng.standard_normal(shp), dt),
+                jnp.asarray(rng.standard_normal(shp), dt))
+            def sync(o):
+                float(o.re.reshape(-1)[-1])
+            out = plan(x); sync(out)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    float(out.re.reshape(-1)[0])
+                rtt = (time.perf_counter() - t0) / 4
+                o = x
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    o = plan(o)
+                sync(o)
+                best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+            return max(best, 1e-5) * 1e3
+
+        t_nat = timed(
+            tpufft.plan_fft(shape, jnp.complex64, axes=(-1,)),
+            shape, jnp.float32)
+        t_tm = timed(
+            tpufft.plan_fft(shape, jnp.complex64, axes=(-1,),
+                            layout="transform-major"),
+            (n, batch), jnp.float32)
+        t_tmf = timed(
+            tpufft.plan_fft(shape, jnp.complex64, axes=(-1,),
+                            layout="transform-major",
+                            config=PlanConfig(profile="fast")),
+            (n, batch), jnp.bfloat16)
+        print(f"| {shape} | {t_nat:.2f} | {t_tm:.2f} | {t_tmf:.2f} |",
+              flush=True)
+
+
+def run_tpu_lanefused(iters: int) -> None:
+    """layout='lane-fused' rows: >=3-axis c2c plans whose device storage
+    is ONE real array (..., n1, n2, 2*n3) with lanes [re|im] — dense
+    128-aligned DMA for small-cube shapes whose split planes are stored
+    lane-padded (minor 64 wastes half of every vreg pair)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import tpufft
+    from tpufft import SplitComplex
+
+    rng = np.random.default_rng(0)
+    print("| shape | natural split-plane (ms) | lane-fused (ms) |")
+    print("|---|---|---|")
+    for shape in [(100, 64, 64, 64), (1, 64, 64, 64, 64),
+                  (10, 128, 128, 128)]:
+        axes = tuple(range(1, len(shape)))
+
+        def timed(plan, make):
+            o = plan(make())
+            probe = (lambda a: a.re.reshape(-1)[-1]) if isinstance(
+                o, SplitComplex) else (lambda a: a.reshape(-1)[-1])
+            float(probe(o))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    float(probe(o))
+                rtt = (time.perf_counter() - t0) / 4
+                x = o
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    x = plan(x)
+                float(probe(x))
+                best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+            return best * 1e3
+
+        def mk_split():
+            return SplitComplex(
+                jnp.asarray(rng.standard_normal(shape), jnp.float32),
+                jnp.asarray(rng.standard_normal(shape), jnp.float32))
+
+        p_nat = tpufft.plan_fft(shape, np.complex64, axes=axes)
+        t_nat = timed(p_nat, mk_split)
+        p_f = tpufft.plan_fft(shape, np.complex64, axes=axes,
+                              layout="lane-fused")
+        fshape = shape[:-1] + (2 * shape[-1],)
+        t_f = timed(p_f, lambda: jnp.asarray(
+            rng.standard_normal(fshape), jnp.float32))
+        print(f"| {shape} | {t_nat:.2f} | {t_f:.2f} |", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
@@ -240,16 +355,26 @@ def main() -> None:
                     help="comma-separated indices into the shape table "
                          "(e.g. 0,2,11), default all")
     ap.add_argument("--plane-dtype", choices=("float32", "bfloat16"),
-                    default="float32",
+                    default=None,
                     help="HBM plane storage for the TPU table (bfloat16 "
                          "halves DMA traffic; ~4e-3 storage error)")
     ap.add_argument("--precision", choices=("bf16x3", "highest", "default"),
-                    default="bf16x3",
+                    default=None,
                     help="MXU matmul precision ('default' = 1-pass bf16, "
                          "~4e-3 err, 3x less MXU volume)")
+    ap.add_argument("--profile", choices=("accurate", "fast"),
+                    default="accurate",
+                    help="one-switch tier: 'fast' = bf16 planes + 1-pass "
+                         "matmuls (~8e-3 worst-case err)")
     ap.add_argument("--aligned", action="store_true",
                     help="misaligned-shape rows: padded plan "
                          "(s='fast-aligned') vs aligned-width input")
+    ap.add_argument("--tmajor", action="store_true",
+                    help="layout='transform-major' rows: misaligned minor "
+                         "lengths at full bandwidth, exact semantics")
+    ap.add_argument("--lanefused", action="store_true",
+                    help="layout='lane-fused' rows: small-cube shapes "
+                         "through the fused-storage kernels")
     args = ap.parse_args()
     shapes = SHAPES
     if args.shapes is not None:
@@ -260,8 +385,13 @@ def main() -> None:
         run_cpu(args.iters, args.native, shapes)
     elif args.aligned:
         run_tpu_aligned(args.iters)
+    elif args.tmajor:
+        run_tpu_tmajor(args.iters)
+    elif args.lanefused:
+        run_tpu_lanefused(args.iters)
     else:
-        run_tpu(args.iters, shapes, args.plane_dtype, args.precision)
+        run_tpu(args.iters, shapes, args.plane_dtype, args.precision,
+                args.profile)
 
 
 if __name__ == "__main__":
