@@ -42,7 +42,13 @@ def _sync(o):
 
 
 def measure(plan, x) -> float:
-    """Best amortized per-iteration ms over several chained runs."""
+    """Best per-iteration ms by DIFFERENTIAL chained timing: two
+    back-to-back chains of CHAIN and 5*CHAIN dispatches; the slope
+    (T2 - T1) / (4*CHAIN) cancels the tunnel RTT additively. The
+    headline kernel's 4*CHAIN span is ~200 ms — far above the RTT
+    drift that an RTT-subtraction protocol is exposed to (and sub-RTT
+    chains are unusable outright: the device work hides entirely
+    inside the round-trip window)."""
     out = plan(x)
     _sync(out)
     t0 = time.perf_counter()
@@ -51,15 +57,19 @@ def measure(plan, x) -> float:
     rtt = (time.perf_counter() - t0) / 8
     print(f"tunnel RTT: {rtt*1e3:.2f} ms", file=sys.stderr)
 
-    best = float("inf")
-    for _ in range(REPEATS):
+    def chain(k):
         o = x
         t0 = time.perf_counter()
-        for _ in range(CHAIN):
+        for _ in range(k):
             o = plan(o)
         _sync(o)
-        total = time.perf_counter() - t0
-        best = min(best, (total - rtt) / CHAIN)
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(REPEATS):
+        t1 = chain(CHAIN)
+        t2 = chain(5 * CHAIN)
+        best = min(best, (t2 - t1) / (4 * CHAIN))
     return best * 1e3
 
 

@@ -40,6 +40,55 @@ SHAPES = [
 ]
 
 
+def _device_time_ms(step, x0, sync, *, chain=True, reps=3,
+                    target_s=0.25, k_max=800):
+    """Per-dispatch device time through the tunnel, by DIFFERENTIAL
+    chained timing: two back-to-back runs of k1 and k2 dispatches,
+    slope = (T2 - T1) / (k2 - k1). The tunnel RTT (25-40 ms, drifting)
+    cancels additively, and the chain lengths are scaled so the slope
+    signal (k2 - k1) * t spans >= ``target_s`` seconds, far above the
+    drift. Short chains are NOT safe: when k * t is below the RTT the
+    device work hides entirely inside the round-trip window — measured
+    on this tunnel, a 0.8 ms kernel read 0.12 ms at k=4/24 and pure
+    copies went NEGATIVE. RTT-subtraction protocols fail the same way,
+    which poisoned every sub-RTT row they ever produced.
+
+    ``step`` maps an array to an array; with ``chain`` the output feeds
+    the next dispatch (kept for plans whose output shape matches the
+    input), otherwise ``step(x0)`` is re-dispatched (output-shape-
+    changing plans) — the device serializes either way."""
+    out = step(x0)
+    sync(out)
+    t0 = time.perf_counter()
+    sync(step(x0))
+    probe = time.perf_counter() - t0  # = RTT + t, inseparable
+
+    def run(k):
+        o = x0
+        t0 = time.perf_counter()
+        if chain:
+            for _ in range(k):
+                o = step(o)
+        else:
+            for _ in range(k):
+                o = step(x0)
+        sync(o)
+        return time.perf_counter() - t0
+
+    if probe > 0.1:  # t >> RTT: short differential chains suffice
+        k1, k2 = 2, 8
+    else:
+        t_est = max((run(40) - run(8)) / 32, 2e-5)
+        k2 = int(min(k_max, max(40, target_s / t_est)))
+        k1 = max(8, k2 // 5)
+    best = float("inf")
+    for _ in range(reps):
+        t1 = run(k1)
+        t2 = run(k2)
+        best = min(best, (t2 - t1) / (k2 - k1))
+    return max(best, 1e-5) * 1e3
+
+
 def _bench_host(fn, x, iters):
     # Two warm calls, not one: this VM backs fresh guest memory lazily
     # (measured 0.03-0.13 GB/s first-touch vs ~1.7 GB/s for recycled
@@ -132,8 +181,8 @@ def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str | None = None,
         axes = tuple(range(1, len(shape)))
 
         def timed(base_cfg):
-            """Amortized chained timing (see bench.py: the dev tunnel RTT
-            would otherwise dominate)."""
+            """Differential chained timing (see _device_time_ms: the dev
+            tunnel RTT swallows short chains whole)."""
             cfg = dataclasses.replace(base_cfg, plane_dtype=plane_dtype,
                                       precision=precision)
             plan = tpufft.plan_fft(shape, jnp.complex64, axes=axes,
@@ -143,34 +192,12 @@ def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str | None = None,
                 float(o.re.reshape(-1)[-1])
 
             try:
-                out = plan(x)
-                sync(out)
+                sync(plan(x))
             except Exception as e:  # unsupported on this chip/config
                 print(f"   ({shape} {cfg.backend}: {str(e)[:60]})",
                       file=sys.stderr)
                 return float("nan")
-            t0 = time.perf_counter()
-            for _ in range(6):
-                float(out.re.reshape(-1)[0])
-            rtt = (time.perf_counter() - t0) / 6
-            # scale the chain length to the shape's speed so slow
-            # configurations don't blow the suite's time budget
-            t0 = time.perf_counter()
-            sync(plan(x))
-            probe = time.perf_counter() - t0
-            n_iters = iters if probe < 0.06 else max(2, iters // 4)
-            n_reps = 3 if probe < 0.06 else 1
-            best = float("inf")
-            for _ in range(n_reps):
-                o = x
-                t0 = time.perf_counter()
-                for _ in range(n_iters):
-                    o = plan(o)
-                sync(o)
-                best = min(best,
-                           (time.perf_counter() - t0 - rtt) / n_iters)
-            # sub-RTT shapes can go slightly negative after subtraction
-            return max(best, 1e-5) * 1e3
+            return _device_time_ms(plan, x, lambda o: sync(o))
 
         t_fused = timed(tpufft.PlanConfig())
         t_xla = timed(tpufft.PlanConfig(backend="xla"))
@@ -207,22 +234,8 @@ def run_tpu_aligned(iters: int) -> None:
             plan = tpufft.plan_fft(shp, jnp.complex64, axes=axes, s=s)
             def sync(o):
                 float(o.re.reshape(-1)[-1])
-            out = plan(x); sync(out)
-            best = float("inf")
-            for _ in range(3):
-                # re-sample RTT per rep — the tunnel RTT drifts on the
-                # seconds scale, and a stale sample can exceed the whole
-                # chain time for fast shapes (negative row)
-                t0 = time.perf_counter()
-                for _ in range(4):
-                    float(out.re.reshape(-1)[0])
-                rtt = (time.perf_counter() - t0) / 4
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    out = plan(x)
-                sync(out)
-                best = min(best, (time.perf_counter() - t0 - rtt) / iters)
-            return max(best, 1e-5) * 1e3
+            # padded plans change the output shape: re-dispatch, no chain
+            return _device_time_ms(plan, x, sync, chain=(s is None))
 
         t_asis = timed(shape)
         s_spec = tuple("fast-aligned" if i == len(axes) - 1 else shape[a]
@@ -260,20 +273,7 @@ def run_tpu_tmajor(iters: int) -> None:
                 jnp.asarray(rng.standard_normal(shp), dt))
             def sync(o):
                 float(o.re.reshape(-1)[-1])
-            out = plan(x); sync(out)
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(4):
-                    float(out.re.reshape(-1)[0])
-                rtt = (time.perf_counter() - t0) / 4
-                o = x
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    o = plan(o)
-                sync(o)
-                best = min(best, (time.perf_counter() - t0 - rtt) / iters)
-            return max(best, 1e-5) * 1e3
+            return _device_time_ms(plan, x, sync)
 
         t_nat = timed(
             tpufft.plan_fft(shape, jnp.complex64, axes=(-1,)),
@@ -312,23 +312,11 @@ def run_tpu_lanefused(iters: int) -> None:
         axes = tuple(range(1, len(shape)))
 
         def timed(plan, make):
-            o = plan(make())
-            probe = (lambda a: a.re.reshape(-1)[-1]) if isinstance(
-                o, SplitComplex) else (lambda a: a.reshape(-1)[-1])
-            float(probe(o))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(4):
-                    float(probe(o))
-                rtt = (time.perf_counter() - t0) / 4
-                x = o
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    x = plan(x)
-                float(probe(x))
-                best = min(best, (time.perf_counter() - t0 - rtt) / iters)
-            return best * 1e3
+            x = make()
+            sync = (lambda a: float(a.re.reshape(-1)[-1])) if isinstance(
+                plan(x), SplitComplex) else (
+                lambda a: float(a.reshape(-1)[-1]))
+            return _device_time_ms(plan, x, sync)
 
         def mk_split():
             return SplitComplex(

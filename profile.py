@@ -67,22 +67,26 @@ def main() -> None:
         return
 
     for name, plan in plans.items():
-        # amortized chained timing: the tunnel RTT (25-40 ms, drifting)
-        # dwarfs per-iteration sync costs, so chain the dispatches and
-        # subtract a freshly-sampled RTT (same method as bench.py)
-        o = plan(x)
-        t0 = time.perf_counter()
-        for _ in range(6):
-            float(o.re[-1, -1])
-        rtt = (time.perf_counter() - t0) / 6
-        best = float("inf")
-        for _ in range(3):
+        # differential chained timing (same method as bench.py): two
+        # back-to-back chains, slope = (T2 - T1) / dK. The tunnel RTT
+        # (25-40 ms, drifting) cancels additively; chains shorter than
+        # the RTT are unusable — the device work hides inside the
+        # round-trip window and subtraction protocols read near-zero.
+        _sync(plan(x))
+
+        def chain(k):
             o = x
             t0 = time.perf_counter()
-            for _ in range(args.iters):
+            for _ in range(k):
                 o = plan(o)
             _sync(o)
-            best = min(best, (time.perf_counter() - t0 - rtt) / args.iters)
+            return time.perf_counter() - t0
+
+        best = float("inf")
+        for _ in range(3):
+            t1 = chain(args.iters)
+            t2 = chain(5 * args.iters)
+            best = min(best, (t2 - t1) / (4 * args.iters))
         ms = best * 1e3
         gbps = (2 * 2 * 4 * SHAPE[0] * SHAPE[1]) / (ms * 1e-3) / 1e9
         print(f"{name:16s}: {ms:8.3f} ms  {gbps:5.0f} GB/s(model)")

@@ -125,6 +125,9 @@ def test_invalid_args(rng):
     with pytest.raises(ValueError):
         tpufft.fft(x, norm="bogus")
     with pytest.raises(ValueError):
+        # must fail AT PLAN TIME, not on first execution
+        tpufft.plan_fft((4, 8), np.complex64, axes=(-1,), norm="bogus")
+    with pytest.raises(ValueError):
         tpufft.fft(x, bases=[(3, 3)])   # 9 != 8
     with pytest.raises(ValueError):
         tpufft.fftn(x, axes=(0, 0))

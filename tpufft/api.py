@@ -797,6 +797,8 @@ def plan_fft(
     cfg = config or PlanConfig()
     shape = tuple(int(d) for d in shape)
     _check_x64_downgrade(dtype)
+    if norm not in _NORMS:  # fail at plan time, not first execution
+        raise ValueError(f"norm must be one of {_NORMS}, got {norm!r}")
     axes = _axes_from_s(s, axes)
     axes = _canon_axes(len(shape), axes)
     if isinstance(s, str):
