@@ -81,6 +81,15 @@ class SplitComplex(NamedTuple):
         out.imag = im
         return out
 
+    def __array__(self, dtype=None, copy=None):
+        """numpy conversion protocol: ``np.asarray(sc)`` is the COMPLEX
+        array. Without this, NamedTuple sequence semantics silently give
+        the stacked (2, ...) float planes — a footgun, not a layout."""
+        arr = self.numpy()
+        if dtype is not None:
+            arr = arr.astype(dtype, copy=False)
+        return arr
+
     @staticmethod
     def from_array(x) -> "SplitComplex":
         """Split any array-like (complex or real) into planes."""
