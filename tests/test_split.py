@@ -105,3 +105,21 @@ def test_device_input_stays_on_device(rng, monkeypatch):
     out_np = tpufft.rfft(x)
     assert isinstance(out_np, np.ndarray)
     assert_spectrum_close(out_np, ref, np.complex64)
+
+
+def test_splitcomplex_numpy_conversion_protocol(rng):
+    """np.asarray(SplitComplex) must be the COMPLEX array — NamedTuple
+    sequence semantics would silently give the stacked (2, ...) float
+    planes instead (regression: a fuzz comparison read garbage)."""
+    import jax.numpy as jnp
+    from tpufft import SplitComplex
+
+    x = (rng.standard_normal((5, 12))
+         + 1j * rng.standard_normal((5, 12))).astype(np.complex64)
+    sc = SplitComplex(jnp.asarray(x.real), jnp.asarray(x.imag))
+    arr = np.asarray(sc)
+    assert arr.shape == (5, 12) and arr.dtype == np.complex64
+    np.testing.assert_array_equal(arr, sc.numpy())
+    # dtype coercion path
+    arr128 = np.asarray(sc, dtype=np.complex128)
+    assert arr128.dtype == np.complex128
