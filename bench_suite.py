@@ -41,7 +41,17 @@ SHAPES = [
 
 
 def _device_time_ms(step, x0, sync, *, chain=True, reps=3,
-                    target_s=0.25, k_max=800):
+                    target_s=0.25, k_max=800, iters=8):
+    """``iters`` scales the slope-signal budget relative to the default
+    of 8 (--iters 16 doubles target_s/k_max; --iters 2 quarters them),
+    so the flag still trades accuracy against suite wall-time."""
+    target_s = target_s * iters / 8
+    k_max = max(40, int(k_max * iters / 8))
+    return _device_time_ms_impl(step, x0, sync, chain=chain, reps=reps,
+                                target_s=target_s, k_max=k_max)
+
+
+def _device_time_ms_impl(step, x0, sync, *, chain, reps, target_s, k_max):
     """Per-dispatch device time through the tunnel, by DIFFERENTIAL
     chained timing: two back-to-back runs of k1 and k2 dispatches,
     slope = (T2 - T1) / (k2 - k1). The tunnel RTT (25-40 ms, drifting)
@@ -197,7 +207,7 @@ def run_tpu(iters: int, shapes=SHAPES, plane_dtype: str | None = None,
                 print(f"   ({shape} {cfg.backend}: {str(e)[:60]})",
                       file=sys.stderr)
                 return float("nan")
-            return _device_time_ms(plan, x, lambda o: sync(o))
+            return _device_time_ms(plan, x, lambda o: sync(o), iters=iters)
 
         t_fused = timed(tpufft.PlanConfig())
         t_xla = timed(tpufft.PlanConfig(backend="xla"))
@@ -235,7 +245,7 @@ def run_tpu_aligned(iters: int) -> None:
             def sync(o):
                 float(o.re.reshape(-1)[-1])
             # padded plans change the output shape: re-dispatch, no chain
-            return _device_time_ms(plan, x, sync, chain=(s is None))
+            return _device_time_ms(plan, x, sync, chain=(s is None), iters=iters)
 
         t_asis = timed(shape)
         s_spec = tuple("fast-aligned" if i == len(axes) - 1 else shape[a]
@@ -273,7 +283,7 @@ def run_tpu_tmajor(iters: int) -> None:
                 jnp.asarray(rng.standard_normal(shp), dt))
             def sync(o):
                 float(o.re.reshape(-1)[-1])
-            return _device_time_ms(plan, x, sync)
+            return _device_time_ms(plan, x, sync, iters=iters)
 
         t_nat = timed(
             tpufft.plan_fft(shape, jnp.complex64, axes=(-1,)),
@@ -316,7 +326,7 @@ def run_tpu_lanefused(iters: int) -> None:
             sync = (lambda a: float(a.re.reshape(-1)[-1])) if isinstance(
                 plan(x), SplitComplex) else (
                 lambda a: float(a.reshape(-1)[-1]))
-            return _device_time_ms(plan, x, sync)
+            return _device_time_ms(plan, x, sync, iters=iters)
 
         def mk_split():
             return SplitComplex(

@@ -1593,9 +1593,13 @@ int tpufft_fft_nd_skipminor_f64(double* re, double* im, const int64_t* dims,
 }
 
 int tpufft_prof_read(double* out_ms, int k) {
-  // Copy up to k phase accumulators (milliseconds) and reset them.
-  // Phase order: gather, transform, scatter, fs-p1-copy, fs-p1-fft,
-  // fs-p1-tw, fs-p2-fft, fs-p2-scatter. Returns the phase count.
+  // Copy up to k phase accumulators (milliseconds) and reset THOSE k.
+  // Phase order (kProfPhases = 11 — size the buffer from the return
+  // value, not this list): gather, transform, scatter, fs-p1-copy,
+  // fs-p1-fft, fs-p1-tw, fs-p2-fft, fs-p2-scatter, lines-gather,
+  // lines-transform, lines-scatter. Returns the full phase count; a
+  // caller passing k < kProfPhases leaves the remaining accumulators
+  // running (they are NOT reset).
   for (int i = 0; i < k && i < kProfPhases; ++i) {
     out_ms[i] = g_prof_ns[i].exchange(0, std::memory_order_relaxed) * 1e-6;
   }

@@ -412,6 +412,35 @@ class TestLaneFusedLayout:
         assert g.shape == st.shape
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_unsorted_axes_canonicalized(self, rng):
+        """plan_fft must sort lane-fused axes: the fused body peels
+        axes[:-3] as leading passes and axes[-3:] as the cube, so an
+        unsorted tuple would transform the wrong dims (regression)."""
+        shape = (6, 8, 8, 64)
+        x = self._mk(shape, rng)
+        p = tpufft.plan_fft(shape, axes=(2, 0, 1, 3), layout="lane-fused",
+                            config=tpufft.PlanConfig(interpret=True))
+        assert p.axes == (0, 1, 2, 3)
+        got = p.unpack(np.asarray(p(p.pack(x))))
+        ref = np.fft.fftn(x, axes=(0, 1, 2, 3))
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+    def test_pack_preserves_f64_for_c128_plans(self, rng):
+        """Host complex128 input to a complex128 lane-fused plan must
+        pack to float64 planes (it rounded through float32 before)."""
+        shape = (2, 8, 8, 64)
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex128)
+        p = tpufft.plan_fft(shape, np.complex128, axes=(-3, -2, -1),
+                            layout="lane-fused")
+        st = p.pack(x)
+        assert str(st.dtype) == "float64"
+        got = p.unpack(np.asarray(p(st)))
+        ref = np.fft.fftn(x, axes=(-3, -2, -1))
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-10
+
     @pytest.mark.parametrize("tier", ["pair", "minor"])
     def test_sub_cube_tiers(self, rng, monkeypatch, tier):
         """Cube gate closed (e.g. 128^3 working set): the pair tier runs

@@ -287,7 +287,8 @@ class Plan:
                       else jnp.zeros_like(re))
                 return jnp.concatenate([re, im], axis=-1)
             xn = np.asarray(x)
-            rdt = np.float32
+            rdt = np.float64 if xn.dtype in (np.complex128, np.float64) \
+                else np.float32
             re = np.asarray(xn.real, rdt)
             im = (np.asarray(xn.imag, rdt) if np.iscomplexobj(xn)
                   else np.zeros_like(re))
@@ -817,6 +818,11 @@ def plan_fft(
             raise ValueError(
                 "layout='lane-fused' requires the transform axes to "
                 f"include the last three, got {axes}")
+        # canonicalize to ascending order (a multi-axis c2c FFT is
+        # order-independent): _apply_plan_fused peels axes[:-3] as
+        # leading passes and treats axes[-3:] as the cube, so an
+        # unsorted tuple would transform the wrong dims
+        axes = tuple(sorted(axes))
         lengths = tuple(shape[a] for a in axes)
         bases = _resolve_bases(lengths, bases, cfg)
         return _cached_plan(

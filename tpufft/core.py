@@ -85,6 +85,11 @@ class SplitComplex(NamedTuple):
         """numpy conversion protocol: ``np.asarray(sc)`` is the COMPLEX
         array. Without this, NamedTuple sequence semantics silently give
         the stacked (2, ...) float planes — a footgun, not a layout."""
+        if copy is False:
+            # the re/im -> complex combine always materializes
+            raise ValueError(
+                "SplitComplex -> numpy conversion always copies; "
+                "np.array(..., copy=False) cannot be honored")
         arr = self.numpy()
         if dtype is not None:
             arr = arr.astype(dtype, copy=False)
