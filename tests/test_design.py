@@ -294,3 +294,127 @@ def test_iirfilter_validation():
         d.iirfilter(4, 0.3, btype="low", ftype="cheby1")  # rp missing
     with pytest.raises(ValueError):
         d.butter(4, 0.3, output="bogus")
+
+
+# ---------------------------------------------------------------------------
+# remez / minimum_phase
+# ---------------------------------------------------------------------------
+
+def _amplitude(h, f, anti=False):
+    """Real amplitude of a linear-phase filter at normalized f (fs=1)."""
+    _, H = ss.freqz(h, worN=2 * np.pi * f)
+    rot = H * np.exp(1j * 2 * np.pi * f * (len(h) - 1) / 2.0)
+    return rot.imag if anti else rot.real
+
+
+def _weighted_ripple(h, bands, des, weight=None, anti=False):
+    f = np.linspace(0.0, 0.5, 20001)[1:-1]
+    amp = _amplitude(h, f, anti)
+    err = 0.0
+    for b in range(len(des)):
+        sel = (f >= bands[2 * b]) & (f <= bands[2 * b + 1])
+        w = 1.0 if weight is None else weight[b]
+        err = max(err, w * np.max(np.abs(amp[sel] - des[b])))
+    return err
+
+
+REMEZ_CASES = [
+    # numtaps, bands, desired, weight, type
+    (72, [0, 0.1, 0.2, 0.5], [1, 0], None, "bandpass"),
+    (55, [0, 0.12, 0.17, 0.33, 0.38, 0.5], [0, 1, 0], [1, 2, 1], "bandpass"),
+    (101, [0, 0.15, 0.18, 0.5], [1, 0], [1, 10], "bandpass"),
+    (24, [0, 0.08, 0.16, 0.5], [1, 0], None, "bandpass"),   # even, type II
+    (64, [0.05, 0.45], [1], None, "hilbert"),
+    (65, [0.05, 0.45], [1], None, "hilbert"),               # odd, type III
+    (31, [0.02, 0.48], [1], None, "differentiator"),
+    (32, [0.02, 0.48], [1], None, "differentiator"),        # even, type IV
+]
+
+
+@pytest.mark.parametrize("numtaps,bands,des,weight,ftype", REMEZ_CASES)
+def test_remez_matches_scipy(numtaps, bands, des, weight, ftype):
+    mine = d.remez(numtaps, bands, des, weight=weight, type=ftype, fs=1.0)
+    ref = ss.remez(numtaps, bands, des, weight=weight, type=ftype, fs=1.0)
+    assert mine.shape == ref.shape
+    # both converge to the unique minimax solution up to grid
+    # discretization: coefficients agree to ~1e-3 relative
+    assert np.max(np.abs(mine - ref)) <= 2e-3 * np.max(np.abs(ref))
+
+
+@pytest.mark.parametrize("numtaps,bands,des,weight,ftype",
+                         [c for c in REMEZ_CASES if c[4] == "bandpass"])
+def test_remez_minimax_optimality(numtaps, bands, des, weight, ftype):
+    # the real bar: OUR equiripple error must not exceed scipy's
+    mine = d.remez(numtaps, bands, des, weight=weight, type=ftype, fs=1.0)
+    ref = ss.remez(numtaps, bands, des, weight=weight, type=ftype, fs=1.0)
+    rip_mine = _weighted_ripple(mine, bands, des, weight)
+    rip_ref = _weighted_ripple(ref, bands, des, weight)
+    assert rip_mine <= rip_ref * 1.02
+
+
+def test_remez_fs_scaling():
+    a = d.remez(41, [0, 1000, 1500, 4000], [1, 0], fs=8000)
+    b = d.remez(41, [0, 0.125, 0.1875, 0.5], [1, 0], fs=1.0)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_remez_linear_phase_structure():
+    h = d.remez(24, [0, 0.08, 0.16, 0.5], [1, 0], fs=1.0)
+    np.testing.assert_allclose(h, h[::-1], atol=1e-12)   # type II symmetric
+    h = d.remez(65, [0.05, 0.45], [1], type="hilbert", fs=1.0)
+    np.testing.assert_allclose(h, -h[::-1], atol=1e-12)  # type III antisym
+    assert abs(h[32]) < 1e-12
+
+
+def test_remez_validation():
+    with pytest.raises(ValueError):
+        d.remez(2, [0, 0.1, 0.2, 0.5], [1, 0])
+    with pytest.raises(ValueError):
+        d.remez(31, [0, 0.2, 0.1, 0.5], [1, 0])           # non-monotonic
+    with pytest.raises(ValueError):
+        d.remez(31, [0, 0.1, 0.2, 0.5], [1, 0], weight=[1, 2, 3])
+    with pytest.raises(ValueError):
+        d.remez(31, [0, 0.1, 0.2, 0.5], [1, 0], type="nope")
+
+
+@pytest.mark.parametrize("half", [True, False])
+@pytest.mark.parametrize("numtaps", [13, 151, 152])
+def test_minimum_phase_homomorphic(numtaps, half):
+    hlin = ss.firwin(numtaps, 0.3)
+    mine = d.minimum_phase(hlin, method="homomorphic", half=half)
+    ref = ss.minimum_phase(hlin, method="homomorphic", half=half)
+    assert mine.shape == ref.shape
+    np.testing.assert_allclose(mine, ref, atol=1e-9)
+
+
+def test_minimum_phase_hilbert():
+    hlin = ss.remez(151, [0, 0.2, 0.3, 0.5], [1, 0], fs=1.0)
+    mine = d.minimum_phase(hlin, method="hilbert")
+    ref = ss.minimum_phase(hlin, method="hilbert")
+    # the hilbert construction is only ~2*n_stop/n_fft accurate and sqrt
+    # near the stopband floor is non-Lipschitz: implementations agree to
+    # ~1e-4, not machine precision
+    np.testing.assert_allclose(mine, ref, atol=2e-4)
+    # approximately minimum-phase (scipy's own output has roots at
+    # 1.0004 for this spec — the method's epsilon, not a bug)
+    assert np.all(np.abs(np.roots(mine)) <= 1.0 + 1e-3)
+
+
+def test_minimum_phase_is_minimum_phase():
+    # all zeros of the result inside (or on) the unit circle
+    hlin = ss.firwin(51, 0.4)
+    hmin = d.minimum_phase(hlin)
+    assert np.all(np.abs(np.roots(hmin)) <= 1.0 + 1e-6)
+
+
+def test_minimum_phase_validation():
+    with pytest.raises(ValueError):
+        d.minimum_phase(np.array([1.0, 2.0]))
+    with pytest.raises(ValueError):
+        d.minimum_phase(np.array([1 + 1j, 2, 1]))
+    with pytest.raises(ValueError):
+        d.minimum_phase(ss.firwin(9, 0.3), method="hilbert", half=False)
+    with pytest.raises(ValueError):
+        d.minimum_phase(ss.firwin(9, 0.3), n_fft=4)
+    with pytest.warns(RuntimeWarning):
+        d.minimum_phase(np.array([1.0, 2.0, 3.0, 4.0]))

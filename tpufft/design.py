@@ -26,7 +26,8 @@ conventions ('phase'/'delay'/'mag') solved by bisection.
 Reference coverage: the reference (martinvuyk/hackathon-fft) has no design
 layer; scipy parity targets are scipy/signal/_filter_design.py (iirfilter,
 butter/cheby1/cheby2/ellip/bessel, *ord, bilinear, zpk2sos, freqz family)
-and scipy/signal/_fir_filter_design.py (firwin, firwin2, kaiserord).
+and scipy/signal/_fir_filter_design.py (firwin, firwin2, kaiserord,
+remez, minimum_phase).
 `zpk2sos` uses its own documented pairing (nearest-zero to
 farthest-from-unit-circle-pole, peak-gain-last ordering); sos arrays are
 response-equivalent to scipy's, not byte-equal (sos factorizations are
@@ -44,7 +45,8 @@ import warnings
 import numpy as np
 
 __all__ = [
-    "firwin", "firwin2", "kaiser_beta", "kaiser_atten", "kaiserord",
+    "firwin", "firwin2", "remez", "minimum_phase",
+    "kaiser_beta", "kaiser_atten", "kaiserord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
     "bilinear", "bilinear_zpk",
@@ -1214,3 +1216,303 @@ def sosfilt_zi(sos):
         zi[k] = scale * lfilter_zi(bk, ak)
         scale *= bk.sum() / ak.sum()
     return zi
+
+
+# ---------------------------------------------------------------------------
+# Parks-McClellan equiripple FIR design (scipy.signal.remez parity)
+# ---------------------------------------------------------------------------
+
+def _pm_q(f, ftype):
+    """Linear-phase structure factor Q(f) with H(f) = Q(f) * P(cos 2pi f).
+
+    Type 1 (odd, sym): 1; type 2 (even, sym): cos(pi f);
+    type 3 (odd, anti): sin(2pi f); type 4 (even, anti): sin(pi f).
+    Evaluated with the true trig formula (signs matter for f > 1/2,
+    where the coefficient-extraction IDFT samples it).
+    """
+    if ftype == 1:
+        return np.ones_like(f)
+    if ftype == 2:
+        return np.cos(np.pi * f)
+    if ftype == 3:
+        return np.sin(2.0 * np.pi * f)
+    return np.sin(np.pi * f)
+
+
+def _pm_barycentric_weights(x):
+    """Barycentric weights 1/prod_{j!=i}(x_i - x_j), log-stabilized.
+
+    Only ratios of the weights ever enter the Remez formulas, so the
+    common exp(max) factor is divided out — this keeps r ~ hundreds of
+    near-collinear Chebyshev nodes from underflowing the raw products.
+    """
+    d = x[:, None] - x[None, :]
+    np.fill_diagonal(d, 1.0)
+    logw = -np.sum(np.log(np.abs(d)), axis=1)
+    sign = np.prod(np.sign(d), axis=1)
+    return sign * np.exp(logw - logw.max())
+
+
+def _pm_eval(xq, xe, ce, we):
+    """Evaluate the degree r-1 barycentric interpolant through
+    (xe, ce) (r points, weights we) at query points xq."""
+    diff = xq[:, None] - xe[None, :]
+    hit = np.isclose(diff, 0.0, rtol=0.0, atol=1e-14)
+    diff = np.where(hit, 1.0, diff)
+    k = we[None, :] / diff
+    num = k @ ce
+    den = k.sum(axis=1)
+    out = num / den
+    row_hit = hit.any(axis=1)
+    if row_hit.any():
+        out[row_hit] = ce[hit[row_hit, :].argmax(axis=1)]
+    return out
+
+
+def remez(numtaps, bands, desired, *, weight=None, type="bandpass",
+          maxiter=25, grid_density=16, fs=None):
+    """Minimax (equiripple) FIR design by the Remez exchange algorithm
+    (scipy.signal.remez-compatible).
+
+    Implementation notes (independent of scipy's C code): the amplitude
+    response is written H(f) = Q(f) P(cos 2pi f) per linear-phase type,
+    the exchange runs on a dense grid in x = cos(2pi f) with
+    log-stabilized barycentric interpolation, and the final coefficients
+    come from sampling Q*P at the n roots of unity and one inverse DFT —
+    no per-type reconstruction recursions. Reference: the reference
+    project has no FIR design layer; parity target is
+    scipy/signal/_fir_filter_design.py:remez (same grid-density
+    semantics, same differentiator 1/f weighting).
+    """
+    import operator
+    numtaps = operator.index(numtaps)
+    if numtaps < 3:
+        raise ValueError("numtaps must be at least 3")
+    if fs is None:
+        fs = 1.0
+    fs = float(fs)
+    bands = np.asarray(bands, np.float64).ravel() / fs
+    desired = np.asarray(desired, np.float64).ravel()
+    if bands.size != 2 * desired.size:
+        raise ValueError("bands must have exactly 2*len(desired) entries")
+    if np.any(np.diff(bands) < 0) or bands[0] < 0 or bands[-1] > 0.5:
+        raise ValueError("bands must be monotonic in [0, fs/2]")
+    if weight is None:
+        weight = np.ones_like(desired)
+    weight = np.asarray(weight, np.float64).ravel()
+    if weight.size != desired.size:
+        raise ValueError("weight must have one entry per band")
+    if type not in ("bandpass", "differentiator", "hilbert"):
+        raise ValueError(f"invalid type {type!r}")
+    sym = type == "bandpass"
+    odd = numtaps % 2 == 1
+    ftype = (1 if odd else 2) if sym else (3 if odd else 4)
+    # number of cosine-basis coefficients of P
+    if ftype == 1:
+        r = (numtaps + 1) // 2
+    elif ftype in (2, 4):
+        r = numtaps // 2
+    else:
+        r = (numtaps - 1) // 2
+    if r < 2:
+        raise ValueError("numtaps too small for this filter type")
+
+    nb = desired.size
+    delf = 0.5 / (grid_density * r)
+    # Q vanishes at f=0 for antisymmetric types and at f=1/2 for
+    # types 2 and 3: pull the offending band edge inward by one grid
+    # step (the classical Parks-McClellan edge snip).
+    lo_cut = delf if ftype >= 3 else 0.0
+    hi_cut = 0.5 - delf if ftype in (2, 3) else 0.5
+    grid, dgrid, wgrid = [], [], []
+    for b in range(nb):
+        l, u = bands[2 * b], bands[2 * b + 1]
+        l, u = max(l, lo_cut), min(u, hi_cut)
+        if u < l:
+            raise ValueError(
+                f"band {b} collapses once the Q(f)=0 edge is removed")
+        npts = max(2, int(round((u - l) / delf)) + 1) if u > l else 1
+        g = np.linspace(l, u, npts)
+        grid.append(g)
+        if type == "differentiator":
+            dgrid.append(desired[b] * g)
+            if abs(desired[b]) >= 1e-4:
+                # relative-error weighting on sloped bands (classical)
+                wgrid.append(weight[b] / g)
+            else:
+                wgrid.append(np.full_like(g, weight[b]))
+        else:
+            dgrid.append(np.full_like(g, desired[b]))
+            wgrid.append(np.full_like(g, weight[b]))
+    seg_len = [g.size for g in grid]
+    grid = np.concatenate(grid)
+    dgrid = np.concatenate(dgrid)
+    wgrid = np.concatenate(wgrid)
+    q = _pm_q(grid, ftype)
+    dgrid = dgrid / q
+    wgrid = wgrid * q          # q >= 0 on [0, 1/2]
+    x = np.cos(2.0 * np.pi * grid)
+    ngrid = grid.size
+    if ngrid < r + 1:
+        raise ValueError("bands too narrow for this numtaps/grid_density")
+
+    # band-segment boundaries: local-extremum detection must not look
+    # across the gap between two bands
+    seg_end = np.cumsum(seg_len)
+    seg_start = seg_end - np.asarray(seg_len)
+
+    ext = np.round(np.linspace(0, ngrid - 1, r + 1)).astype(int)
+    ext = np.unique(ext)
+    while ext.size < r + 1:     # duplicates from rounding on tiny grids
+        missing = np.setdiff1d(np.arange(ngrid), ext)
+        ext = np.sort(np.append(ext, missing[: r + 1 - ext.size]))
+
+    delta = 0.0
+    we_sub = ce = None
+    for _ in range(maxiter):
+        xe = x[ext]
+        w = _pm_barycentric_weights(xe)
+        alt = np.where(np.arange(r + 1) % 2 == 0, 1.0, -1.0)
+        delta = (w @ dgrid[ext]) / np.sum(alt * w / wgrid[ext])
+        ce_full = dgrid[ext] - alt * delta / wgrid[ext]
+        # degree r-1 interpolant through the first r extremals; the
+        # sub-barycentric weights fold in the dropped last node
+        we_sub = w[:r] * (xe[:r] - xe[r])
+        ce = ce_full[:r]
+        err = wgrid * (_pm_eval(x, xe[:r], ce, we_sub) - dgrid)
+
+        # candidate extremals: per-band-segment local maxima of |err|
+        cand = []
+        for s, e in zip(seg_start, seg_end):
+            seg = err[s:e]
+            n = seg.size
+            if n == 1:
+                cand.append(s)
+                continue
+            a = np.abs(seg)
+            is_max = np.ones(n, bool)
+            is_max[1:] &= a[1:] >= a[:-1]
+            is_max[:-1] &= a[:-1] >= a[1:]
+            idx = np.flatnonzero(is_max)
+            # collapse flat plateaus to one representative
+            keep = [idx[0]]
+            for i in idx[1:]:
+                if i == keep[-1] + 1 and a[i] == a[keep[-1]]:
+                    continue
+                keep.append(i)
+            cand.extend(s + i for i in keep)
+        # the current extremal nodes always alternate (E = -(-1)^i delta
+        # there by construction), so including them guarantees >= r+1
+        # alternating candidates even when delta ~ 0 makes the node
+        # values too small to register as |E| maxima
+        cand = np.union1d(np.asarray(cand), ext)
+        # enforce sign alternation: of same-sign neighbours keep larger
+        kept = [cand[0]]
+        for i in cand[1:]:
+            if np.sign(err[i]) == np.sign(err[kept[-1]]):
+                if abs(err[i]) > abs(err[kept[-1]]):
+                    kept[-1] = i
+            else:
+                kept.append(i)
+        if len(kept) < r + 1:
+            break               # converged (no spurious ripple left)
+        # trim surplus while preserving alternation: drop endpoint pairs
+        # (or the single smaller endpoint) with the smallest |err|
+        while len(kept) > r + 1:
+            if len(kept) - (r + 1) == 1:
+                drop = 0 if abs(err[kept[0]]) < abs(err[kept[-1]]) else -1
+                kept.pop(drop)
+            else:
+                if abs(err[kept[0]]) < abs(err[kept[-1]]):
+                    kept.pop(0)
+                else:
+                    kept.pop(-1)
+        new_ext = np.asarray(kept)
+        if np.array_equal(new_ext, ext):
+            break
+        ext = new_ext
+
+    # coefficient extraction: sample A(f) = Q(f) P(cos 2pi f) at the n
+    # roots of unity and inverse-DFT.  Conjugate symmetry of G is
+    # automatic: Q's sign flip across f=1/2 cancels the phase factor's.
+    n = numtaps
+    m = (n - 1) / 2.0
+    fj = np.arange(n) / n
+    aj = _pm_q(fj, ftype) * _pm_eval(np.cos(2.0 * np.pi * fj),
+                                     x[ext][:r], ce, we_sub)
+    phase = np.exp(-2j * np.pi * fj * m)
+    if not sym:
+        phase = phase * 1j
+    h = np.fft.ifft(aj * phase).real
+    if ftype == 3:
+        h[n // 2] = 0.0
+    return h
+
+
+def minimum_phase(h, method="homomorphic", n_fft=None, *, half=True):
+    """Convert a linear-phase FIR filter to minimum phase
+    (scipy.signal.minimum_phase-compatible).
+
+    'homomorphic': real cepstrum folding (Oppenheim & Schafer eq 13.42b)
+    — log-magnitude -> cepstrum -> causal fold -> exp.  With half=True
+    the log-magnitude is halved first, giving a half-length filter whose
+    magnitude is sqrt(|H|).  'hilbert': the Damera-Venkata/Evans optimal
+    construction via the discrete Hilbert transform of the log spectrum
+    (half-length only).  All math is host f64 at design time (module
+    discipline), using numpy's FFT directly.
+    """
+    h = np.asarray(h)
+    if np.iscomplexobj(h):
+        raise ValueError("complex filters are not supported")
+    if h.ndim != 1 or h.size <= 2:
+        raise ValueError("h must be 1-D and at least 3 samples long")
+    n = h.size
+    n_half = n // 2
+    if not np.allclose(h[-n_half:][::-1], h[:n_half],
+                       rtol=1e-3, atol=1e-6):
+        warnings.warn("h does not appear to be linear-phase symmetric; "
+                      "minimum-phase conversion may fail", RuntimeWarning,
+                      stacklevel=2)
+    if method not in ("homomorphic", "hilbert"):
+        raise ValueError(f"method must be 'homomorphic' or 'hilbert', "
+                         f"got {method!r}")
+    if method == "hilbert" and not half:
+        raise ValueError("half=False requires method='homomorphic'")
+    if n_fft is None:
+        # epsilon = 2*n_stop/n_fft <= 0.01 with n_stop ~ n-1 (see scipy)
+        n_fft = 2 ** int(math.ceil(math.log2(2 * (n - 1) / 0.01)))
+    n_fft = int(n_fft)
+    if n_fft < n:
+        raise ValueError(f"n_fft must be at least len(h) == {n}")
+
+    if method == "hilbert":
+        # real part of H after centering the linear phase
+        wshift = np.exp(2j * np.pi * np.arange(n_fft) * (n_half / n_fft))
+        amp = (np.fft.fft(h, n_fft) * wshift).real
+        dp = amp.max() - 1.0
+        ds = -amp.min()
+        scale = 4.0 / (math.sqrt(1 + dp + ds) + math.sqrt(1 - dp + ds)) ** 2
+        mag = np.sqrt(np.maximum((amp + ds) * scale, 0.0)) + 1e-10
+        # discrete Hilbert transform of log|H| -> minimum-phase phase
+        sgn = np.zeros(n_fft)
+        mid = n_fft // 2
+        sgn[1:mid] = 1.0
+        sgn[mid + 1:] = -1.0
+        cep = np.fft.ifft(np.log(mag))
+        h_min = np.fft.ifft(mag * np.exp(np.fft.fft(sgn * cep))).real
+    else:
+        mag = np.abs(np.fft.fft(h, n_fft))
+        mag += 1e-7 * mag[mag > 0].min()
+        logmag = np.log(mag)
+        if half:
+            logmag *= 0.5
+        cep = np.fft.ifft(logmag).real
+        # causal fold: double positive quefrencies, zero negative ones
+        win = np.zeros(n_fft)
+        win[0] = 1.0
+        win[1:n_fft // 2] = 2.0
+        if n_fft % 2:
+            win[n_fft // 2] = 1.0
+        h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
+    n_out = (n_half + n % 2) if half else n
+    return h_min[:n_out]
