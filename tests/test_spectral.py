@@ -581,3 +581,79 @@ def test_istft_fused_segment_group(rng, caplog):
     assert grp and all("group=16" in m for m in grp), msgs
     np.testing.assert_allclose(np.asarray(xr)[:, :3000], x,
                                rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# lombscargle
+# ---------------------------------------------------------------------------
+
+def _ls_data(n=300, nf=257, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 100, n))
+    y = np.sin(2.3 * x) + 0.5 * rng.standard_normal(n) + 2.0
+    f = np.linspace(0.1, 5, nf)
+    w = rng.uniform(0.5, 2.0, n)
+    return x, y, f, w
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"normalize": True},
+    {"normalize": "amplitude"},
+    {"floating_mean": True},
+    {"weights": "w"},
+    {"weights": "w", "floating_mean": True},
+    {"weights": "w", "normalize": "amplitude", "floating_mean": True},
+    {"weights": "w", "normalize": True, "floating_mean": True},
+])
+def test_lombscargle_matches_scipy(kwargs):
+    x, y, f, w = _ls_data()
+    kwargs = dict(kwargs)
+    if kwargs.get("weights") == "w":
+        kwargs["weights"] = w
+    mine = tpufft.lombscargle(x, y, f, **kwargs)
+    ref = sps.lombscargle(x, y, f, **kwargs)
+    assert isinstance(mine, np.ndarray)
+    np.testing.assert_allclose(mine, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_lombscargle_device_path():
+    x, y, f, _ = _ls_data()
+    mine = tpufft.lombscargle(jnp.asarray(x), jnp.asarray(y),
+                              jnp.asarray(f), floating_mean=True)
+    assert isinstance(mine, jax.Array)
+    ref = sps.lombscargle(x, y, f, floating_mean=True)
+    np.testing.assert_allclose(np.asarray(mine), ref, rtol=1e-8)
+    amp = tpufft.lombscargle(jnp.asarray(x), jnp.asarray(y),
+                             jnp.asarray(f), normalize="amplitude")
+    np.testing.assert_allclose(np.asarray(amp),
+                               sps.lombscargle(x, y, f,
+                                              normalize="amplitude"),
+                               rtol=0, atol=1e-10)
+
+
+def test_lombscargle_peak_detection():
+    # physical sanity: the strongest peak sits at the injected frequency
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(0, 200, 500))
+    y = np.cos(1.7 * x)
+    f = np.linspace(0.5, 3.0, 2001)
+    p = tpufft.lombscargle(x, y, f)
+    assert abs(f[np.argmax(p)] - 1.7) < 0.01
+
+
+def test_lombscargle_validation_and_deprecation():
+    x, y, f, w = _ls_data(50, 16)
+    with pytest.raises(ValueError):
+        tpufft.lombscargle(x, y[:-1], f)
+    with pytest.raises(ValueError):
+        tpufft.lombscargle(x, y, f, normalize="nope")
+    with pytest.raises(ValueError):
+        tpufft.lombscargle(x, y, f, weights=-w)
+    with pytest.raises(ValueError):
+        tpufft.lombscargle(x, y, np.zeros((2, 2)))
+    with pytest.warns(DeprecationWarning):
+        a = tpufft.lombscargle(x, y, f, precenter=True)
+    with pytest.warns(DeprecationWarning):
+        b = sps.lombscargle(x, y, f, precenter=True)
+    np.testing.assert_allclose(a, b, rtol=1e-10)

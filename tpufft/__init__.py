@@ -37,7 +37,8 @@ from .sigtools import (choose_conv_method, correlation_lags, deconvolve,
                        detrend, savgol_filter, wiener)
 from .czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
-                       istft, periodogram, spectrogram, stft, welch)
+                       istft, periodogram, spectrogram, stft, welch, lombscargle,
+)
 from .multirate import decimate, resample_poly, upfirdn
 from .iir import filtfilt, lfilter, sosfilt, sosfiltfilt
 from .design import (
@@ -69,6 +70,7 @@ __all__ = [
     "CZT", "ZoomFFT", "czt", "zoom_fft", "czt_points",
     "stft", "istft", "spectrogram", "periodogram", "welch", "csd",
     "coherence", "get_window", "check_NOLA", "check_COLA",
+    "lombscargle",
     "upfirdn", "resample_poly", "decimate", "sosfilt", "sosfiltfilt",
     "lfilter", "filtfilt", "savgol_filter",
     "hilbert2", "detrend", "deconvolve", "wiener", "correlation_lags",

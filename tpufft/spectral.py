@@ -43,7 +43,8 @@ from .kernels import mxu_fft
 from . import api
 
 __all__ = ["get_window", "stft", "istft", "spectrogram", "periodogram",
-           "welch", "csd", "coherence", "check_NOLA", "check_COLA"]
+           "welch", "csd", "coherence", "check_NOLA", "check_COLA",
+           "lombscargle"]
 
 
 def get_window(window, Nx: int, fftbins: bool = True) -> np.ndarray:
@@ -1030,3 +1031,144 @@ def coherence(x, y, fs: float = 1.0, window="hann",
         mag2 = xp.abs(Pxy) ** 2
     Cxy = mag2 / Pxx / Pyy
     return freqs, Cxy
+
+
+# ---------------------------------------------------------------------------
+# Lomb-Scargle periodogram (unevenly sampled data)
+# ---------------------------------------------------------------------------
+
+_NOVALUE = object()
+
+
+def _ls_core(xv, yv, wv, freqs, floating_mean: bool, mode: str, xp):
+    """Generalized Lomb-Scargle (Zechmeister & Kuerster 2009) sums.
+
+    One (N, F) trig tile + weighted matvecs — on device these are the
+    MXU/VPU shapes the chip wants; the tau rotation reuses the first trig
+    tile (cos(t - tau) via the angle-difference identity) instead of a
+    second transcendental pass.  Returns (a, b, tau, pgram_power, YY).
+    """
+    w = wv / xp.sum(wv)
+    wy = w * yv
+    theta = xv[:, None] * freqs[None, :]          # (N, F)
+    cos = xp.cos(theta)
+    sin = xp.sin(theta)
+    CC = w @ (cos * cos)
+    CS = w @ (cos * sin)
+    SS = 1.0 - CC
+    Y = xp.sum(wy)
+    if floating_mean:
+        C = w @ cos
+        S = w @ sin
+        CC = CC - C * C
+        SS = SS - S * S
+        CS = CS - C * S
+    tau = 0.5 * xp.arctan2(2.0 * CS, CC - SS)
+    ct, st = xp.cos(tau), xp.sin(tau)
+    cos_t = cos * ct[None, :] + sin * st[None, :]  # cos(theta - tau)
+    sin_t = sin * ct[None, :] - cos * st[None, :]
+    YC = wy @ cos_t
+    YS = wy @ sin_t
+    CC = w @ (cos_t * cos_t)
+    SS = 1.0 - CC
+    if floating_mean:
+        C = w @ cos_t
+        S = w @ sin_t
+        YC = YC - Y * C
+        YS = YS - Y * S
+        CC = CC - C * C
+        SS = SS - S * S
+    eps = xp.finfo(yv.dtype).epsneg if xp is np else float(
+        np.finfo(np.dtype(yv.dtype)).epsneg)
+    CC = xp.maximum(CC, eps)
+    SS = xp.maximum(SS, eps)
+    a = YC / CC
+    b = YS / SS
+    power = 2.0 * (a * YC + b * YS)
+    YY = xp.sum(wy * yv)
+    if floating_mean:
+        YY = YY - Y * Y
+    return a, b, tau, power, YY
+
+
+@functools.partial(jax.jit, static_argnames=("floating_mean", "mode"))
+def _ls_device(xv, yv, wv, freqs, floating_mean: bool, mode: str):
+    a, b, tau, power, YY = _ls_core(xv, yv, wv, freqs, floating_mean,
+                                    mode, jnp)
+    if mode == "power":
+        return power * (xv.shape[0] / 4.0)
+    if mode == "normalize":
+        return power * (0.5 / YY)
+    # amplitude: (a + ib) e^{i tau}, kept as planes (TPU has no complex)
+    ct, st = jnp.cos(tau), jnp.sin(tau)
+    return a * ct - b * st, a * st + b * ct
+
+
+def lombscargle(x, y, freqs, *, precenter=_NOVALUE, normalize=False,
+                weights=None, floating_mean: bool = False):
+    """Lomb-Scargle periodogram for unevenly sampled data
+    (scipy.signal.lombscargle-compatible, incl. the generalized
+    floating-mean / weighted form and the 'power'/'normalize'/'amplitude'
+    output modes).
+
+    numpy in -> host f64 numpy out (scipy-exact); jax in -> the whole
+    O(N*F) trig tile and its weighted reductions run jitted on device
+    (float32 on TPU), returning a device array — 'amplitude' returns
+    SplitComplex planes on complex-free backends.  No counterpart in the
+    reference (martinvuyk/hackathon-fft); parity target is
+    scipy/signal/_spectral_py.py:lombscargle.
+    """
+    device = _is_jax(x) or _is_jax(y) or _is_jax(freqs)
+    xp = jnp if device else np
+    if isinstance(normalize, bool):
+        mode = "normalize" if normalize else "power"
+    else:
+        mode = normalize
+    if mode not in ("power", "normalize", "amplitude"):
+        raise ValueError("normalize must be False ('power'), True "
+                         "('normalize'), or 'amplitude'")
+    if weights is None:
+        wv = np.ones(np.shape(y), np.float64)
+    else:
+        wv = np.asarray(weights, np.float64) if not _is_jax(weights) \
+            else weights
+    xv = xp.asarray(x)
+    yv = xp.asarray(y)
+    fv = xp.asarray(freqs)
+    if not device:
+        xv = xv.astype(np.float64)
+        yv = yv.astype(np.float64)
+        fv = fv.astype(np.float64)
+    wv = xp.asarray(wv)
+    if not (xv.ndim == 1 and xv.size > 0
+            and xv.shape == yv.shape == wv.shape):
+        raise ValueError("x, y, weights must be 1-D arrays of equal "
+                         "non-zero length")
+    if not (fv.ndim == 1 and fv.size > 0):
+        raise ValueError("freqs must be a 1-D array of non-zero length")
+    if not device and not (np.all(wv >= 0) and np.sum(wv) > 0):
+        raise ValueError("weights must be non-negative and sum to a "
+                         "positive value")
+    if precenter is not _NOVALUE:
+        warnings.warn("'precenter' is deprecated (scipy 1.17): pass "
+                      "y - y.mean() or use floating_mean=True",
+                      DeprecationWarning, stacklevel=2)
+        if precenter:
+            yv = yv - yv.mean()
+
+    if device:
+        out = _ls_device(xv, yv, wv, fv, bool(floating_mean), mode)
+        if mode != "amplitude":
+            return out
+        re, im = out
+        if backend_supports_complex():
+            return re + 1j * im
+        return SplitComplex(re, im)
+
+    a, b, tau, power, YY = _ls_core(xv, yv, wv, fv, bool(floating_mean),
+                                    mode, np)
+    if mode == "power":
+        return power * (xv.shape[0] / 4.0)
+    if mode == "normalize":
+        return power * (0.5 / YY)
+    return (a + 1j * b) * np.exp(1j * tau)
