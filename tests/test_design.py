@@ -418,3 +418,32 @@ def test_minimum_phase_validation():
         d.minimum_phase(ss.firwin(9, 0.3), n_fft=4)
     with pytest.warns(RuntimeWarning):
         d.minimum_phase(np.array([1.0, 2.0, 3.0, 4.0]))
+
+
+FIRLS_CASES = [
+    (31, [0, 0.2, 0.3, 1.0], [1, 1, 0, 0], None, None),
+    (51, [0, 0.1, 0.15, 0.4, 0.45, 1.0], [0, 0, 1, 1, 0, 0],
+     [1, 2, 0.5], None),
+    (71, [0, 200, 300, 500], [1, 0.8, 0, 0], None, 1000),
+    (11, [0, 0.5, 0.6, 1.0], [1, 1, 0, 0], [1, 3], None),
+]
+
+
+@pytest.mark.parametrize("numtaps,bands,des,weight,fs", FIRLS_CASES)
+def test_firls_matches_scipy(numtaps, bands, des, weight, fs):
+    kw = {} if fs is None else {"fs": fs}
+    mine = d.firls(numtaps, bands, des, weight=weight, **kw)
+    ref = ss.firls(numtaps, bands, des, weight=weight, **kw)
+    np.testing.assert_allclose(mine, ref, atol=1e-7)
+    np.testing.assert_allclose(mine, mine[::-1], atol=1e-14)  # type I
+
+
+def test_firls_validation():
+    with pytest.raises(ValueError):
+        d.firls(10, [0, 0.2, 0.3, 1.0], [1, 1, 0, 0])       # even numtaps
+    with pytest.raises(ValueError):
+        d.firls(11, [0, 0.3, 0.2, 1.0], [1, 1, 0, 0])       # non-monotonic
+    with pytest.raises(ValueError):
+        d.firls(11, [0, 0.2, 0.3, 1.0], [1, 1, 0])          # odd desired
+    with pytest.raises(ValueError):
+        d.firls(11, [0, 0.2, 0.3, 1.0], [1, 1, 0, 0], weight=[1])

@@ -42,7 +42,7 @@ from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
 from .multirate import decimate, resample_poly, upfirdn
 from .iir import filtfilt, lfilter, sosfilt, sosfiltfilt
 from .design import (
-    firwin, firwin2, remez, minimum_phase, kaiser_beta, kaiser_atten, kaiserord,
+    firwin, firwin2, firls, remez, minimum_phase, kaiser_beta, kaiser_atten, kaiserord,
     buttap, cheb1ap, cheb2ap, ellipap, besselap,
     lp2lp_zpk, lp2hp_zpk, lp2bp_zpk, lp2bs_zpk, bilinear, bilinear_zpk,
     iirfilter, butter, cheby1, cheby2, ellip, bessel,
@@ -75,7 +75,7 @@ __all__ = [
     "lfilter", "filtfilt", "savgol_filter",
     "hilbert2", "detrend", "deconvolve", "wiener", "correlation_lags",
     "choose_conv_method", "savgol_coeffs",
-    "firwin", "firwin2", "remez", "minimum_phase",
+    "firwin", "firwin2", "firls", "remez", "minimum_phase",
     "kaiser_beta", "kaiser_atten", "kaiserord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",

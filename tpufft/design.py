@@ -45,7 +45,7 @@ import warnings
 import numpy as np
 
 __all__ = [
-    "firwin", "firwin2", "remez", "minimum_phase",
+    "firwin", "firwin2", "firls", "remez", "minimum_phase",
     "kaiser_beta", "kaiser_atten", "kaiserord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
@@ -1516,3 +1516,85 @@ def minimum_phase(h, method="homomorphic", n_fft=None, *, half=True):
         h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
     n_out = (n_half + n % 2) if half else n
     return h_min[:n_out]
+
+
+def firls(numtaps, bands, desired, *, weight=None, fs=None):
+    """Least-squares linear-phase FIR design
+    (scipy.signal.firls-compatible; odd numtaps, type I).
+
+    Minimizes the integrated weighted squared error between the cosine-
+    series amplitude A(nu) = sum c_k cos(pi k nu) and the piecewise-linear
+    target over the specified bands.  The normal equations are assembled
+    from closed-form band integrals of cos and nu*cos (Toeplitz + Hankel
+    structure), solved in host f64 — same design-time discipline as the
+    rest of the module.  Parity target:
+    scipy/signal/_fir_filter_design.py:firls.
+    """
+    import operator
+    numtaps = operator.index(numtaps)
+    if numtaps % 2 == 0 or numtaps < 1:
+        raise ValueError("numtaps must be odd and >= 1")
+    if fs is None:
+        fs = 2.0
+    nyq = float(fs) / 2.0
+    M = (numtaps - 1) // 2
+    bands = np.asarray(bands, np.float64).ravel() / nyq
+    desired = np.asarray(desired, np.float64).ravel()
+    if bands.size % 2 or bands.size != desired.size:
+        raise ValueError("bands and desired must both have an even "
+                         "number of entries, one per band edge")
+    if np.any(np.diff(bands) < 0) or bands[0] < 0 or bands[-1] > 1:
+        raise ValueError("bands must be monotonic in [0, fs/2]")
+    nb = bands.size // 2
+    if weight is None:
+        weight = np.ones(nb)
+    weight = np.asarray(weight, np.float64).ravel()
+    if weight.size != nb:
+        raise ValueError("weight must have one entry per band")
+
+    def int_cos(m, l, u):
+        """integral of cos(pi m nu) over [l, u] (vector over m)."""
+        m = np.asarray(m, np.float64)
+        out = np.empty_like(m)
+        z = m == 0
+        out[z] = u - l
+        mn = m[~z] * np.pi
+        out[~z] = (np.sin(mn * u) - np.sin(mn * l)) / mn
+        return out
+
+    def int_nu_cos(m, l, u):
+        """integral of nu cos(pi m nu) over [l, u]."""
+        m = np.asarray(m, np.float64)
+        out = np.empty_like(m)
+        z = m == 0
+        out[z] = 0.5 * (u * u - l * l)
+        mn = m[~z] * np.pi
+        out[~z] = ((np.cos(mn * u) - np.cos(mn * l)) / mn ** 2
+                   + (u * np.sin(mn * u) - l * np.sin(mn * l)) / mn)
+        return out
+
+    k = np.arange(M + 1)
+    q = np.zeros(2 * M + 1)
+    b = np.zeros(M + 1)
+    for i in range(nb):
+        l, u = bands[2 * i], bands[2 * i + 1]
+        if u <= l:
+            continue
+        w = weight[i]
+        q += w * int_cos(np.arange(2 * M + 1), l, u)
+        d0, d1 = desired[2 * i], desired[2 * i + 1]
+        slope = (d1 - d0) / (u - l)
+        # D(nu) = d0 + slope*(nu - l)
+        b += w * ((d0 - slope * l) * int_cos(k, l, u)
+                  + slope * int_nu_cos(k, l, u))
+    # Q_{jk} = (q_{|j-k|} + q_{j+k}) / 2
+    Q = 0.5 * (q[np.abs(k[:, None] - k[None, :])] + q[k[:, None] + k[None, :]])
+    try:
+        c = np.linalg.solve(Q, b)
+    except np.linalg.LinAlgError:
+        c = np.linalg.lstsq(Q, b, rcond=None)[0]
+    h = np.empty(numtaps)
+    h[M] = c[0]
+    h[M + 1:] = 0.5 * c[1:]
+    h[:M] = h[M + 1:][::-1]
+    return h
