@@ -39,6 +39,7 @@ from .czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
                        istft, periodogram, spectrogram, stft, welch, lombscargle,
 )
+from .shorttime import ShortTimeFFT
 from .multirate import decimate, resample_poly, upfirdn
 from .iir import filtfilt, lfilter, sosfilt, sosfiltfilt
 from .design import (
@@ -68,6 +69,7 @@ __all__ = [
     "FilterPlan", "plan_filter", "fftconvolve",
     "hilbert", "resample", "correlate", "oaconvolve", "envelope",
     "CZT", "ZoomFFT", "czt", "zoom_fft", "czt_points",
+    "ShortTimeFFT",
     "stft", "istft", "spectrogram", "periodogram", "welch", "csd",
     "coherence", "get_window", "check_NOLA", "check_COLA",
     "lombscargle",

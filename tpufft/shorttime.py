@@ -14,10 +14,18 @@ Design (tpufft conventions, not a translation of scipy's loops):
   build).
 * Framing is one vectorized gather over a padded copy of the signal; the
   batch of frames then goes through tpufft's own transforms
-  (:func:`tpufft.api.rfft` / :func:`fft`), so numpy input rides the host
-  f64 tier (scipy-exact) and jax input rides the MXU kernel path with
-  split re/im planes — complex results on complex-free backends come
-  back as :class:`tpufft.SplitComplex`.
+  (:func:`tpufft.api.rfft` / :func:`fft`). numpy input returns numpy and
+  executes on the host backend — scipy-exact (1e-12-class) when jax x64
+  is enabled, float32 with a :class:`PrecisionDowngradeWarning`
+  otherwise. jax input rides the MXU kernel path with split re/im
+  planes — complex results on complex-free backends come back as
+  :class:`tpufft.SplitComplex`. On TPU, onesided real-input stft/istft
+  whose geometry satisfies the fused-kernel gates (``hop % 128 == 0``,
+  ``m_num % hop == 0``, ``mfft <= 1024``) route through the fused
+  overlapped-frame / overlap-add Pallas kernels
+  (:func:`tpufft.kernels.mxu_fft.build_stft_overlap` /
+  ``build_istft_ola``) — the window, phase roll, mode scaling and DFT
+  fold into one host matrix, so no frame tensor is ever materialized.
 * The overlap-add inverse is a single scatter-add (``np.add.at`` /
   ``jnp .at[].add``) of all dual-windowed inverse frames — no per-slice
   Python loop on device.
@@ -33,6 +41,7 @@ index-exact scipy-compatible surface on top of the same transform core.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -50,7 +59,17 @@ _PAD_KIND = {"zeros": "constant", "edge": "edge", "even": "reflect",
 
 
 def _canonical_dual(win: np.ndarray, hop: int) -> np.ndarray:
-    """d = win / DD, DD[k] = sum_j |win[k - j*hop]|^2 (all in-range j)."""
+    """d = win / DD, DD[k] = sum_j |win[k - j*hop]|^2 (all in-range j).
+
+    Derivation: the frame operator of a hop-shifted window system is
+    diagonal in sample space with entries DD[k]; the canonical dual is
+    its inverse applied to the window (Groechenig, "Foundations of
+    Time-Frequency Analysis", ch. 5). The invertibility guard below
+    (a relative-resolution threshold on DD) intentionally matches
+    scipy.signal._short_time_fft._calc_dual_canonical_window so that
+    the invertible/ValueError boundary is bit-identical to the scipy
+    class this module is parity-tested against.
+    """
     w2 = (win.real ** 2 + win.imag ** 2).astype(np.float64)
     DD = w2.copy()
     for j in range(hop, len(win), hop):
@@ -209,35 +228,98 @@ class ShortTimeFFT:
         self._scaling = scaling
 
     # -- index bookkeeping (scipy-exact, see module docstring) ---------
+    # The border loops below are zero-aware: a window with zero head or
+    # tail coefficients (periodic hann starts at 0) contributes nothing
+    # there, and scipy's slice accounting skips such non-contributing
+    # placements. The loop bounds and slice conventions intentionally
+    # mirror scipy.signal._short_time_fft so the integer surface is
+    # bit-identical to the class this module is parity-tested against;
+    # each loop runs at most O(m_num/hop) iterations.
+    @property
+    def _w2(self) -> np.ndarray:
+        w = self._win
+        return (w.real ** 2 + w.imag ** 2)
+
+    @functools.cached_property
+    def _border_min(self) -> tuple:
+        """(k_min, p_min): leftmost nonzero sample / slice index.
+
+        Slide slice 0 (window start at -m_num_mid) left by hop until the
+        next placement would keep no nonzero coefficient over t >= 0
+        (scipy's slice convention: the tail ``w2[k_next:]``)."""
+        w2 = self._w2
+        k, p = -self.m_num_mid, 0
+        while True:
+            k_next = k - self._hop
+            if k_next + self.m_num <= 0 or not w2[k_next:].any():
+                return k, -p
+            k, p = k_next, p + 1
+
     @property
     def p_min(self) -> int:
-        return -((self.m_num - self.m_num_mid - 1) // self._hop)
+        return self._border_min[1]
 
     @property
     def k_min(self) -> int:
-        return self.p_min * self._hop - self.m_num_mid
+        return self._border_min[0]
+
+    def _border_max(self, n: int) -> tuple:
+        """(k_max, p_max) for an n-sample signal: slide the window right
+        from the last slice centered inside the signal until the next
+        placement keeps no nonzero coefficient over t < n (the head
+        ``w2[:n - k_next]`` in scipy's convention)."""
+        m2p = self.m_num - self.m_num_mid
+        if not n >= m2p:
+            raise ValueError(f"n must be >= ceil(m_num/2) = {m2p}")
+        w2 = self._w2
+        q = n // self._hop
+        k = q * self._hop - self.m_num_mid
+        while True:
+            k_next = k + self._hop
+            if k_next >= n or not w2[:n - k_next].any():
+                return k + self.m_num, q + 1
+            k, q = k_next, q + 1
 
     def p_max(self, n: int) -> int:
-        return (n + self.m_num_mid - 1) // self._hop + 1
+        return self._border_max(n)[1]
 
     def k_max(self, n: int) -> int:
-        return (self.p_max(n) - 1) * self._hop - self.m_num_mid \
-            + self.m_num
+        return self._border_max(n)[0]
 
     def p_num(self, n: int) -> int:
         return self.p_max(n) - self.p_min
 
     @property
     def lower_border_end(self) -> tuple:
-        """(sample, slice) of the first point unaffected by left padding."""
-        p_e = -(-self.m_num_mid // self._hop)          # ceil
-        k_e = (p_e - 1) * self._hop - self.m_num_mid + self.m_num
-        return (k_e, p_e)
+        """(sample, slice) of the first point unaffected by left padding.
+
+        Tracks the first NONZERO window coefficient (m0): placements
+        whose nonzero support starts at or after t=0 are unaffected."""
+        w2 = self._w2
+        m0 = int(np.flatnonzero(w2)[0])
+        k, q = -self.m_num_mid + m0, 0
+        while k <= self._hop:
+            if k + self._hop >= 0:
+                return (k + self.m_num, q + 1)
+            k, q = k + self._hop, q + 1
+        return (0, max(self.p_min, 0))
 
     def upper_border_begin(self, n: int) -> tuple:
-        """(sample, slice) of the first slice touching the right border."""
-        p_b = (n - self.m_num + self.m_num_mid) // self._hop + 1
-        return (p_b * self._hop - self.m_num_mid, p_b)
+        """(sample, slice) of the first slice affected by right padding.
+
+        Walk slices right-to-left from the first slice past the signal
+        end until one fits (or only its zero tail sticks out)."""
+        m2p = self.m_num - self.m_num_mid
+        if not n >= m2p:
+            raise ValueError(f"n must be >= ceil(m_num/2) = {m2p}")
+        w2 = self._w2
+        q2 = n // self._hop + 1
+        q1 = max((n - self.m_num) // self._hop - 1, -1)
+        for q_ in range(q2, q1, -1):
+            k_ = q_ * self._hop + m2p
+            if k_ <= n or not w2[n - k_:].any():
+                return ((q_ + 1) * self._hop - self.m_num_mid, q_ + 1)
+        return (0, 0)
 
     def p_range(self, n: int, p0=None, p1=None) -> tuple:
         p_max = self.p_max(n)
@@ -253,6 +335,8 @@ class ShortTimeFFT:
         return p * self._hop
 
     def t(self, n: int, p0=None, p1=None, k_offset: int = 0) -> np.ndarray:
+        if not (isinstance(n, (int, np.integer)) and n > 0):
+            raise ValueError(f"n={n} is not a positive integer")
         p0, p1 = self.p_range(n, p0, p1)
         return (np.arange(p0, p1) * self._hop + k_offset) * self.T
 
@@ -262,9 +346,13 @@ class ShortTimeFFT:
             raise ValueError("axes_seq must be 'tf' or 'ft'")
         if self._fft_mode in ("onesided", "onesided2X"):
             q0, q1 = 0, self.f_pts
-        else:  # twosided / centered
-            q0 = -(self._mfft // 2) if self._fft_mode == "centered" else 0
+        elif self._fft_mode == "centered":
+            q0 = -(self._mfft // 2)
             q1 = q0 + self._mfft
+        else:
+            raise ValueError("extent requires fft_mode in ('centered', "
+                             "'onesided', 'onesided2X') — a twosided "
+                             "frequency axis has no contiguous extent")
         p0, p1 = self.p_min, self.p_max(n)
         if center_bins:
             t0, t1 = self.delta_t * (p0 - 0.5), self.delta_t * (p1 - 0.5)
@@ -298,19 +386,49 @@ class ShortTimeFFT:
                + np.arange(self.m_num)[None, :])
         return xpad[..., idx]
 
-    def _fft_frames(self, fr):
-        """_fft_func: window, optional phase roll, mode-specific FFT."""
-        xp = jnp if _is_jax(fr) else np
-        w = self._win if xp is np else jnp.asarray(self._win)
-        fr = fr * w
+    def _win_mod(self) -> np.ndarray:
+        """conj(win), zero-padded to mfft and phase-rolled (host f64).
+
+        Elementwise products commute with a shared permutation, so
+        (pad+roll frame) * _win_mod equals scipy's window-then-pad-then-
+        roll order — and lets complex windows ride the split-plane
+        device path as two real multiplies."""
+        w = np.conj(self._win)
+        wp = np.zeros(self._mfft, dtype=w.dtype)
+        wp[:self.m_num] = w
         if self._phase_shift is not None:
-            pad = self._mfft - self.m_num
-            if pad:
-                fr = xp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, pad)])
             p_s = (self._phase_shift + self.m_num_mid) % self.m_num
-            fr = xp.roll(fr, -p_s, axis=-1)
+            if p_s:
+                wp = np.roll(wp, -p_s)
+        return wp
+
+    def _fft_frames(self, fr):
+        """_fft_func: conj window, phase roll, mode-specific FFT."""
+        xp = jnp if _is_jax(fr) else np
+        pad = self._mfft - self.m_num
+        if pad:
+            fr = xp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, pad)])
+        if self._phase_shift is not None:
+            p_s = (self._phase_shift + self.m_num_mid) % self.m_num
+            if p_s:
+                fr = xp.roll(fr, -p_s, axis=-1)
+        wm = self._win_mod()
+        if not np.iscomplexobj(wm):
+            fr = fr * (wm if xp is np else jnp.asarray(wm))
+        elif xp is np or backend_supports_complex():
+            fr = fr * (wm if xp is np else jnp.asarray(wm))
+        else:
+            # complex window on a complex-free device backend: two real
+            # multiplies (complex jax input cannot exist there)
+            fr = SplitComplex(fr * jnp.asarray(wm.real),
+                              fr * jnp.asarray(wm.imag))
         if self.onesided_fft:
             X = api.rfft(fr, self._mfft)
+            if xp is np and isinstance(X, jax.Array):
+                # numpy in -> numpy out (the CPU backend has complex
+                # dtypes, so the api returns a jax array there); copy —
+                # the onesided2X branch below mutates in place
+                X = np.array(X)
             if self._fft_mode == "onesided2X":
                 fac = math.sqrt(2) if self._scaling == "psd" else 2.0
                 sl = slice(1, -1 if self._mfft % 2 == 0 else None)
@@ -318,12 +436,16 @@ class ShortTimeFFT:
                     re = X.re.at[..., sl].multiply(fac)
                     im = X.im.at[..., sl].multiply(fac)
                     X = SplitComplex(re, im)
-                elif xp is np:
-                    X[..., sl] *= fac
-                else:
+                elif isinstance(X, jax.Array):
                     X = X.at[..., sl].multiply(fac)
+                else:
+                    if not X.flags.writeable:
+                        X = X.copy()
+                    X[..., sl] *= fac
             return X
         X = api.fft(fr, self._mfft)
+        if xp is np and isinstance(X, jax.Array):
+            X = np.asarray(X)
         if self._fft_mode == "centered":
             sh = self._mfft // 2
             if isinstance(X, SplitComplex):
@@ -359,6 +481,9 @@ class ShortTimeFFT:
                 else:
                     X = xp.roll(X, sh, axis=-1)
             fr = api.ifft(X, self._mfft)
+        if xp is np and isinstance(fr, jax.Array):
+            # numpy in -> numpy out (see _fft_frames)
+            fr = np.asarray(fr)
         if self._phase_shift is not None:
             p_s = (self._phase_shift + self.m_num_mid) % self.m_num
             if isinstance(fr, SplitComplex):
@@ -408,11 +533,18 @@ class ShortTimeFFT:
                 raise ValueError("detr must be 'linear', 'constant', or "
                                  "a callable")
         X = self._fft_frames(fr)
-        # (..., p, f) -> (..., f, p)
+
+        # (..., p, f) -> (..., f, p); then the frequency axis replaces
+        # the data axis (scipy: time slices always trail)
+        def _place(a, ap):
+            a = ap.swapaxes(a, -1, -2)
+            if x.ndim > 1:
+                a = ap.moveaxis(a, -2, axis if axis >= 0 else axis - 1)
+            return a
+
         if isinstance(X, SplitComplex):
-            return SplitComplex(jnp.swapaxes(X.re, -1, -2),
-                                jnp.swapaxes(X.im, -1, -2))
-        return (jnp if _is_jax(X) else np).swapaxes(X, -1, -2)
+            return SplitComplex(_place(X.re, jnp), _place(X.im, jnp))
+        return _place(X, jnp if _is_jax(X) else np)
 
     def spectrogram(self, x, y=None, detr=None, *, p0=None, p1=None,
                     k_offset: int = 0, padding: str = "zeros",
@@ -463,6 +595,9 @@ class ShortTimeFFT:
         if not (self.k_min <= k0 < k1 <= k_max):
             raise ValueError(f"need k_min={self.k_min} <= k0 < k1 <= "
                              f"{k_max}, got k0={k0}, k1={k1}")
+        if k1 - k0 < n_min:
+            raise ValueError(f"k1 - k0 = {k1 - k0} must be at least half "
+                             f"the window length ({n_min})")
         # (..., f, p) -> (..., p, f) -> inverse frames (..., p, m_num)
         if is_split:
             S = SplitComplex(jnp.swapaxes(S.re, -1, -2),
@@ -472,8 +607,13 @@ class ShortTimeFFT:
         fr = self._ifft_frames(S)
         dual = self.dual_win
         if isinstance(fr, SplitComplex):
-            d = jnp.asarray(dual)
-            contrib_re, contrib_im = fr.re * d, fr.im * d
+            if np.iscomplexobj(dual):
+                dr, di = jnp.asarray(dual.real), jnp.asarray(dual.imag)
+                contrib_re = fr.re * dr - fr.im * di
+                contrib_im = fr.re * di + fr.im * dr
+            else:
+                d = jnp.asarray(dual)
+                contrib_re, contrib_im = fr.re * d, fr.im * d
         else:
             contrib_re = fr * (dual if xp is np else xp.asarray(dual))
             contrib_im = None
@@ -497,9 +637,20 @@ class ShortTimeFFT:
             return out.at[..., idxc].add(contrib)
 
         out_re = ola(contrib_re)
-        if contrib_im is not None:
-            return SplitComplex(out_re, ola(contrib_im))
-        if xp is np and np.iscomplexobj(out_re) \
+        out_im = None if contrib_im is None else ola(contrib_im)
+        if xp is np and out_im is None and np.iscomplexobj(out_re) \
                 and self._fft_mode in ("onesided", "onesided2X"):
-            return out_re.real
+            out_re = out_re.real
+
+        # scipy axis contract: for batched S the reconstructed time axis
+        # lands where the frequency axis was (or the time axis if f was
+        # last); 1-D output stays 1-D
+        out_ndim = ndim - 1
+        if out_ndim > 1:
+            dst = fa if fa < out_ndim else ta
+            mv = jnp.moveaxis if xp is jnp else np.moveaxis
+            out_re = mv(out_re, -1, dst)
+            out_im = None if out_im is None else mv(out_im, -1, dst)
+        if out_im is not None:
+            return SplitComplex(out_re, out_im)
         return out_re
