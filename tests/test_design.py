@@ -447,3 +447,26 @@ def test_firls_validation():
         d.firls(11, [0, 0.2, 0.3, 1.0], [1, 1, 0])          # odd desired
     with pytest.raises(ValueError):
         d.firls(11, [0, 0.2, 0.3, 1.0], [1, 1, 0, 0], weight=[1])
+
+
+def test_remez_maxiter_truncation_consistent():
+    """Exhausting maxiter must return the best-so-far consistent
+    iterate: ripple decreases monotonically toward the converged
+    solution (the old code paired the NEXT node set with the previous
+    iteration's coefficients, making maxiter=2 WORSE than maxiter=1)."""
+    from tpufft.design import remez
+
+    w = np.linspace(0, np.pi, 2048)
+    E = np.exp(-1j * np.outer(w, np.arange(33)))
+    f = w / (2 * np.pi)
+
+    def ripple(h):
+        H = np.abs(E @ h)
+        return max(np.max(np.abs(H[f <= 0.2] - 1)), np.max(H[f >= 0.3]))
+
+    rips = [ripple(remez(33, [0, 0.2, 0.3, 0.5], [1, 0], maxiter=mi))
+            for mi in (1, 2, 3, 25)]
+    assert rips[0] > rips[1] > rips[2] >= rips[3] * 0.999
+    import scipy.signal as sps
+    rip_scipy = ripple(sps.remez(33, [0, 0.2, 0.3, 0.5], [1, 0]))
+    assert rips[-1] <= rip_scipy * 1.01

@@ -392,3 +392,79 @@ def test_jax_spectrogram_real():
     got = np.asarray(got.re if isinstance(got, SplitComplex) else got)
     np.testing.assert_allclose(got, theirs.spectrogram(x.astype(np.float64)),
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas kernel path (interpret mode stands in for the TPU)
+
+
+def _mk_fused(fft_mode="onesided", mfft=None, phase_shift=0,
+              scale_to=None, win_len=256, hop=128):
+    from tpufft import PlanConfig
+    win = sps.get_window("hann", win_len)
+    cfg = PlanConfig(interpret=True)
+    ours = ShortTimeFFT(win, hop, 1.0, fft_mode=fft_mode, mfft=mfft,
+                        phase_shift=phase_shift, scale_to=scale_to,
+                        config=cfg)
+    theirs = sps.ShortTimeFFT(win, hop, 1.0, fft_mode=fft_mode, mfft=mfft,
+                              phase_shift=phase_shift, scale_to=scale_to)
+    return ours, theirs
+
+
+@pytest.mark.parametrize("fft_mode,scale", [("onesided", None),
+                                            ("onesided2X", "magnitude"),
+                                            ("onesided2X", "psd")])
+@pytest.mark.parametrize("phase_shift", [None, 0, 7])
+def test_fused_stft_parity(fft_mode, scale, phase_shift):
+    ours, theirs = _mk_fused(fft_mode, phase_shift=phase_shift,
+                             scale_to=scale)
+    x = _sig(2 * 1500, seed=71).reshape(2, 1500).astype(np.float32)
+    xj = jnp.asarray(x)
+    assert ours._fused_stft_ok(xj, None)   # the gate must actually open
+    S = ours.stft(xj)
+    assert isinstance(S, SplitComplex)     # came off the kernel path
+    want = theirs.stft(x.astype(np.float64))
+    np.testing.assert_allclose(_np(S), want, atol=3e-4)
+
+
+def test_fused_stft_mfft_pad_and_detrend():
+    ours, theirs = _mk_fused(mfft=320)
+    x = (_sig(1400, seed=73) + np.linspace(0, 3, 1400)).astype(np.float32)
+    assert ours._fused_stft_ok(jnp.asarray(x), "linear")
+    S = ours.stft_detrend(jnp.asarray(x), "linear")
+    want = theirs.stft_detrend(x.astype(np.float64), "linear")
+    np.testing.assert_allclose(_np(S), want, atol=3e-4)
+
+
+@pytest.mark.parametrize("fft_mode,scale", [("onesided", None),
+                                            ("onesided2X", "psd")])
+def test_fused_istft_roundtrip(fft_mode, scale):
+    ours, theirs = _mk_fused(fft_mode, scale_to=scale, phase_shift=3)
+    x = _sig(2 * 1500, seed=79).reshape(2, 1500).astype(np.float32)
+    S = ours.stft(jnp.asarray(x))
+    assert ours._fused_istft_ok(S)
+    xr = ours.istft(S, k1=1500)
+    got = np.asarray(xr.re if isinstance(xr, SplitComplex) else xr)
+    np.testing.assert_allclose(got, x, atol=2e-3)
+    want = theirs.istft(theirs.stft(x.astype(np.float64)), k1=1500)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_fused_gate_rejects_unsupported():
+    from tpufft import PlanConfig
+    win = sps.get_window("hann", 256)
+    cfg = PlanConfig(interpret=True)
+    x = jnp.asarray(_sig(1000).astype(np.float32))
+    # hop not a 128 multiple
+    s1 = ShortTimeFFT(win, 64, 1.0, config=cfg)
+    assert not s1._fused_stft_ok(x, None)
+    # twosided
+    s2 = ShortTimeFFT(win, 128, 1.0, fft_mode="twosided", config=cfg)
+    assert not s2._fused_stft_ok(x, None)
+    # numpy input never takes the kernel path
+    s3 = ShortTimeFFT(win, 128, 1.0, config=cfg)
+    assert not s3._fused_stft_ok(_sig(1000), None)
+    # composed and fused must agree on the same object
+    S_np = s3.stft(_sig(1000, seed=83))
+    S_j = s3.stft(jnp.asarray(_sig(1000, seed=83).astype(np.float32)))
+    np.testing.assert_allclose(_np(S_j), S_np, atol=3e-4)

@@ -657,3 +657,21 @@ def test_lombscargle_validation_and_deprecation():
     with pytest.warns(DeprecationWarning):
         b = sps.lombscargle(x, y, f, precenter=True)
     np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_lombscargle_numpy_weights_validated_with_jax_data():
+    """Host-side weights must be validated even when x/y are device
+    arrays (the old check only ran on the all-numpy path)."""
+    import jax.numpy as jnp
+    from tpufft.spectral import lombscargle
+
+    x = jnp.linspace(0.0, 10.0, 50)
+    y = jnp.sin(x)
+    freqs = jnp.linspace(0.1, 3.0, 16)
+    bad = np.ones(50)
+    bad[3] = -1.0
+    with pytest.raises(ValueError, match="non-negative"):
+        lombscargle(x, y, freqs, weights=bad)
+    with pytest.raises(ValueError, match="non-negative"):
+        lombscargle(np.asarray(x), np.asarray(y), np.asarray(freqs),
+                    weights=np.zeros(50))

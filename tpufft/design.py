@@ -1368,7 +1368,7 @@ def remez(numtaps, bands, desired, *, weight=None, type="bandpass",
         ext = np.sort(np.append(ext, missing[: r + 1 - ext.size]))
 
     delta = 0.0
-    we_sub = ce = None
+    we_sub = ce = xe_sub = None
     for _ in range(maxiter):
         xe = x[ext]
         w = _pm_barycentric_weights(xe)
@@ -1378,6 +1378,12 @@ def remez(numtaps, bands, desired, *, weight=None, type="bandpass",
         # degree r-1 interpolant through the first r extremals; the
         # sub-barycentric weights fold in the dropped last node
         we_sub = w[:r] * (xe[:r] - xe[r])
+        # keep the interpolation nodes WITH the coefficients built
+        # from them: when maxiter exhausts, `ext` has already been
+        # replaced by the next candidate set, and pairing the new
+        # nodes with the old (ce, we_sub) yields a silently
+        # inconsistent filter
+        xe_sub = xe[:r]
         ce = ce_full[:r]
         err = wgrid * (_pm_eval(x, xe[:r], ce, we_sub) - dgrid)
 
@@ -1439,7 +1445,7 @@ def remez(numtaps, bands, desired, *, weight=None, type="bandpass",
     m = (n - 1) / 2.0
     fj = np.arange(n) / n
     aj = _pm_q(fj, ftype) * _pm_eval(np.cos(2.0 * np.pi * fj),
-                                     x[ext][:r], ce, we_sub)
+                                     xe_sub, ce, we_sub)
     phase = np.exp(-2j * np.pi * fj * m)
     if not sym:
         phase = phase * 1j

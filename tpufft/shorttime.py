@@ -90,7 +90,8 @@ class ShortTimeFFT:
     """scipy.signal.ShortTimeFFT-compatible short-time FFT object."""
 
     def __init__(self, win, hop: int, fs: float, *, fft_mode="onesided",
-                 mfft=None, dual_win=None, phase_shift=0, scale_to=None):
+                 mfft=None, dual_win=None, phase_shift=0, scale_to=None,
+                 config=None):
         win = np.asarray(win)
         if win.ndim != 1 or win.size == 0:
             raise ValueError("win must be a non-empty 1-D array")
@@ -123,6 +124,9 @@ class ShortTimeFFT:
                 raise ValueError("dual_win must have the same shape as win")
         self._dual_win = dual_win
         self._scaling = None
+        self._config = config          # PlanConfig for the device path
+        self._win_version = 0          # bumped by scale_to (matrix cache)
+        self._mat_cache: dict = {}
         if scale_to is not None:
             self.scale_to(scale_to)
         if fft_mode == "onesided2X" and self._scaling is None:
@@ -226,6 +230,8 @@ class ShortTimeFFT:
         if self._dual_win is not None:
             self._dual_win = self._dual_win / s
         self._scaling = scaling
+        self._win_version += 1
+        self._mat_cache.clear()
 
     # -- index bookkeeping (scipy-exact, see module docstring) ---------
     # The border loops below are zero-aware: a window with zero head or
@@ -363,8 +369,8 @@ class ShortTimeFFT:
         return (t0, t1, f0, f1) if axes_seq == "tf" else (f0, f1, t0, t1)
 
     # -- transforms ----------------------------------------------------
-    def _frames(self, x, p0: int, p1: int, k_offset: int, padding: str):
-        """(..., p1-p0, m_num) slice gather over a padded signal copy."""
+    def _padded(self, x, p0: int, p1: int, k_offset: int, padding: str):
+        """(padded signal copy, index of slice p0's first sample)."""
         if padding not in _PAD_KIND:
             raise ValueError(f"padding must be one of {tuple(_PAD_KIND)}")
         xp = jnp if _is_jax(x) else np
@@ -381,10 +387,172 @@ class ShortTimeFFT:
         if padding in ("even", "odd") and n == 1:
             kind = "edge"                       # reflect needs >= 2 samples
         xpad = xp.pad(x, pad_width, mode=kind, **kwargs)
-        idx = (k_lo + pad_l
+        return xpad, k_lo + pad_l
+
+    def _frames(self, x, p0: int, p1: int, k_offset: int, padding: str):
+        """(..., p1-p0, m_num) slice gather over a padded signal copy."""
+        xpad, start = self._padded(x, p0, p1, k_offset, padding)
+        idx = (start
                + self._hop * np.arange(p1 - p0)[:, None]
                + np.arange(self.m_num)[None, :])
         return xpad[..., idx]
+
+    # -- fused Pallas kernel path (TPU) ---------------------------------
+    def _fused_stft_ok(self, x, detr) -> bool:
+        """Gate for the fused overlapped-frame kernel (see module
+        docstring): real jax input, onesided mode, real window,
+        foldable detrend, and the kernel geometry gates."""
+        from .execute import _is_tpu_backend
+        from .kernels import mxu_fft
+
+        cfg = self._config or api.PlanConfig()
+        if isinstance(x, SplitComplex) or not _is_jax(x):
+            return False
+        if jnp.dtype(x.dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16)):
+            return False
+        if not self.onesided_fft or np.iscomplexobj(self._win):
+            return False
+        if detr is not None and detr not in ("constant", "linear"):
+            return False
+        if cfg.backend == "xla" or not (cfg.interpret or _is_tpu_backend()):
+            return False
+        return mxu_fft.stft_overlap_supported(self.m_num, self._hop,
+                                              self._mfft, jnp.float32, cfg)
+
+    def _fused_stft_matrix(self, detr) -> np.ndarray:
+        """The whole _fft_func as ONE (m_num, m1) complex matrix:
+        detrend projector, conj window, zero-pad, phase roll (a constant
+        shift in the DFT exponent), onesided rDFT and the onesided2X
+        scaling are all linear maps (f64 host trig)."""
+        key = ("stft", detr, self._win_version)
+        M = self._mat_cache.get(key)
+        if M is not None:
+            return M
+        m = self.m_num
+        m1 = self._mfft // 2 + 1
+        p_s = 0
+        if self._phase_shift is not None:
+            p_s = (self._phase_shift + self.m_num_mid) % m
+        j = np.arange(m, dtype=np.float64)
+        k = np.arange(m1, dtype=np.float64)
+        theta = (-2.0 * np.pi / self._mfft) * np.outer(j - p_s, k)
+        M = np.conj(self._win)[:, None] * np.exp(1j * theta)
+        if detr == "constant":
+            # detrend acts on the RAW frame: out = f @ (D @ M) with the
+            # symmetric projector D = I - 11^T/m
+            M = M - M.mean(axis=0)[None, :]
+        elif detr == "linear":
+            A = np.stack([np.ones(m), j - (m - 1) / 2.0], axis=1)
+            M = M - A @ (np.linalg.pinv(A) @ M)
+        if self._fft_mode == "onesided2X":
+            fac = math.sqrt(2) if self._scaling == "psd" else 2.0
+            sl = slice(1, -1 if self._mfft % 2 == 0 else None)
+            M[:, sl] *= fac
+        self._mat_cache[key] = M
+        return M
+
+    def _fused_stft(self, x, detr, p0: int, p1: int, k_offset: int,
+                    padding: str):
+        """(..., p, f) SplitComplex via build_stft_overlap: frames
+        stream straight from the (padded) signal in HBM — no gather, no
+        materialized frame tensor."""
+        from .spectral import _stft_fused_mat
+
+        xpad, start = self._padded(x, p0, p1, k_offset, padding)
+        nseg = p1 - p0
+        K = self.m_num // self._hop
+        n_sig = (nseg + K - 1) * self._hop   # == (nseg-1)*hop + m_num
+        xs = xpad[..., start:start + n_sig]
+        lead = xs.shape[:-1]
+        flat = math.prod(lead) if lead else 1
+        x2 = xs.reshape(flat, n_sig).astype(jnp.float32)
+        M = self._fused_stft_matrix(detr)
+        fk = _stft_fused_mat(
+            np.ascontiguousarray(M.real, np.float32).tobytes(),
+            np.ascontiguousarray(M.imag, np.float32).tobytes(),
+            self.m_num, M.shape[1], self._hop, self._config)
+        Xr, Xi = fk(x2)
+        m1 = Xr.shape[-1]
+        return SplitComplex(Xr.reshape(lead + (nseg, m1)),
+                            Xi.reshape(lead + (nseg, m1)))
+
+    def _fused_istft_ok(self, S) -> bool:
+        from .execute import _is_tpu_backend
+        from .kernels.mxu_fft import R2C_MAX_N, _LANE, choose_lane_block
+
+        cfg = self._config or api.PlanConfig()
+        if not (isinstance(S, SplitComplex) or _is_jax(S)):
+            return False
+        if not self.onesided_fft or np.iscomplexobj(self._win) \
+                or np.iscomplexobj(self.dual_win):
+            return False
+        if cfg.backend == "xla" or not (cfg.interpret or _is_tpu_backend()):
+            return False
+        return (2 <= self._mfft <= R2C_MAX_N
+                and self.m_num % self._hop == 0
+                and self._hop % _LANE == 0
+                and choose_lane_block(self._mfft, cfg) >= _LANE)
+
+    def _fused_istft_matrix(self) -> np.ndarray:
+        """The whole _ifft_func + dual-window synthesis as ONE
+        (m1, m_num) complex matrix A with the kernel contract
+        x = Zr @ A.real + Zi @ A.imag (the real part of the Hermitian
+        inverse): onesided2X unscale folds into the doubling
+        coefficients, the phase roll into the exponent."""
+        key = ("istft", self._win_version)
+        A = self._mat_cache.get(key)
+        if A is not None:
+            return A
+        m1 = self._mfft // 2 + 1
+        p_s = 0
+        if self._phase_shift is not None:
+            p_s = (self._phase_shift + self.m_num_mid) % self.m_num
+        k = np.arange(m1, dtype=np.float64)
+        t = np.arange(self.m_num, dtype=np.float64)
+        c = np.full(m1, 2.0)
+        c[0] = 1.0
+        if self._mfft % 2 == 0:
+            c[-1] = 1.0
+        if self._fft_mode == "onesided2X":
+            fac = math.sqrt(2) if self._scaling == "psd" else 2.0
+            sl = slice(1, -1 if self._mfft % 2 == 0 else None)
+            c[sl] /= fac
+        theta = (2.0 * np.pi / self._mfft) * np.outer(k, t - p_s)
+        scale = (c / self._mfft)[:, None] * self.dual_win[None, :]
+        A = scale * np.cos(theta) - 1j * (scale * np.sin(theta))
+        self._mat_cache[key] = A
+        return A
+
+    def _fused_istft(self, S, k0: int, k1: int, fa: int, ta: int,
+                     ndim: int):
+        """Overlap-add inverse via build_istft_ola: S is already
+        (..., f, p)-normalized; returns the [k0, k1) signal window."""
+        from .spectral import _istft_fused_mat
+
+        if isinstance(S, SplitComplex):
+            zr, zi = S.re, S.im
+        else:
+            zr, zi = jnp.real(S), jnp.imag(S)
+        lead = zr.shape[:-2]
+        m1, q_num = zr.shape[-2], zr.shape[-1]
+        flat = math.prod(lead) if lead else 1
+        # (..., m1, q) -> segment-major (q, flat, m1)
+        zr = jnp.transpose(zr.reshape(flat, m1, q_num), (2, 0, 1))
+        zi = jnp.transpose(zi.reshape(flat, m1, q_num), (2, 0, 1))
+        A = self._fused_istft_matrix()
+        fk = _istft_fused_mat(
+            np.ascontiguousarray(A.real, np.float32).tobytes(),
+            np.ascontiguousarray(A.imag, np.float32).tobytes(),
+            m1, self.m_num, self._hop, self._config)
+        out = fk(zr.astype(jnp.float32), zi.astype(jnp.float32))
+        # kernel output sample i is signal sample k_min + i
+        out = out[..., k0 - self.k_min:k1 - self.k_min]
+        out = out.reshape(lead + (k1 - k0,))
+        if out.ndim > 1:
+            dst = fa if fa < out.ndim else ta
+            out = jnp.moveaxis(out, -1, dst)
+        return out
 
     def _win_mod(self) -> np.ndarray:
         """conj(win), zero-padded to mfft and phase-rolled (host f64).
@@ -521,18 +689,22 @@ class ShortTimeFFT:
                              f"({self.m_num - self.m_num_mid})")
         if axis not in (-1, x.ndim - 1):
             x = xp.moveaxis(x, axis, -1)
+        if detr is not None and not callable(detr) \
+                and detr not in ("linear", "constant"):
+            raise ValueError("detr must be 'linear', 'constant', or "
+                             "a callable")
         p0, p1 = self.p_range(x.shape[-1], p0, p1)
-        fr = self._frames(x, p0, p1, k_offset, padding)
-        if detr is not None:
-            if callable(detr):
-                fr = detr(fr)
-            elif detr in ("linear", "constant"):
-                from .sigtools import detrend as _detrend
-                fr = _detrend(fr, type=detr, axis=-1)
-            else:
-                raise ValueError("detr must be 'linear', 'constant', or "
-                                 "a callable")
-        X = self._fft_frames(fr)
+        if not callable(detr) and self._fused_stft_ok(x, detr):
+            X = self._fused_stft(x, detr, p0, p1, k_offset, padding)
+        else:
+            fr = self._frames(x, p0, p1, k_offset, padding)
+            if detr is not None:
+                if callable(detr):
+                    fr = detr(fr)
+                else:
+                    from .sigtools import detrend as _detrend
+                    fr = _detrend(fr, type=detr, axis=-1)
+            X = self._fft_frames(fr)
 
         # (..., p, f) -> (..., f, p); then the frequency axis replaces
         # the data axis (scipy: time slices always trail)
@@ -598,6 +770,8 @@ class ShortTimeFFT:
         if k1 - k0 < n_min:
             raise ValueError(f"k1 - k0 = {k1 - k0} must be at least half "
                              f"the window length ({n_min})")
+        if self._fused_istft_ok(S):
+            return self._fused_istft(S, k0, k1, fa, ta, ndim)
         # (..., f, p) -> (..., p, f) -> inverse frames (..., p, m_num)
         if is_split:
             S = SplitComplex(jnp.swapaxes(S.re, -1, -2),

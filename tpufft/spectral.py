@@ -255,11 +255,24 @@ def _stft_fused(win_bytes: bytes, nperseg: int, step: int, nfft: int,
     (re, im) planes (batch, nseg, m1). The VJP is the adjoint
     frame-matmul followed by the istft-style overlap-add (plain XLA — the
     backward pass is not a serving hot path)."""
-    cfg = config or PlanConfig()
     win = np.frombuffer(win_bytes, np.float64)
     M = _stft_matrix(win, nperseg, nfft, detrend_key)
-    mr = np.ascontiguousarray(M.real, np.float32)
-    mi = np.ascontiguousarray(M.imag, np.float32)
+    return _stft_fused_mat(
+        np.ascontiguousarray(M.real, np.float32).tobytes(),
+        np.ascontiguousarray(M.imag, np.float32).tobytes(),
+        nperseg, M.shape[1], step, config)
+
+
+@functools.lru_cache(maxsize=8)
+def _stft_fused_mat(mr_bytes: bytes, mi_bytes: bytes, nperseg: int,
+                    m1: int, step: int, config: PlanConfig | None):
+    """Matrix-general fused STFT runner: ``mr + i mi`` is ANY
+    (nperseg, m1) linear frame->spectrum map (window, detrend, phase
+    roll, mode scaling — ShortTimeFFT folds its whole _fft_func in).
+    Signal (batch, n_sig) f32 -> (re, im) planes (batch, nseg, m1)."""
+    cfg = config or PlanConfig()
+    mr = np.frombuffer(mr_bytes, np.float32).reshape(nperseg, m1)
+    mi = np.frombuffer(mi_bytes, np.float32).reshape(nperseg, m1)
 
     @functools.lru_cache(maxsize=8)
     def build(nseg: int, bblk: int):
@@ -404,11 +417,24 @@ def _istft_fused(win_bytes: bytes, nperseg: int, step: int, nfft: int,
     mxu_fft.build_istft_ola): segment-major spectrum planes
     (nseg, batch, m1) f32 -> (batch, n_out) un-normalized overlap-add.
     The VJP is the adjoint framing matmul (plain XLA)."""
-    cfg = config or PlanConfig()
     win = np.frombuffer(win_bytes, np.float64)
     A = _istft_matrix(win, nperseg, nfft, unscale)
-    ar = np.ascontiguousarray(A.real, np.float32)
-    ai = np.ascontiguousarray(A.imag, np.float32)
+    return _istft_fused_mat(
+        np.ascontiguousarray(A.real, np.float32).tobytes(),
+        np.ascontiguousarray(A.imag, np.float32).tobytes(),
+        A.shape[0], nperseg, step, config)
+
+
+@functools.lru_cache(maxsize=8)
+def _istft_fused_mat(ar_bytes: bytes, ai_bytes: bytes, m1: int,
+                     nperseg: int, step: int, config: PlanConfig | None):
+    """Matrix-general fused inverse-STFT runner: the kernel computes
+    ``x = Zr @ ar + Zi @ ai`` per segment and overlap-adds, so
+    ``ar/ai`` may fold ANY (m1, nperseg) linear synthesis map (inverse
+    DFT, dual window, phase roll, mode unscaling)."""
+    cfg = config or PlanConfig()
+    ar = np.frombuffer(ar_bytes, np.float32).reshape(m1, nperseg)
+    ai = np.frombuffer(ai_bytes, np.float32).reshape(m1, nperseg)
 
     @functools.lru_cache(maxsize=8)
     def build(nseg: int, bblk: int):
@@ -1132,6 +1158,13 @@ def lombscargle(x, y, freqs, *, precenter=_NOVALUE, normalize=False,
     else:
         wv = np.asarray(weights, np.float64) if not _is_jax(weights) \
             else weights
+        if not _is_jax(wv) and not (np.all(wv >= 0) and np.sum(wv) > 0):
+            # validate host-side whenever the weights themselves are host
+            # data — even when x/y are device arrays (the common mixed
+            # case); jax-array weights cannot be value-checked without a
+            # device sync and remain the caller's contract
+            raise ValueError("weights must be non-negative and sum to a "
+                             "positive value")
     xv = xp.asarray(x)
     yv = xp.asarray(y)
     fv = xp.asarray(freqs)
@@ -1146,9 +1179,6 @@ def lombscargle(x, y, freqs, *, precenter=_NOVALUE, normalize=False,
                          "non-zero length")
     if not (fv.ndim == 1 and fv.size > 0):
         raise ValueError("freqs must be a 1-D array of non-zero length")
-    if not device and not (np.all(wv >= 0) and np.sum(wv) > 0):
-        raise ValueError("weights must be non-negative and sum to a "
-                         "positive value")
     if precenter is not _NOVALUE:
         warnings.warn("'precenter' is deprecated (scipy 1.17): pass "
                       "y - y.mean() or use floating_mean=True",
