@@ -1,0 +1,115 @@
+"""Native window functions (tpufft/windows.py) vs scipy.signal.
+
+Covers VERDICT round-4 item 3: the default spectral surface must work on
+a jax+numpy-only install. Parity target: scipy/signal/windows/_windows.py
+(no counterpart in the reference)."""
+
+import sys
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from tpufft.windows import get_window
+
+NOPARAM = ["boxcar", "triang", "bartlett", "hann", "hamming", "blackman",
+           "blackmanharris", "nuttall", "flattop", "barthann", "cosine",
+           "bohman", "parzen", "lanczos", "tukey", "exponential"]
+PARAM = [("kaiser", 8.6), ("kaiser", 0.5), ("gaussian", 7.0),
+         ("general_gaussian", 1.5, 5.0), ("general_hamming", 0.7),
+         ("tukey", 0.25), ("tukey", 0.75), ("exponential", None, 3.0),
+         ("general_cosine", (0.4, 0.5, 0.1))]
+
+
+@pytest.mark.parametrize("name", NOPARAM)
+@pytest.mark.parametrize("M", [1, 2, 7, 64, 255, 256])
+@pytest.mark.parametrize("fftbins", [True, False])
+def test_noparam_parity(name, M, fftbins):
+    got = get_window(name, M, fftbins=fftbins)
+    want = sps.get_window(name, M, fftbins=fftbins)
+    np.testing.assert_allclose(got, want, atol=1e-15)
+    assert got.dtype == np.float64
+
+
+@pytest.mark.parametrize("spec", PARAM)
+@pytest.mark.parametrize("M", [8, 65, 128])
+@pytest.mark.parametrize("fftbins", [True, False])
+def test_param_parity(spec, M, fftbins):
+    got = get_window(spec, M, fftbins=fftbins)
+    want = sps.get_window(spec, M, fftbins=fftbins)
+    np.testing.assert_allclose(got, want, atol=1e-15)
+
+
+def test_aliases_and_float_beta():
+    np.testing.assert_allclose(get_window("han", 32), get_window("hann", 32))
+    np.testing.assert_allclose(get_window("blk", 32),
+                               sps.get_window("blackman", 32))
+    # bare float means kaiser(beta), scipy semantics
+    np.testing.assert_allclose(get_window(8.6, 64), sps.get_window(8.6, 64))
+
+
+def test_scipy_only_fallback():
+    # chebwin needs scipy.special; routes through the fallback
+    got = get_window(("chebwin", 100), 64)
+    want = sps.get_window(("chebwin", 100), 64)
+    np.testing.assert_allclose(got, want, atol=1e-15)
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        get_window("hann", -3)
+    with pytest.raises(ValueError):
+        get_window(("hann", 0.5), 32)        # hann takes no parameters
+    with pytest.raises(ValueError):
+        get_window(("kaiser",), 32)          # kaiser requires beta
+    with pytest.raises(ValueError):
+        get_window((), 32)
+    with pytest.raises(ValueError):
+        get_window(np.ones(32), 32)          # arrays rejected like scipy
+
+
+class _BlockScipy:
+    """Context manager: make every (re-)import of scipy raise ImportError
+    without disturbing modules already holding references."""
+
+    def __enter__(self):
+        self._saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+                       if k == "scipy" or k.startswith("scipy.")}
+        sys.modules["scipy"] = None          # import machinery -> ImportError
+        return self
+
+    def __exit__(self, *exc):
+        del sys.modules["scipy"]
+        sys.modules.update(self._saved)
+        return False
+
+
+def test_default_spectral_surface_without_scipy():
+    """welch/stft/csd/get_window on DEFAULT arguments must not require
+    scipy (VERDICT item 3; reference bar: zero runtime deps)."""
+    import tpufft
+
+    x = np.random.default_rng(0).standard_normal(2048)
+    y = np.random.default_rng(1).standard_normal(2048)
+    with _BlockScipy():
+        w = tpufft.get_window("hann", 256)
+        f, p = tpufft.welch(x)
+        fz, t, Z = tpufft.stft(x)
+        fc, pxy = tpufft.csd(x, y)
+        fs, ts, sxx = tpufft.spectrogram(x)
+        win = get_window(("kaiser", 5.0), 128)
+    # and the numbers match the scipy-present path
+    np.testing.assert_allclose(w, sps.get_window("hann", 256))
+    np.testing.assert_allclose(p, tpufft.welch(x)[1])
+    np.testing.assert_allclose(win, sps.get_window(("kaiser", 5.0), 128))
+    with _BlockScipy():
+        with pytest.raises(ValueError, match="scipy is not"):
+            get_window(("chebwin", 100), 64)
+
+
+def test_shorttime_from_window_without_scipy():
+    from tpufft import ShortTimeFFT
+
+    with _BlockScipy():
+        s = ShortTimeFFT.from_window("hann", 1.0, 256, 128)
+    np.testing.assert_allclose(s.win, sps.get_window("hann", 256))

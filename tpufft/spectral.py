@@ -48,11 +48,14 @@ __all__ = ["get_window", "stft", "istft", "spectrogram", "periodogram",
 
 
 def get_window(window, Nx: int, fftbins: bool = True) -> np.ndarray:
-    """Window vector by name/tuple (scipy.signal.get_window passthrough —
-    windows are host-side f64 plan constants)."""
-    from scipy.signal import get_window as _gw
+    """Window vector by name/tuple (scipy.signal.get_window-compatible —
+    windows are host-side f64 plan constants). The common window set is
+    implemented natively (windows.py) so default spectral arguments work
+    on a jax+numpy-only install; exotic windows (chebwin, dpss, taylor)
+    use scipy when installed."""
+    from .windows import get_window as _gw
 
-    return np.asarray(_gw(window, Nx, fftbins=fftbins), np.float64)
+    return _gw(window, Nx, fftbins=fftbins)
 
 
 def check_NOLA(window, nperseg: int, noverlap: int, tol: float = 1e-10):
