@@ -11,9 +11,12 @@ RTX 5090, README.md:15-29 -> BASELINE.md). vs_baseline = baseline_ms / ours
 Methodology mirrors fft/bench.mojo (plan once, time execute+sync) adapted
 to this environment: the dev tunnel has a large, variable host<->device RTT
 (up to ~40 ms), so per-iteration sync would measure the tunnel, not the
-chip. Instead K dispatches are CHAINED (each consumes the previous output,
-so the device must execute them serially) with ONE final sync, and the
-measured RTT is subtracted:  per_iter = (total - rtt) / K.
+chip — and RTT-subtraction silently under-reports any chain shorter than
+the RTT (the round-4 protocol finding). Instead we time TWO back-to-back
+CHAINED runs of k1 and k2 dispatches (each consumes the previous output,
+so the device must execute them serially) and take the DIFFERENTIAL slope:
+per_iter = (T2 - T1) / (k2 - k1), with (k2 - k1) * t >= ~0.25 s so the
+slope is dominated by device time, not tunnel jitter.
 """
 
 from __future__ import annotations

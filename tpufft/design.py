@@ -1508,6 +1508,10 @@ def minimum_phase(h, method="homomorphic", n_fft=None, *, half=True):
         h_min = np.fft.ifft(mag * np.exp(np.fft.fft(sgn * cep))).real
     else:
         mag = np.abs(np.fft.fft(h, n_fft))
+        # regularize exact spectral zeros before the log; the specific
+        # epsilon (1e-7 x smallest nonzero magnitude) deliberately matches
+        # scipy.signal.minimum_phase so coefficients are bit-comparable in
+        # the parity tests — any smaller floor changes the cepstrum tail
         mag += 1e-7 * mag[mag > 0].min()
         logmag = np.log(mag)
         if half:
