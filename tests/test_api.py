@@ -344,15 +344,67 @@ class TestTransformMajorLayout:
         host = p.unpack(y.numpy())
         assert isinstance(host, np.ndarray) and host.shape == (8, 93)
 
-    def test_rejects_multi_axis_and_r2c(self):
-        with pytest.raises(ValueError):
-            tpufft.plan_fft((8, 16, 93), axes=(1, 2),
-                            layout="transform-major")
+    def test_rejects_r2c_nd_resize_and_bogus(self):
         with pytest.raises(ValueError):
             tpufft.plan_fft((8, 93), axes=(-1,), kind="r2c",
                             layout="transform-major")
+        with pytest.raises(ValueError):     # ND tmajor has no resize
+            tpufft.plan_fft((8, 16, 93), axes=(1, 2), s=(16, 128),
+                            layout="transform-major")
         with pytest.raises(ValueError):
             tpufft.plan_fft((8, 93), axes=(-1,), layout="bogus")
+
+    # -- ND transform-major: axis-ordering escape for misaligned minors
+    # (round-4 VERDICT item 4: the (1,25,160,160,48)-class worst row) --
+
+    def test_nd_perm_puts_best_utilization_minor(self):
+        p = tpufft.plan_fft((1, 25, 160, 160, 48), axes=(1, 2, 3, 4),
+                            layout="transform-major")
+        # utils: 25 -> .195, 48 -> .375, 160 -> .625: physical order
+        # (batch, 25, 48, 160, 160) with the aligned pair trailing
+        assert p.shape == (1, 25, 48, 160, 160)
+        assert p.axes == (1, 2, 3, 4)
+        assert p.logical_perm == (0, 1, 4, 2, 3)
+
+    def test_nd_matches_natural_all_axes(self, rng):
+        shape = (2, 5, 20, 12, 6)
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        p = tpufft.plan_fft(shape, axes=(1, 2, 3, 4),
+                            layout="transform-major")
+        got = p.unpack(p(p.pack(x))).numpy()
+        ref = np.fft.fftn(x, axes=(1, 2, 3, 4))
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-5
+        # jax-input pack and SplitComplex pack agree
+        sc = p.pack(tpufft.SplitComplex.from_array(x))
+        np.testing.assert_allclose(np.asarray(sc.re),
+                                   np.asarray(p.pack(x).re), rtol=0)
+
+    def test_nd_axis_subset_inverse_norm(self, rng):
+        shape = (3, 10, 4, 12)
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        p = tpufft.plan_fft(shape, axes=(1, 2), inverse=True, norm="ortho",
+                            layout="transform-major")
+        # non-transform dims (0 and 3) stay in order at the front
+        assert p.shape == (3, 12, 4, 10) and p.axes == (2, 3)
+        got = p.unpack(p(p.pack(x))).numpy()
+        ref = np.fft.ifftn(x, axes=(1, 2), norm="ortho")
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+    def test_nd_host_numpy_pack_unpack_roundtrip(self, rng):
+        shape = (2, 6, 10, 4)
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex128)
+        p = tpufft.plan_fft(shape, np.complex128, axes=(1, 2, 3),
+                            layout="transform-major")
+        y = p(p.pack(x))
+        host = p.unpack(y.numpy())
+        assert isinstance(host, np.ndarray) and host.shape == shape
+        ref = np.fft.fftn(x, axes=(1, 2, 3))
+        assert np.max(np.abs(host - ref)) < 1e-10
 
     def test_natural_layout_pack_is_identity(self, rng):
         x = (rng.standard_normal((8, 16))

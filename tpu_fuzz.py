@@ -387,5 +387,92 @@ for n in (2053, 4099):
           flush=True)
     _T += 1
     fails += err >= 1e-3
+# ---- round-5 surfaces ------------------------------------------------
+# lombscargle device trig tile (generalized weighted + floating_mean)
+ls_x = np.sort(rng.uniform(0, 100, 700)).astype(np.float32)
+ls_y = (np.sin(2.1 * ls_x) + 0.4 * rng.standard_normal(700)).astype(np.float32)
+ls_f = np.linspace(0.05, 5.0, 300).astype(np.float32)
+ls_w = rng.uniform(0.2, 2.0, 700)
+for kwargs, tag in [(dict(), "plain"),
+                    (dict(weights=ls_w, floating_mean=True), "weighted+fm"),
+                    (dict(normalize=True), "normalized")]:
+    got = np.asarray(tpufft.lombscargle(_jnp.asarray(ls_x),
+                                        _jnp.asarray(ls_y),
+                                        _jnp.asarray(ls_f), **kwargs))
+    ref = _ssig.lombscargle(ls_x.astype(np.float64),
+                            ls_y.astype(np.float64),
+                            ls_f.astype(np.float64), **kwargs)
+    err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+    print(f"lombscargle {tag}: e={err:.1e} {'ok' if err < 1e-3 else 'FAIL'}",
+          flush=True)
+    _T += 1
+    fails += err >= 1e-3
+
+# ShortTimeFFT fused kernel path (stft + istft roundtrip, device input)
+from tpufft import ShortTimeFFT as _STF
+for mode, scale_to in [("onesided", None), ("onesided2X", "psd")]:
+    _win = tpufft.get_window("hann", 256)
+    s_our = _STF(_win, 128, 1.0, fft_mode=mode, scale_to=scale_to,
+                 phase_shift=3)
+    s_ref = _ssig.ShortTimeFFT(_win, 128, 1.0, fft_mode=mode,
+                               scale_to=scale_to, phase_shift=3)
+    st_x = rng.standard_normal((3, 2000)).astype(np.float32)
+    assert s_our._fused_stft_ok(_jnp.asarray(st_x), None)
+    S = s_our.stft(_jnp.asarray(st_x))
+    Sg = np.asarray(S.re) + 1j * np.asarray(S.im)
+    Sr = s_ref.stft(st_x.astype(np.float64))
+    err = np.max(np.abs(Sg - Sr)) / max(1.0, float(np.max(np.abs(Sr))))
+    print(f"ShortTimeFFT fused stft {mode}: e={err:.1e} "
+          f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+    _T += 1
+    fails += err >= 1e-3
+    xr = s_our.istft(S, k1=2000)
+    xr = np.asarray(xr.re if isinstance(xr, _SC) else xr)
+    err = np.max(np.abs(xr - st_x)) / max(1.0, float(np.max(np.abs(st_x))))
+    print(f"ShortTimeFFT fused istft {mode}: e={err:.1e} "
+          f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+    _T += 1
+    fails += err >= 1e-3
+
+# transform-major x bf16-plane combination (single axis, misaligned 93)
+tm_x = (rng.standard_normal((5000, 93))
+        + 1j * rng.standard_normal((5000, 93))).astype(np.complex64)
+p_tm = tpufft.plan_fft(tm_x.shape, axes=(-1,), layout="transform-major",
+                       config=PlanConfig(plane_dtype="bfloat16"))
+got = p_tm.unpack(p_tm(p_tm.pack(tm_x))).numpy()
+ref = np.fft.fft(tm_x, axis=-1)
+err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+print(f"tmajor x bf16 (5000,93): e={err:.1e} "
+      f"{'ok' if err < 3e-2 else 'FAIL'}", flush=True)
+_T += 1
+fails += err >= 3e-2
+
+# ND transform-major (round-5): misaligned 5-D worst row, reduced batch
+nd_x = (rng.standard_normal((1, 5, 160, 160, 48))
+        + 1j * rng.standard_normal((1, 5, 160, 160, 48))
+        ).astype(np.complex64)
+p_nd = tpufft.plan_fft(nd_x.shape, axes=(1, 2, 3, 4),
+                       layout="transform-major")
+got = p_nd.unpack(p_nd(p_nd.pack(nd_x))).numpy()
+ref = np.fft.fftn(nd_x, axes=(1, 2, 3, 4))
+err = np.max(np.abs(got - ref)) / max(1.0, float(np.max(np.abs(ref))))
+print(f"nd-tmajor (1,5,160,160,48): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
+fails += err >= 1e-3
+
+# native windows through the fused welch path (kaiser tuple, round-5)
+nw_x = rng.standard_normal((8, 8192)).astype(np.float32)
+_, Pg = tpufft.welch(_jnp.asarray(nw_x), window=("kaiser", 7.0),
+                     nperseg=512)
+_, Pr = _ssig.welch(nw_x.astype(np.float64), window=("kaiser", 7.0),
+                    nperseg=512)
+err = np.max(np.abs(np.asarray(Pg) - Pr)) / max(
+    1.0, float(np.max(np.abs(Pr))))
+print(f"welch native-kaiser (8,8192): e={err:.1e} "
+      f"{'ok' if err < 1e-3 else 'FAIL'}", flush=True)
+_T += 1
+fails += err >= 1e-3
+
 print(f"RESULT: {_T - fails}/{_T} ok"
       + ("" if fails == 0 else f" — {fails} FAILURES"), flush=True)

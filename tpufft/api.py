@@ -152,11 +152,16 @@ class Plan:
     kind: str                          # "c2c" | "r2c" | "c2r"
     config: PlanConfig
     # layout="transform-major" plans (see plan_fft): ``shape``/``axes``
-    # above describe the PHYSICAL plane layout (transform axis first);
-    # these record the user's logical view for pack()/unpack().
+    # above describe the PHYSICAL plane layout (single-axis: transform
+    # axis first; ND: axes permuted so the most lane-aligned transform
+    # axis is minor); these record the user's logical view for
+    # pack()/unpack(). ``logical_perm`` (ND) maps physical dim i to
+    # logical dim logical_perm[i], i.e. physical = transpose(logical,
+    # logical_perm).
     layout: str = "natural"
     logical_shape: tuple[int, ...] | None = None
     logical_axis: int | None = None
+    logical_perm: tuple[int, ...] | None = None
 
     @functools.cached_property
     def _fn(self):
@@ -295,21 +300,24 @@ class Plan:
             return jnp.asarray(np.concatenate([re, im], axis=-1))
         if self.layout != "transform-major":
             return SplitComplex.from_array(x)
-        ax = self.logical_axis
+        if self.logical_perm is not None:       # ND: full permutation
+            def to_phys(a, xp):
+                return xp.transpose(a, self.logical_perm)
+        else:                                   # single axis: axis first
+            def to_phys(a, xp):
+                return xp.moveaxis(a, self.logical_axis, 0)
         if isinstance(x, SplitComplex):
-            return SplitComplex(jnp.moveaxis(x.re, ax, 0),
-                                jnp.moveaxis(x.im, ax, 0))
+            return SplitComplex(to_phys(x.re, jnp), to_phys(x.im, jnp))
         if isinstance(x, jax.Array):
             re, im = jnp.real(x), (jnp.imag(x) if jnp.iscomplexobj(x)
                                    else jnp.zeros_like(jnp.real(x)))
-            return SplitComplex(jnp.moveaxis(re, ax, 0),
-                                jnp.moveaxis(im, ax, 0))
+            return SplitComplex(to_phys(re, jnp), to_phys(im, jnp))
         xn = np.asarray(x)
         rdt = np.float64 if xn.dtype in (np.complex128, np.float64) \
             else np.float32
-        re = np.ascontiguousarray(np.moveaxis(xn.real, ax, 0), dtype=rdt)
+        re = np.ascontiguousarray(to_phys(xn.real, np), dtype=rdt)
         im = np.ascontiguousarray(
-            np.moveaxis(xn.imag, ax, 0) if np.iscomplexobj(xn)
+            to_phys(xn.imag, np) if np.iscomplexobj(xn)
             else np.zeros_like(re), dtype=rdt)
         return SplitComplex(jnp.asarray(re), jnp.asarray(im))
 
@@ -332,12 +340,18 @@ class Plan:
             return yn[..., :n3] + 1j * yn[..., n3:]
         if self.layout != "transform-major":
             return y
-        ax = self.logical_axis
+        if self.logical_perm is not None:
+            inv = tuple(np.argsort(self.logical_perm))
+
+            def to_log(a, xp):
+                return xp.transpose(a, inv)
+        else:
+            def to_log(a, xp):
+                return xp.moveaxis(a, 0, self.logical_axis)
         if isinstance(y, SplitComplex):
-            return SplitComplex(jnp.moveaxis(y.re, 0, ax),
-                                jnp.moveaxis(y.im, 0, ax))
+            return SplitComplex(to_log(y.re, jnp), to_log(y.im, jnp))
         yn = y if isinstance(y, np.ndarray) else np.asarray(y)
-        return np.ascontiguousarray(np.moveaxis(yn, 0, ax))
+        return np.ascontiguousarray(to_log(yn, np))
 
 
 def _apply_plan_fused(st, *, plan: "Plan"):
@@ -732,12 +746,20 @@ def _resolve_bases(lengths, bases, cfg: PlanConfig):
 @functools.lru_cache(maxsize=1024)
 def _cached_plan(shape, dtype, axes, lengths, bases, inverse, norm, kind,
                  config, layout="natural", logical_shape=None,
-                 logical_axis=None):
+                 logical_axis=None, logical_perm=None):
     return Plan(
         shape=shape, dtype=dtype, axes=axes, lengths=lengths, bases=bases,
         inverse=inverse, norm=norm, kind=kind, config=config, layout=layout,
         logical_shape=logical_shape, logical_axis=logical_axis,
+        logical_perm=logical_perm,
     )
+
+
+def _lane_util(n: int) -> float:
+    """Lane utilization of a length stored on the TPU's 128-lane minor
+    dim: n / (ceil(n/128)*128). 1.0 = perfectly aligned; (1e6, 93)-class
+    misalignment is 0.73; a 48-wide minor wastes 5/8 of every vreg."""
+    return n / (-(-n // 128) * 128)
 
 
 def _resolve_fast_length(v, current: int) -> int:
@@ -786,12 +808,17 @@ def plan_fft(
     overloads (fft/fft/fft.mojo:123-210) with the GPU knobs replaced by
     ``PlanConfig``.
 
-    ``layout="transform-major"`` (single-axis c2c only): the plan's device
-    planes store the transform axis FIRST — ``moveaxis(x, axis, 0)`` — so
-    a minor length far off a 128-lane multiple (e.g. 93) reads at full HBM
-    bandwidth through the nd-inner kernel instead of paying the
-    misaligned-DMA floor (measured (1e6, 93): 8.5 ms natural vs ~2.5 ms
-    transform-major, same logical semantics). Convert once at the pipeline
+    ``layout="transform-major"`` (c2c only): the plan's device planes
+    store a transform-friendly axis order. Single axis: the transform
+    axis FIRST — ``moveaxis(x, axis, 0)`` — so a minor length far off a
+    128-lane multiple (e.g. 93) reads at full HBM bandwidth through the
+    nd-inner kernel instead of paying the misaligned-DMA floor (measured
+    (1e6, 93): 8.8 ms natural vs ~3.1 ms transform-major, same logical
+    semantics). Multiple axes: the transform axes are permuted so the
+    most lane-aligned length is MINOR (and the second-best second-minor,
+    enabling the trailing pair/cube kernel fusions) — the escape for
+    shapes like (1, 25, 160, 160, 48) whose 48-wide minor otherwise pays
+    the misaligned floor on every axis pass. Convert once at the pipeline
     edges with ``Plan.pack`` / ``Plan.unpack`` (host numpy converts on the
     host side — the device never touches the misaligned layout) and keep
     planes in plan layout between calls."""
@@ -830,19 +857,43 @@ def plan_fft(
             norm, kind, cfg, layout, shape, None,
         )
     if layout == "transform-major":
-        if kind != "c2c" or len(axes) != 1:
+        if kind != "c2c":
             raise ValueError(
-                "layout='transform-major' supports single-axis c2c plans")
-        ax = axes[0]
-        logical_shape = shape
-        phys = (shape[ax],) + tuple(d for i, d in enumerate(shape)
-                                    if i != ax)
-        n = (shape[ax] if s is None
-             else _resolve_fast_length(s[0], shape[ax]))
-        bases = _resolve_bases((n,), bases, cfg)
+                "layout='transform-major' supports c2c plans")
+        if len(axes) == 1:
+            ax = axes[0]
+            logical_shape = shape
+            phys = (shape[ax],) + tuple(d for i, d in enumerate(shape)
+                                        if i != ax)
+            n = (shape[ax] if s is None
+                 else _resolve_fast_length(s[0], shape[ax]))
+            bases = _resolve_bases((n,), bases, cfg)
+            return _cached_plan(
+                phys, str(jnp.dtype(dtype)), (0,), (n,), bases, inverse,
+                norm, kind, cfg, layout, logical_shape, ax,
+            )
+        # ND: permute so the most lane-aligned transform axis is MINOR
+        # (and the second-best second-minor, so the trailing pair/cube
+        # fusions apply). A multi-axis c2c FFT is a separable product —
+        # execution order is free — so the permutation only changes the
+        # physical plane layout, never the semantics. Measured target:
+        # (1, 25, 160, 160, 48) whose 48-wide minor pays the
+        # misaligned-DMA floor on EVERY axis pass in natural layout.
+        if s is not None:
+            raise ValueError(
+                "layout='transform-major' with multiple axes does not "
+                "support resize (s)")
+        batch = tuple(i for i in range(len(shape)) if i not in axes)
+        order = sorted(axes, key=lambda a: (_lane_util(shape[a]), shape[a]))
+        perm = batch + tuple(order)
+        phys = tuple(shape[p] for p in perm)
+        k = len(axes)
+        phys_axes = tuple(range(len(shape) - k, len(shape)))
+        lengths = tuple(phys[a] for a in phys_axes)
+        bases = _resolve_bases(lengths, bases, cfg)
         return _cached_plan(
-            phys, str(jnp.dtype(dtype)), (0,), (n,), bases, inverse, norm,
-            kind, cfg, layout, logical_shape, ax,
+            phys, str(jnp.dtype(dtype)), phys_axes, lengths, bases,
+            inverse, norm, kind, cfg, layout, shape, None, perm,
         )
     if s is None:
         lengths = tuple(shape[a] for a in axes)
