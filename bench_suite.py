@@ -314,9 +314,12 @@ def run_tpu_lanefused(iters: int) -> None:
     import tpufft
     from tpufft import SplitComplex
 
+    from tpufft import PlanConfig
+
     rng = np.random.default_rng(0)
-    print("| shape | natural split-plane (ms) | lane-fused (ms) |")
-    print("|---|---|---|")
+    print("| shape | natural split-plane (ms) | lane-fused (ms) | "
+          "lane-fused + profile='fast' (ms) |")
+    print("|---|---|---|---|")
     for shape in [(100, 64, 64, 64), (1, 64, 64, 64, 64),
                   (10, 128, 128, 128)]:
         axes = tuple(range(1, len(shape)))
@@ -335,12 +338,18 @@ def run_tpu_lanefused(iters: int) -> None:
 
         p_nat = tpufft.plan_fft(shape, np.complex64, axes=axes)
         t_nat = timed(p_nat, mk_split)
+        fshape = shape[:-1] + (2 * shape[-1],)
         p_f = tpufft.plan_fft(shape, np.complex64, axes=axes,
                               layout="lane-fused")
-        fshape = shape[:-1] + (2 * shape[-1],)
         t_f = timed(p_f, lambda: jnp.asarray(
             rng.standard_normal(fshape), jnp.float32))
-        print(f"| {shape} | {t_nat:.2f} | {t_f:.2f} |", flush=True)
+        p_ff = tpufft.plan_fft(shape, np.complex64, axes=axes,
+                               layout="lane-fused",
+                               config=PlanConfig(profile="fast"))
+        t_ff = timed(p_ff, lambda: jnp.asarray(
+            rng.standard_normal(fshape), jnp.bfloat16))
+        print(f"| {shape} | {t_nat:.2f} | {t_f:.2f} | {t_ff:.2f} |",
+              flush=True)
 
 
 def main() -> None:
