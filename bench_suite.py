@@ -274,8 +274,8 @@ def run_tpu_tmajor(iters: int) -> None:
     print("| shape | natural (ms) | transform-major (ms) | "
           "tmajor + profile='fast' (ms) |")
     print("|---|---|---|---|")
-    for shape in [(1_000_000, 93), (500_000, 363)]:
-        batch, n = shape
+    for shape, axes in [((1_000_000, 93), (-1,)), ((500_000, 363), (-1,)),
+                        ((1, 25, 160, 160, 48), (1, 2, 3, 4))]:
 
         def timed(plan, shp, dt):
             x = SplitComplex(
@@ -286,17 +286,17 @@ def run_tpu_tmajor(iters: int) -> None:
             return _device_time_ms(plan, x, sync, iters=iters)
 
         t_nat = timed(
-            tpufft.plan_fft(shape, jnp.complex64, axes=(-1,)),
+            tpufft.plan_fft(shape, jnp.complex64, axes=axes),
             shape, jnp.float32)
-        t_tm = timed(
-            tpufft.plan_fft(shape, jnp.complex64, axes=(-1,),
-                            layout="transform-major"),
-            (n, batch), jnp.float32)
-        t_tmf = timed(
-            tpufft.plan_fft(shape, jnp.complex64, axes=(-1,),
-                            layout="transform-major",
-                            config=PlanConfig(profile="fast")),
-            (n, batch), jnp.bfloat16)
+        p_tm = tpufft.plan_fft(shape, jnp.complex64, axes=axes,
+                               layout="transform-major")
+        # plan.shape is the PHYSICAL plane layout (axes permuted so the
+        # most lane-aligned transform length is minor)
+        t_tm = timed(p_tm, p_tm.shape, jnp.float32)
+        p_tmf = tpufft.plan_fft(shape, jnp.complex64, axes=axes,
+                                layout="transform-major",
+                                config=PlanConfig(profile="fast"))
+        t_tmf = timed(p_tmf, p_tmf.shape, jnp.bfloat16)
         print(f"| {shape} | {t_nat:.2f} | {t_tm:.2f} | {t_tmf:.2f} |",
               flush=True)
 
