@@ -201,6 +201,51 @@ def test_from_win_equals_dual():
     np.testing.assert_allclose(ours.win, ours.dual_win, atol=1e-12)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(scale_to="unitary"),
+    dict(scale_to="unitary", fft_mode="twosided"),
+    dict(scale_to="unitary", mfft=32),
+    dict(scale_to="psd"),
+])
+def test_from_win_equals_dual_scalings(kw):
+    win = sps.windows.gaussian(24, 5, sym=True)
+    ours = ShortTimeFFT.from_win_equals_dual(win, 6, 1.0, **kw)
+    theirs = sps.ShortTimeFFT.from_win_equals_dual(win, 6, 1.0, **kw)
+    np.testing.assert_allclose(ours.win, theirs.win, atol=1e-12)
+    np.testing.assert_allclose(ours.dual_win, theirs.dual_win, atol=1e-12)
+    assert ours.scaling == theirs.scaling
+
+
+def test_from_win_equals_dual_unitary_energy():
+    # a unitary STFT preserves the signal's energy (scipy's doc example)
+    win = sps.windows.gaussian(36, 5, sym=True)
+    sft = ShortTimeFFT.from_win_equals_dual(
+        win, 8, fs=1 / 36, fft_mode="twosided", scale_to="unitary")
+    x = np.tile([-1.0, -1.0, 1.0, 1.0], 5)
+    Sx = np.asarray(sft.stft(x))
+    assert np.isclose(np.sum(np.abs(Sx) ** 2), np.sum(x ** 2))
+    np.testing.assert_allclose(
+        np.asarray(sft.istft(Sx, 0, len(x))).real, x, atol=1e-9)
+
+
+def test_from_win_equals_dual_errors_match_scipy():
+    for args, kw in [
+        ((np.ones(16, int), 8, 1.0), {}),              # integer dtype
+        ((np.ones(16), 20, 1.0), {}),                  # hop > len(win)
+        ((np.ones(16), 8, 1.0),
+         dict(fft_mode="onesided2X", scale_to="unitary")),
+        ((np.ones(16), 8, 1.0), dict(scale_to="bogus")),
+    ]:
+        with pytest.raises(ValueError):
+            ShortTimeFFT.from_win_equals_dual(*args, **kw)
+        with pytest.raises(ValueError):
+            sps.ShortTimeFFT.from_win_equals_dual(*args, **kw)
+    # scale_to() itself still rejects 'unitary' (scipy parity: only this
+    # constructor can set it)
+    with pytest.raises(ValueError):
+        ShortTimeFFT(np.ones(16), 8, 1.0).scale_to("unitary")
+
+
 def test_scale_to_and_factors():
     ours, theirs = _mk("onesided", 16, 4, fs=13.0)
     assert ours.scaling is None and theirs.scaling is None

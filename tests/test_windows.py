@@ -46,6 +46,14 @@ def test_aliases_and_float_beta():
                                sps.get_window("blackman", 32))
     # bare float means kaiser(beta), scipy semantics
     np.testing.assert_allclose(get_window(8.6, 64), sps.get_window(8.6, 64))
+    # numpy scalars coerce like scipy's float(window)
+    np.testing.assert_allclose(get_window(np.float32(8.6), 64),
+                               sps.get_window(np.float32(8.6), 64))
+    np.testing.assert_allclose(get_window(np.int64(8), 64),
+                               sps.get_window(np.int64(8), 64))
+    # non-string tuple head is a clean ValueError (scipy parity)
+    with pytest.raises(ValueError, match="window-name string"):
+        get_window((8.6,), 64)
 
 
 def test_scipy_only_fallback():

@@ -1053,6 +1053,18 @@ def stft_overlap_supported(nperseg: int, hop: int, nfft: int, dtype,
             and choose_lane_block(nfft, cfg) >= _LANE)
 
 
+def istft_ola_supported(nperseg: int, hop: int, nfft: int,
+                        cfg: PlanConfig) -> bool:
+    """Gate for the fused overlap-add iSTFT kernel (build_istft_ola):
+    the synthesis matrix must fit the r2c VMEM envelope, the window
+    length must tile into hops and the hop must tile 128 lanes. The
+    single source of truth for this geometry — tpufft.spectral and
+    tpufft.shorttime both gate through here."""
+    return (2 <= nfft <= R2C_MAX_N and nperseg <= nfft
+            and hop >= 1 and nperseg % hop == 0 and hop % _LANE == 0
+            and choose_lane_block(nfft, cfg) >= _LANE)
+
+
 def _pack_tables(n: int, inverse: bool, scale: float, precision: str):
     """Flat host-table tuple + an unpacker reconstructing the logical
     (W-groups, twiddle) structure from the kernel's refs."""

@@ -119,7 +119,10 @@ class ShortTimeFFT:
                                  "(-mfft, mfft)")
         self._phase_shift = phase_shift
         if dual_win is not None:
-            dual_win = np.asarray(dual_win, np.float64)
+            dual_win = np.asarray(dual_win)
+            dual_win = dual_win.astype(np.complex128
+                                       if np.iscomplexobj(dual_win)
+                                       else np.float64)
             if dual_win.shape != win.shape:
                 raise ValueError("dual_win must have the same shape as win")
         self._dual_win = dual_win
@@ -153,19 +156,49 @@ class ShortTimeFFT:
                    dual_win=np.asarray(dual_win, np.float64), **kwargs)
 
     @classmethod
-    def from_win_equals_dual(cls, desired_win, hop: int, fs: float,
-                             **kwargs):
-        desired_win = np.asarray(desired_win, np.float64)
-        w2 = desired_win ** 2
-        DD = w2.copy()
-        for j in range(int(hop), len(desired_win), int(hop)):
-            DD[j:] += w2[:-j]
-            DD[:-j] += w2[j:]
-        if not np.all(DD > 0):
-            raise ValueError("desired_win cannot be normalized to equal "
-                             "its dual (overlap-add has zeros)")
-        win = desired_win / np.sqrt(DD)
-        return cls(win, hop=hop, fs=fs, **kwargs)
+    def from_win_equals_dual(cls, desired_win, hop: int, fs: float, *,
+                             scale_to=None, **kwargs):
+        """Window equal to its own dual (scipy-exact, incl. the
+        'unitary' scaling only this constructor can set: win /= sqrt(
+        mfft), dual *= sqrt(mfft)). Normalizing each hop-residue class
+        of the window to unit norm is the closed form: the OLA diagonal
+        DD[k] is constant on each class and equals that class's squared
+        norm."""
+        desired_win = np.asarray(desired_win)
+        if desired_win.ndim != 1 or desired_win.size == 0:
+            raise ValueError("desired_win must be a non-empty 1-D array")
+        if np.issubdtype(desired_win.dtype, np.integer):
+            raise ValueError("desired_win cannot be of integer type — "
+                             "cast to float or complex")
+        if not np.all(np.isfinite(desired_win)):
+            raise ValueError("desired_win must have finite entries")
+        hop = int(hop)
+        if not 1 <= hop <= desired_win.size:
+            raise ValueError(f"hop={hop} is not an integer in "
+                             f"[1, {desired_win.size}]")
+        if scale_to not in ("magnitude", "psd", "unitary", None):
+            raise ValueError(f"scale_to={scale_to!r} not in "
+                             "('magnitude', 'psd', 'unitary', None)")
+        win = desired_win.astype(np.complex128
+                                 if np.iscomplexobj(desired_win)
+                                 else np.float64)
+        mfft = kwargs.get("mfft") or win.size
+        s_fac = math.sqrt(mfft) if scale_to == "unitary" else 1.0
+        relative_resolution = (np.finfo(win.real.dtype).resolution
+                               * np.max(np.abs(win)))
+        for m in range(hop):
+            a = np.linalg.norm(win[m::hop])
+            if not a > relative_resolution:
+                raise ValueError("desired_win cannot be normalized to "
+                                 "equal its dual (a hop-residue class "
+                                 "of the overlap-add is zero)")
+            win[m::hop] /= a
+        sft = cls(win / s_fac, hop=hop, fs=fs, dual_win=win * s_fac,
+                  scale_to=None if scale_to == "unitary" else scale_to,
+                  **kwargs)
+        if scale_to == "unitary":
+            sft._scaling = "unitary"
+        return sft
 
     # -- basic properties ---------------------------------------------
     win = property(lambda self: self._win)
@@ -467,11 +500,18 @@ class ShortTimeFFT:
         lead = xs.shape[:-1]
         flat = math.prod(lead) if lead else 1
         x2 = xs.reshape(flat, n_sig).astype(jnp.float32)
-        M = self._fused_stft_matrix(detr)
-        fk = _stft_fused_mat(
-            np.ascontiguousarray(M.real, np.float32).tobytes(),
-            np.ascontiguousarray(M.imag, np.float32).tobytes(),
-            self.m_num, M.shape[1], self._hop, self._config)
+        # cache the built runner per (detr, win version) — re-serializing
+        # the matrix just to hit _stft_fused_mat's lru key hashes
+        # megabytes on every eager call
+        fk_key = ("stft_fk", detr, self._win_version)
+        fk = self._mat_cache.get(fk_key)
+        if fk is None:
+            M = self._fused_stft_matrix(detr)
+            fk = _stft_fused_mat(
+                np.ascontiguousarray(M.real, np.float32).tobytes(),
+                np.ascontiguousarray(M.imag, np.float32).tobytes(),
+                self.m_num, M.shape[1], self._hop, self._config)
+            self._mat_cache[fk_key] = fk
         Xr, Xi = fk(x2)
         m1 = Xr.shape[-1]
         return SplitComplex(Xr.reshape(lead + (nseg, m1)),
@@ -479,7 +519,7 @@ class ShortTimeFFT:
 
     def _fused_istft_ok(self, S) -> bool:
         from .execute import _is_tpu_backend
-        from .kernels.mxu_fft import R2C_MAX_N, _LANE, choose_lane_block
+        from .kernels.mxu_fft import istft_ola_supported
 
         cfg = self._config or api.PlanConfig()
         if not (isinstance(S, SplitComplex) or _is_jax(S)):
@@ -489,10 +529,7 @@ class ShortTimeFFT:
             return False
         if cfg.backend == "xla" or not (cfg.interpret or _is_tpu_backend()):
             return False
-        return (2 <= self._mfft <= R2C_MAX_N
-                and self.m_num % self._hop == 0
-                and self._hop % _LANE == 0
-                and choose_lane_block(self._mfft, cfg) >= _LANE)
+        return istft_ola_supported(self.m_num, self._hop, self._mfft, cfg)
 
     def _fused_istft_matrix(self) -> np.ndarray:
         """The whole _ifft_func + dual-window synthesis as ONE
@@ -540,11 +577,15 @@ class ShortTimeFFT:
         # (..., m1, q) -> segment-major (q, flat, m1)
         zr = jnp.transpose(zr.reshape(flat, m1, q_num), (2, 0, 1))
         zi = jnp.transpose(zi.reshape(flat, m1, q_num), (2, 0, 1))
-        A = self._fused_istft_matrix()
-        fk = _istft_fused_mat(
-            np.ascontiguousarray(A.real, np.float32).tobytes(),
-            np.ascontiguousarray(A.imag, np.float32).tobytes(),
-            m1, self.m_num, self._hop, self._config)
+        fk_key = ("istft_fk", self._win_version)
+        fk = self._mat_cache.get(fk_key)
+        if fk is None:
+            A = self._fused_istft_matrix()
+            fk = _istft_fused_mat(
+                np.ascontiguousarray(A.real, np.float32).tobytes(),
+                np.ascontiguousarray(A.imag, np.float32).tobytes(),
+                m1, self.m_num, self._hop, self._config)
+            self._mat_cache[fk_key] = fk
         out = fk(zr.astype(jnp.float32), zi.astype(jnp.float32))
         # kernel output sample i is signal sample k_min + i
         out = out[..., k0 - self.k_min:k1 - self.k_min]
@@ -581,9 +622,8 @@ class ShortTimeFFT:
             if p_s:
                 fr = xp.roll(fr, -p_s, axis=-1)
         wm = self._win_mod()
-        if not np.iscomplexobj(wm):
-            fr = fr * (wm if xp is np else jnp.asarray(wm))
-        elif xp is np or backend_supports_complex():
+        if (not np.iscomplexobj(wm) or xp is np
+                or backend_supports_complex()):
             fr = fr * (wm if xp is np else jnp.asarray(wm))
         else:
             # complex window on a complex-free device backend: two real

@@ -473,16 +473,14 @@ def _istft_fused_mat(ar_bytes: bytes, ai_bytes: bytes, m1: int,
 def _istft_fused_ok(xp, onesided, n_freq: int, nperseg: int, step: int,
                     nfft: int, cfg: PlanConfig | None) -> bool:
     from .execute import _is_tpu_backend
-    from .kernels.mxu_fft import R2C_MAX_N, _LANE, choose_lane_block
+    from .kernels.mxu_fft import istft_ola_supported
 
     cfg = cfg or PlanConfig()
     if xp is np or not onesided or n_freq != nfft // 2 + 1:
         return False
     if cfg.backend == "xla" or not (cfg.interpret or _is_tpu_backend()):
         return False
-    return (2 <= nfft <= R2C_MAX_N and nperseg <= nfft
-            and step >= 1 and nperseg % step == 0 and step % _LANE == 0
-            and choose_lane_block(nfft, cfg) >= _LANE)
+    return istft_ola_supported(nperseg, step, nfft, cfg)
 
 
 def _stft_fused_ok(xp, im, onesided, detrend, dtype, nperseg: int,

@@ -265,18 +265,26 @@ def get_window(window, Nx: int, fftbins: bool = True) -> np.ndarray:
     for the common window set (f64 host plan constants). Exotic windows
     (chebwin, dpss, taylor, ...) fall back to scipy when available."""
     sym = not fftbins
-    if isinstance(window, (float, int)):
-        window, args = "kaiser", (float(window),)
+    if isinstance(window, str):
+        args = ()
     elif isinstance(window, tuple):
         if len(window) == 0:
             raise ValueError("window tuple must have at least one entry")
+        if not isinstance(window[0], str):
+            raise ValueError(f"first entry of window tuple {window!r} "
+                             "must be a window-name string")
         window, args = window[0], tuple(window[1:])
-    elif isinstance(window, str):
-        args = ()
     else:
-        # pre-built vector: passthrough (scipy raises here; the spectral
-        # layer's _triage_segments handles arrays before reaching us)
-        raise ValueError(f"unknown window specification {window!r}")
+        # bare number (incl. numpy scalars) = kaiser beta, like scipy
+        try:
+            beta = float(window)
+        except (TypeError, ValueError) as e:
+            # e.g. a pre-built vector (scipy raises here too; the
+            # spectral layer's _triage_segments handles arrays before
+            # reaching us)
+            raise ValueError(
+                f"unknown window specification {window!r}") from e
+        window, args = "kaiser", (beta,)
 
     try:
         fn, npar = _WINDOWS[window.lower()]
