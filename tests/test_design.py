@@ -470,3 +470,204 @@ def test_remez_maxiter_truncation_consistent():
     import scipy.signal as sps
     rip_scipy = ripple(sps.remez(33, [0, 0.2, 0.3, 0.5], [1, 0]))
     assert rips[-1] <= rip_scipy * 1.01
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: tf-form lp2*, iirnotch/iirpeak/iircomb, iirdesign,
+# freqs family, findfreqs, freqz_sos, band_stop_obj
+
+
+@pytest.mark.parametrize("proto", [
+    ss.butter(4, 1.0, analog=True),
+    ss.cheby1(3, 1.0, 1.0, analog=True),
+    (np.array([1.0, 2.0]), np.array([1.0, 2.0, 3.0, 1.0])),
+])
+def test_lp2_tf_transforms(proto):
+    b, a = proto
+    for mine, ref, args in [
+        (d.lp2lp, ss.lp2lp, (2.5,)),
+        (d.lp2hp, ss.lp2hp, (2.5,)),
+        (d.lp2bp, ss.lp2bp, (2.0, 0.7)),
+        (d.lp2bs, ss.lp2bs, (2.0, 0.7)),
+    ]:
+        bm, am = mine(b, a, *args)
+        br, ar = ref(b, a, *args)
+        assert np.allclose(bm, br, rtol=1e-10, atol=1e-12), mine.__name__
+        assert np.allclose(am, ar, rtol=1e-10, atol=1e-12), mine.__name__
+
+
+@pytest.mark.parametrize("w0,Q,fs", [(0.3, 30, 2.0), (60, 35, 200.0),
+                                     (1000, 12, 8000.0)])
+def test_iirnotch_iirpeak(w0, Q, fs):
+    for mine, ref in [(d.iirnotch, ss.iirnotch), (d.iirpeak, ss.iirpeak)]:
+        bm, am = mine(w0, Q, fs=fs)
+        br, ar = ref(w0, Q, fs=fs)
+        assert np.allclose(bm, br, rtol=1e-12)
+        assert np.allclose(am, ar, rtol=1e-12)
+
+
+@pytest.mark.parametrize("ftype", ["notch", "peak"])
+@pytest.mark.parametrize("pass_zero", [False, True])
+def test_iircomb(ftype, pass_zero):
+    for w0, Q, fs in [(50, 30, 200.0), (25, 18, 200.0), (1000, 35, 8000.0)]:
+        bm, am = d.iircomb(w0, Q, ftype=ftype, fs=fs, pass_zero=pass_zero)
+        br, ar = ss.iircomb(w0, Q, ftype=ftype, fs=fs, pass_zero=pass_zero)
+        assert np.allclose(bm, br, rtol=1e-12)
+        assert np.allclose(am, ar, rtol=1e-12)
+    with pytest.raises(ValueError):
+        d.iircomb(33.3, 30, fs=200.0)   # period does not divide fs
+
+
+@pytest.mark.parametrize("wp,ws,gp,gs,ftype", [
+    (0.2, 0.3, 1, 40, "ellip"),
+    (0.3, 0.2, 1, 40, "butter"),
+    ([0.2, 0.5], [0.1, 0.6], 2, 30, "cheby1"),
+    ([0.1, 0.6], [0.2, 0.5], 2, 30, "cheby2"),
+])
+def test_iirdesign(wp, ws, gp, gs, ftype):
+    bm, am = d.iirdesign(wp, ws, gp, gs, ftype=ftype)
+    br, ar = ss.iirdesign(wp, ws, gp, gs, ftype=ftype)
+    assert resp_err((bm, am), (br, ar)) < 1e-7
+
+
+def test_iirdesign_fs_and_errors():
+    bm, am = d.iirdesign(200, 300, 1, 40, ftype="butter", fs=2000)
+    br, ar = ss.iirdesign(200, 300, 1, 40, ftype="butter", fs=2000)
+    assert resp_err((bm, am), (br, ar)) < 1e-9
+    with pytest.raises(ValueError):
+        d.iirdesign(0.2, 0.3, 1, 40, ftype="bessel")
+    with pytest.raises(ValueError):
+        d.iirdesign([0.1, 0.6], [0.05, 0.5], 1, 40)  # non-nested bands
+
+
+def test_freqs_family():
+    b, a = ss.butter(4, 1.0, analog=True)
+    w = np.logspace(-1, 2, 50)
+    wm, hm = d.freqs(b, a, worN=w)
+    wr, hr_ba = ss.freqs(b, a, worN=w)
+    assert np.allclose(hm, hr_ba)
+    z, p, k = ss.butter(3, 1.5, analog=True, output="zpk")
+    wm, hm = d.freqs_zpk(z, p, k, worN=w)
+    wr, hr = ss.freqs_zpk(z, p, k, worN=w)
+    assert np.allclose(hm, hr)
+    # auto grid (int worN) matches scipy's heuristic on these systems
+    assert np.allclose(d.findfreqs(b, a, 15), ss.findfreqs(b, a, 15))
+    assert np.allclose(d.findfreqs(z, p, 15, kind="zp"),
+                       ss.findfreqs(z, p, 15, kind="zp"))
+    wm, hm = d.freqs(b, a, worN=25)
+    assert wm.shape == hm.shape == (25,)
+    seen = []
+    d.freqs(b, a, worN=w, plot=lambda w_, h_: seen.append((w_, h_)))
+    assert len(seen) == 1 and np.allclose(seen[0][1], hr_ba)
+
+
+def test_freqz_sos_alias_and_band_stop_obj():
+    sos = ss.butter(6, [0.2, 0.5], btype="band", output="sos")
+    wm, hm = d.freqz_sos(sos, worN=256)
+    wr, hr = ss.freqz_sos(sos, worN=256)
+    assert np.allclose(hm, hr)
+    passb, stopb = np.array([0.1, 0.6]), np.array([0.2, 0.5])
+    for kind in ("butter", "cheby", "ellip"):
+        v1 = d.band_stop_obj(0.15, 0, passb, stopb, 2, 30, kind)
+        v2 = ss.band_stop_obj(0.15, 0, passb, stopb, 2, 30, kind)
+        assert np.allclose(v1, v2), kind
+    with pytest.raises(ValueError):
+        d.band_stop_obj(0.15, 0, passb, stopb, 2, 30, "bessel")
+
+
+# Partial-fraction expansion (round 5)
+
+
+def _sorted_rp(r, p):
+    order = np.lexsort((np.round(np.imag(p), 6), np.round(np.real(p), 6)))
+    return np.asarray(r)[order], np.asarray(p)[order]
+
+
+PFE_S_CASES = [
+    ([1.0, 2.0], [1.0, 5.0, 6.0]),            # simple real poles
+    ([3.0], [1.0, 2.0, 1.0]),                 # double pole
+    ([1.0, 0.0, 1.0], [1.0, 0.0, 0.0, -1.0]), # complex poles
+    ([1.0, 2.0, 3.0, 4.0], [1.0, 3.0, 3.0, 1.0]),  # improper + triple
+    ([2.0, 1.0], [1.0, -1.0, 0.25]),
+]
+
+
+@pytest.mark.parametrize("b,a", PFE_S_CASES)
+def test_residue_invres(b, a):
+    b, a = np.asarray(b), np.asarray(a)
+    rm, pm, km = d.residue(b, a)
+    rr, pr, kr = ss.residue(b, a)
+    rm2, pm2 = _sorted_rp(rm, pm)
+    rr2, pr2 = _sorted_rp(rr, pr)
+    np.testing.assert_allclose(pm2, pr2, atol=1e-7)
+    np.testing.assert_allclose(rm2, rr2, atol=1e-7)
+    s = 1j * np.linspace(0.3, 4, 9) + 0.1
+    h_ref = np.polyval(b, s) / np.polyval(a, s)
+    # invres reconstructs the transfer function
+    bm, am = d.invres(rr, pr, kr if np.size(kr) else np.array([0.0]))
+    h_inv = np.polyval(bm, s) / np.polyval(am, s)
+    np.testing.assert_allclose(h_inv, h_ref, atol=1e-6)
+
+
+PFE_Z_CASES = [
+    ([1.0, -1.0], [1.0, -1.5, 0.56]),
+    ([1.0], [1.0, -1.0, 0.25]),               # double pole at 0.5
+    ([2.0, 1.0, 0.5, 0.1], [1.0, -0.9]),      # improper (direct terms)
+    ([1.0, 0.3], [1.0, 0.0, 0.64]),           # complex poles
+]
+
+
+@pytest.mark.parametrize("b,a", PFE_Z_CASES)
+def test_residuez_invresz(b, a):
+    b, a = np.asarray(b), np.asarray(a)
+    rm, pm, km = d.residuez(b, a)
+    rr, pr, kr = ss.residuez(b, a)
+    rm2, pm2 = _sorted_rp(rm, pm)
+    rr2, pr2 = _sorted_rp(rr, pr)
+    np.testing.assert_allclose(pm2, pr2, atol=1e-7)
+    np.testing.assert_allclose(rm2, rr2, atol=1e-7)
+    km_t = np.trim_zeros(np.atleast_1d(km), "f")
+    kr_t = np.trim_zeros(np.atleast_1d(kr), "f") if np.size(kr) else kr
+    np.testing.assert_allclose(km_t, kr_t, atol=1e-7)
+    # coefficient parity of the inverse on scipy's own expansion
+    bm, am = d.invresz(rr, pr, kr if np.size(kr) else np.array([0.0]))
+    br, ar = ss.invresz(rr, pr, kr if np.size(kr) else np.array([0.0]))
+    np.testing.assert_allclose(np.atleast_1d(bm), np.atleast_1d(br),
+                               atol=1e-8)
+    np.testing.assert_allclose(am, ar, atol=1e-8)
+
+
+@pytest.mark.parametrize("rtype", ["min", "max", "avg"])
+def test_unique_roots(rtype):
+    p = np.array([1.0, 1.0005, 2.0, 2.0, 3.0])
+    um, mm = d.unique_roots(p, tol=1e-2, rtype=rtype)
+    ur, mr = ss.unique_roots(p, tol=1e-2, rtype=rtype)
+    np.testing.assert_allclose(np.sort(um), np.sort(ur))
+    assert sorted(mm) == sorted(mr)
+    with pytest.raises(ValueError):
+        d.unique_roots(p, rtype="bogus")
+
+
+def test_lfiltic():
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(5)
+    x = rng.standard_normal(5)
+    cases = [ss.butter(3, 0.3),
+             (np.array([1.0, 0.5, 0.2]), np.array([1.0])),
+             (np.array([0.2]), np.array([1.0, -0.7, 0.1, 0.05])),
+             (np.array([2.0, 1.0]), np.array([2.0, -1.0, 0.3]))]
+    for b, a in cases:
+        for xx in (None, x, x[:1]):
+            np.testing.assert_allclose(d.lfiltic(b, a, y, xx),
+                                       ss.lfiltic(b, a, y, xx),
+                                       atol=1e-12)
+        np.testing.assert_allclose(d.lfiltic(b, a, y[:1]),
+                                   ss.lfiltic(b, a, y[:1]), atol=1e-12)
+    # the state actually continues a filtering run (scipy's doc contract)
+    b, a = ss.butter(4, 0.25)
+    sig = rng.standard_normal(64)
+    full = ss.lfilter(b, a, sig)
+    head = full[:20]
+    zi = d.lfiltic(b, a, head[::-1], sig[:20][::-1])
+    tail, _ = ss.lfilter(b, a, sig[20:], zi=zi)
+    np.testing.assert_allclose(tail, full[20:], atol=1e-12)

@@ -13,6 +13,7 @@ import scipy.signal as sps
 import jax
 import jax.numpy as jnp
 
+import tpufft
 from tpufft import ShortTimeFFT, SplitComplex
 
 
@@ -513,3 +514,74 @@ def test_fused_gate_rejects_unsupported():
     S_np = s3.stft(_sig(1000, seed=83))
     S_j = s3.stft(jnp.asarray(_sig(1000, seed=83).astype(np.float32)))
     np.testing.assert_allclose(_np(S_j), S_np, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# closest_STFT_dual_window (round 5)
+
+
+class TestClosestDualWindow:
+    @pytest.mark.parametrize("m,hop", [(64, 16), (63, 9), (48, 12),
+                                       (32, 32), (17, 5), (24, 1)])
+    @pytest.mark.parametrize("scaled", [True, False])
+    def test_scipy_parity(self, m, hop, scaled):
+        sps = pytest.importorskip("scipy.signal")
+        if not hasattr(sps, "closest_STFT_dual_window"):
+            pytest.skip("scipy too old for closest_STFT_dual_window")
+        w = tpufft.get_window("hann", m) + 0.01
+        rng = np.random.default_rng(m * 100 + hop)
+        for desired in (None, rng.standard_normal(m)):
+            dm, am = tpufft.closest_STFT_dual_window(
+                w, hop, desired, scaled=scaled)
+            dr, ar = sps.closest_STFT_dual_window(
+                w, hop, desired, scaled=scaled)
+            np.testing.assert_allclose(dm, dr, atol=1e-12)
+            np.testing.assert_allclose(am, ar, atol=1e-12)
+
+    def test_complex_window(self):
+        sps = pytest.importorskip("scipy.signal")
+        if not hasattr(sps, "closest_STFT_dual_window"):
+            pytest.skip("scipy too old for closest_STFT_dual_window")
+        m, hop = 48, 12
+        w = tpufft.get_window("hann", m) * np.exp(1j * np.linspace(0, 2, m))
+        rng = np.random.default_rng(0)
+        u = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+        for scaled in (True, False):
+            dm, am = tpufft.closest_STFT_dual_window(w, hop, u,
+                                                     scaled=scaled)
+            dr, ar = sps.closest_STFT_dual_window(w, hop, u, scaled=scaled)
+            np.testing.assert_allclose(dm, dr, atol=1e-12)
+            np.testing.assert_allclose(am, ar, atol=1e-12)
+
+    def test_dual_property_and_cola(self):
+        # the result is an exact dual of alpha*win: per-residue-class
+        # <win, d> == 1 regardless of the desired target
+        m, hop = 64, 16
+        w = tpufft.get_window("hamming", m)
+        d, alpha = tpufft.closest_STFT_dual_window(w, hop)
+        con = np.zeros(hop)
+        np.add.at(con, np.arange(m) % hop, w * d)
+        np.testing.assert_allclose(con, 1.0, atol=1e-12)
+        # hann at 50% overlap is COLA: its closest dual to the
+        # rectangular window IS (a multiple of) the rectangular window
+        w = tpufft.get_window("hann", m)
+        d, alpha = tpufft.closest_STFT_dual_window(w, m // 2)
+        np.testing.assert_allclose(d, d[0], atol=1e-12)
+
+    def test_errors(self):
+        w = np.zeros(32)
+        w[::16] = 1.0
+        with pytest.raises(ValueError):
+            tpufft.closest_STFT_dual_window(w, 8)   # empty residue class
+        with pytest.raises(ValueError):
+            tpufft.closest_STFT_dual_window(np.ones(16), 0)
+        with pytest.raises(ValueError):
+            tpufft.closest_STFT_dual_window(np.ones(16), 17)
+        with pytest.raises(ValueError):
+            tpufft.closest_STFT_dual_window(np.ones(16), 4,
+                                            np.ones(8))  # length mismatch
+        with pytest.raises(ValueError):
+            # desired orthogonal to the window in every class
+            w = np.zeros(8); w[0] = 1.0
+            u = np.zeros(8); u[1] = 1.0
+            tpufft.closest_STFT_dual_window(w, 1, u, scaled=True)

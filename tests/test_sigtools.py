@@ -191,3 +191,190 @@ def test_savgol_axis_device_errors(rng):
     with pytest.raises(ValueError, match="window_length"):
         savgol_filter(x[:8], 11, 3, axis=0)
     assert "savgol_filter" in tpufft.__all__
+
+
+# ---------------------------------------------------------------------------
+# Round-5: convolve / convolve2d / correlate2d
+
+
+class TestConvolve:
+    @pytest.mark.parametrize("mode", ["full", "same", "valid"])
+    @pytest.mark.parametrize("method", ["auto", "direct", "fft"])
+    def test_int_exact(self, rng, mode, method):
+        a = rng.integers(-9, 9, 40)
+        b = rng.integers(-9, 9, 7)
+        out = tpufft.convolve(a, b, mode, method)
+        ref = sps.convolve(a, b, mode, method)
+        assert out.dtype == ref.dtype
+        np.testing.assert_array_equal(out, ref)
+
+    @pytest.mark.parametrize("shp1,shp2", [((20, 15), (4, 5)),
+                                           ((6, 7, 8), (3, 2, 4)),
+                                           ((5,), (12,))])
+    @pytest.mark.parametrize("mode", ["full", "same"])
+    @pytest.mark.parametrize("method", ["direct", "fft"])
+    def test_float_nd(self, rng, shp1, shp2, mode, method):
+        x = rng.standard_normal(shp1)
+        h = rng.standard_normal(shp2)
+        np.testing.assert_allclose(tpufft.convolve(x, h, mode, method),
+                                   sps.convolve(x, h, mode, method),
+                                   atol=2e-5)
+
+    def test_valid_swap_and_error(self, rng):
+        x = rng.standard_normal((4, 5))
+        h = rng.standard_normal((9, 9))
+        np.testing.assert_allclose(tpufft.convolve(x, h, "valid"),
+                                   sps.convolve(x, h, "valid"), atol=1e-8)
+        with pytest.raises(ValueError):
+            tpufft.convolve(rng.standard_normal((4, 9)),
+                            rng.standard_normal((6, 3)), "valid")
+        with pytest.raises(ValueError):
+            tpufft.convolve(np.ones(4), np.ones((4, 4)))
+        with pytest.raises(ValueError):
+            tpufft.convolve(np.ones(4), np.ones(4), mode="bogus")
+        with pytest.raises(ValueError):
+            tpufft.convolve(np.ones(4), np.ones(4), method="bogus")
+
+    @pytest.mark.parametrize("method", ["auto", "direct", "fft"])
+    def test_bool_or_semantics(self, rng, method):
+        # scipy's bool direct/auto result is the OR-convolution; its
+        # bool-fft output is an unrounded FP cast (noise-dependent), so
+        # the OR-convolution is the parity target for every method here
+        a = rng.integers(0, 2, 30).astype(bool)
+        b = rng.integers(0, 2, 5).astype(bool)
+        out = tpufft.convolve(a, b, "full", method)
+        ref = sps.convolve(a, b, "full", "direct")
+        assert out.dtype == np.bool_
+        np.testing.assert_array_equal(out, ref)
+
+    @pytest.mark.parametrize("method", ["direct", "fft"])
+    def test_complex(self, rng, method):
+        a = rng.standard_normal(20) + 1j * rng.standard_normal(20)
+        b = rng.standard_normal(6) + 1j * rng.standard_normal(6)
+        out = tpufft.convolve(a, b, "full", method)
+        ref = sps.convolve(a, b, "full", method)
+        assert out.dtype == ref.dtype
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_jax_input_returns_jax(self, rng):
+        x = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+        h = jnp.asarray(rng.standard_normal(9).astype(np.float32))
+        out = tpufft.convolve(x, h, "same")
+        assert isinstance(out, jax.Array)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            sps.convolve(np.asarray(x), np.asarray(h), "same"), atol=1e-4)
+
+
+class TestConvolve2d:
+    @pytest.mark.parametrize("mode", ["full", "same", "valid"])
+    @pytest.mark.parametrize("boundary", ["fill", "wrap", "symm"])
+    def test_float_and_int(self, rng, mode, boundary):
+        x = rng.standard_normal((12, 10))
+        h = rng.standard_normal((4, 3))
+        np.testing.assert_allclose(
+            tpufft.convolve2d(x, h, mode, boundary),
+            sps.convolve2d(x, h, mode, boundary), atol=1e-8)
+        xi = rng.integers(-5, 5, (12, 10))
+        hi = rng.integers(-5, 5, (4, 3))
+        np.testing.assert_array_equal(
+            tpufft.convolve2d(xi, hi, mode, boundary),
+            sps.convolve2d(xi, hi, mode, boundary))
+
+    @pytest.mark.parametrize("mode", ["full", "same", "valid"])
+    @pytest.mark.parametrize("boundary", ["fill", "wrap", "symm"])
+    def test_correlate2d(self, rng, mode, boundary):
+        x = rng.standard_normal((12, 10))
+        h = rng.standard_normal((4, 3))
+        np.testing.assert_allclose(
+            tpufft.correlate2d(x, h, mode, boundary),
+            sps.correlate2d(x, h, mode, boundary), atol=1e-8)
+
+    def test_even_kernel_same_centering(self, rng):
+        # correlate2d 'same' crops at K//2; 1-D correlate at (K-1)//2 —
+        # scipy's documented inconsistency, mirrored exactly
+        x = rng.standard_normal((12, 10))
+        h = rng.standard_normal((4, 4))
+        np.testing.assert_allclose(tpufft.convolve2d(x, h, "same"),
+                                   sps.convolve2d(x, h, "same"), atol=1e-8)
+        np.testing.assert_allclose(tpufft.correlate2d(x, h, "same"),
+                                   sps.correlate2d(x, h, "same"), atol=1e-8)
+        np.testing.assert_allclose(
+            tpufft.correlate2d(x, h, "same", "wrap"),
+            sps.correlate2d(x, h, "same", "wrap"), atol=1e-8)
+
+    def test_fillvalue_and_complex(self, rng):
+        x = rng.standard_normal((12, 10))
+        h = rng.standard_normal((4, 3))
+        np.testing.assert_allclose(
+            tpufft.convolve2d(x, h, "full", "fill", 2.5),
+            sps.convolve2d(x, h, "full", "fill", 2.5), atol=1e-8)
+        xc = x + 1j * rng.standard_normal((12, 10))
+        hc = h + 1j * rng.standard_normal((4, 3))
+        np.testing.assert_allclose(tpufft.correlate2d(xc, hc, "full"),
+                                   sps.correlate2d(xc, hc, "full"),
+                                   atol=1e-8)
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            tpufft.convolve2d(np.ones(5), np.ones((2, 2)))
+        with pytest.raises(ValueError):
+            tpufft.convolve2d(np.ones((5, 5)), np.ones((2, 2)),
+                              boundary="bogus")
+        with pytest.raises(ValueError):
+            tpufft.convolve2d(np.ones((3, 3)), np.ones((5, 5)),
+                              "full", "wrap")
+
+
+# Round-5: rank filters and vectorstrength
+
+
+class TestRankFilters:
+    def test_order_filter(self, rng):
+        a = rng.standard_normal((12, 11))
+        dom = np.ones((3, 5))
+        dom[0, 0] = 0
+        dom[2, 4] = 0
+        for rank in (0, 5, 12):
+            np.testing.assert_allclose(tpufft.order_filter(a, dom, rank),
+                                       sps.order_filter(a, dom, rank))
+        with pytest.raises(ValueError):
+            tpufft.order_filter(a, np.ones((2, 3)), 1)   # even domain
+        with pytest.raises(ValueError):
+            tpufft.order_filter(a, dom, 13)              # rank too big
+
+    @pytest.mark.parametrize("ks", [3, (3, 5), (5, 3)])
+    def test_medfilt_2d(self, rng, ks):
+        a = rng.standard_normal((12, 11))
+        np.testing.assert_allclose(tpufft.medfilt(a, ks),
+                                   sps.medfilt(a, ks))
+
+    def test_medfilt_other_ranks(self, rng):
+        v = rng.standard_normal(300)
+        np.testing.assert_allclose(tpufft.medfilt(v, 7),
+                                   sps.medfilt(v, 7))
+        v3 = rng.standard_normal((6, 7, 8))
+        np.testing.assert_allclose(tpufft.medfilt(v3, (3, 3, 5)),
+                                   sps.medfilt(v3, (3, 3, 5)))
+        a = rng.standard_normal((12, 11))
+        np.testing.assert_allclose(tpufft.medfilt2d(a, 5),
+                                   sps.medfilt2d(a, 5))
+        with pytest.raises(ValueError):
+            tpufft.medfilt(v, 4)                          # even kernel
+        with pytest.raises(ValueError):
+            tpufft.medfilt2d(v, 3)                        # not 2-D
+
+
+def test_vectorstrength(rng):
+    ev = rng.uniform(0, 100, 200)
+    sm, pm = tpufft.vectorstrength(ev, 3.7)
+    sr, pr = sps.vectorstrength(ev, 3.7)
+    assert np.isclose(sm, sr) and np.isclose(pm, pr)
+    sm, pm = tpufft.vectorstrength(ev, [1.0, 2.5, 7.7])
+    sr, pr = sps.vectorstrength(ev, [1.0, 2.5, 7.7])
+    np.testing.assert_allclose(sm, sr)
+    np.testing.assert_allclose(pm, pr)
+    with pytest.raises(ValueError):
+        tpufft.vectorstrength(ev, -1.0)
+    with pytest.raises(ValueError):
+        tpufft.vectorstrength(np.ones((2, 2)), 1.0)

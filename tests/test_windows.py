@@ -111,8 +111,14 @@ def test_default_spectral_surface_without_scipy():
     np.testing.assert_allclose(p, tpufft.welch(x)[1])
     np.testing.assert_allclose(win, sps.get_window(("kaiser", 5.0), 128))
     with _BlockScipy():
+        # the round-5 natively-implemented exotica work without scipy...
+        np.testing.assert_allclose(get_window(("chebwin", 100), 64),
+                                   sps.get_window(("chebwin", 100), 64))
+        np.testing.assert_allclose(get_window(("dpss", 3), 64),
+                                   sps.get_window(("dpss", 3), 64))
+        # ...and only truly unknown names hit the scipy fallback error
         with pytest.raises(ValueError, match="scipy is not"):
-            get_window(("chebwin", 100), 64)
+            get_window("no_such_window", 64)
 
 
 def test_shorttime_from_window_without_scipy():
@@ -121,3 +127,100 @@ def test_shorttime_from_window_without_scipy():
     with _BlockScipy():
         s = ShortTimeFFT.from_window("hann", 1.0, 256, 128)
     np.testing.assert_allclose(s.win, sps.get_window("hann", 256))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 native exotica: chebwin, taylor, kaiser_bessel_derived, dpss
+
+
+class TestExoticWindows:
+    @pytest.mark.parametrize("M", [8, 9, 51, 64])
+    @pytest.mark.parametrize("at", [45, 60, 100])
+    def test_chebwin(self, M, at):
+        from tpufft.windows import chebwin
+        np.testing.assert_allclose(chebwin(M, at), sps.windows.chebwin(M, at),
+                                   atol=1e-12)
+        np.testing.assert_allclose(chebwin(M, at, sym=False),
+                                   sps.windows.chebwin(M, at, sym=False),
+                                   atol=1e-12)
+
+    def test_chebwin_low_attenuation_warns(self):
+        from tpufft.windows import chebwin
+        with pytest.warns(UserWarning):
+            chebwin(51, 30)
+
+    @pytest.mark.parametrize("M", [8, 9, 51, 64])
+    @pytest.mark.parametrize("nbar,sll,norm", [(4, 30, True), (6, 50, True),
+                                               (4, 30, False)])
+    def test_taylor(self, M, nbar, sll, norm):
+        from tpufft.windows import taylor
+        np.testing.assert_allclose(
+            taylor(M, nbar, sll, norm),
+            sps.windows.taylor(M, nbar, sll, norm), atol=1e-12)
+        np.testing.assert_allclose(
+            taylor(M, nbar, sll, norm, sym=False),
+            sps.windows.taylor(M, nbar, sll, norm, sym=False), atol=1e-12)
+
+    @pytest.mark.parametrize("M", [8, 64, 128])
+    @pytest.mark.parametrize("beta", [4.0, 8.6])
+    def test_kaiser_bessel_derived(self, M, beta):
+        from tpufft.windows import kaiser_bessel_derived as kbd
+        np.testing.assert_allclose(
+            kbd(M, beta), sps.windows.kaiser_bessel_derived(M, beta),
+            atol=1e-12)
+
+    def test_kbd_errors(self):
+        from tpufft.windows import kaiser_bessel_derived as kbd
+        with pytest.raises(ValueError):
+            kbd(63, 8.6)           # odd length
+        with pytest.raises(ValueError):
+            kbd(64, 8.6, sym=False)
+
+    @pytest.mark.parametrize("M,NW,K", [(64, 3, 4), (65, 2.5, 3),
+                                        (128, 4, 7)])
+    def test_dpss(self, M, NW, K):
+        from tpufft.windows import dpss
+        np.testing.assert_allclose(dpss(M, NW, K), sps.windows.dpss(M, NW, K),
+                                   atol=1e-8)
+        for nm in ("approximate", "subsample"):
+            np.testing.assert_allclose(
+                dpss(M, NW, K, norm=nm),
+                sps.windows.dpss(M, NW, K, norm=nm), atol=1e-8)
+        wm, rm = dpss(M, NW, K, return_ratios=True)
+        wr, rr = sps.windows.dpss(M, NW, K, return_ratios=True)
+        np.testing.assert_allclose(rm, rr, atol=1e-8)
+        np.testing.assert_allclose(
+            dpss(M, NW, K, sym=False), sps.windows.dpss(M, NW, K, sym=False),
+            atol=1e-8)
+
+    def test_dpss_singleton_and_errors(self):
+        from tpufft.windows import dpss
+        np.testing.assert_allclose(dpss(64, 3), sps.windows.dpss(64, 3),
+                                   atol=1e-8)
+        w, r = dpss(64, 3, return_ratios=True)
+        w2, r2 = sps.windows.dpss(64, 3, return_ratios=True)
+        assert np.isclose(r, r2) and w.ndim == 1
+        for bad in (dict(Kmax=0), dict(Kmax=100), dict(NW=40.0),
+                    dict(norm="bogus")):
+            with pytest.raises(ValueError):
+                dpss(64, bad.pop("NW", 3), **bad)
+
+    def test_get_window_dispatch(self):
+        for spec, M, kw in [(("chebwin", 60), 65, {}),
+                            ("taylor", 51, {}),
+                            (("taylor", 5, 40), 51, {}),
+                            (("dpss", 3), 64, {}),
+                            (("kaiser bessel derived", 8.6), 64,
+                             {"fftbins": False})]:
+            np.testing.assert_allclose(
+                get_window(spec, M, **kw),
+                sps.get_window(spec, M, **kw), atol=1e-9)
+        # scipy-matching rejection: KBD is symmetric-only, so periodic
+        # (fftbins=True) raises in both libraries
+        with pytest.raises(ValueError):
+            get_window(("kaiser bessel derived", 8.6), 64)
+
+    def test_submodule_exported(self):
+        import tpufft
+        assert tpufft.windows.hann is not None
+        assert hasattr(tpufft.windows, "dpss")

@@ -33,26 +33,35 @@ from .fhtlog import fht, ifht, fhtoffset
 from .backend import set_workers, get_workers, scipy_backend
 from .signal import (FilterPlan, correlate, envelope, fftconvolve, hilbert,
                      hilbert2, oaconvolve, plan_filter, resample)
-from .sigtools import (choose_conv_method, correlation_lags, deconvolve,
-                       detrend, savgol_filter, wiener)
+from .sigtools import (choose_conv_method, convolve, convolve2d,
+                       correlate2d, correlation_lags, deconvolve,
+                       detrend, medfilt, medfilt2d, order_filter,
+                       savgol_filter, vectorstrength, wiener)
 from .czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from .spectral import (check_COLA, check_NOLA, coherence, csd, get_window,
                        istft, periodogram, spectrogram, stft, welch, lombscargle,
 )
-from .shorttime import ShortTimeFFT
+from .shorttime import ShortTimeFFT, closest_STFT_dual_window
 from .multirate import decimate, resample_poly, upfirdn
 from .iir import filtfilt, lfilter, sosfilt, sosfiltfilt
 from .design import (
     firwin, firwin2, firls, remez, minimum_phase, kaiser_beta, kaiser_atten, kaiserord,
     buttap, cheb1ap, cheb2ap, ellipap, besselap,
     lp2lp_zpk, lp2hp_zpk, lp2bp_zpk, lp2bs_zpk, bilinear, bilinear_zpk,
+    lp2lp, lp2hp, lp2bp, lp2bs,
     iirfilter, butter, cheby1, cheby2, ellip, bessel,
-    buttord, cheb1ord, cheb2ord, ellipord,
+    iirnotch, iirpeak, iircomb, iirdesign,
+    buttord, cheb1ord, cheb2ord, ellipord, band_stop_obj,
     zpk2tf, tf2zpk, zpk2sos, tf2sos, sos2tf, sos2zpk, normalize,
-    freqz, freqz_zpk, sosfreqz, group_delay, lfilter_zi, sosfilt_zi,
+    freqz, freqz_zpk, sosfreqz, freqz_sos, group_delay,
+    freqs, freqs_zpk, findfreqs, lfilter_zi, sosfilt_zi,
+    residue, residuez, invres, invresz, unique_roots, lfiltic,
 )
 from .sigtools import savgol_coeffs
+from .waveforms import (chirp, gausspulse, max_len_seq, sawtooth, square,
+                        sweep_poly, unit_impulse)
 from . import ndimage
+from . import windows
 
 __version__ = "0.3.0"
 
@@ -68,8 +77,9 @@ __all__ = [
     "fht", "ifht", "fhtoffset",
     "FilterPlan", "plan_filter", "fftconvolve",
     "hilbert", "resample", "correlate", "oaconvolve", "envelope",
+    "convolve", "convolve2d", "correlate2d",
     "CZT", "ZoomFFT", "czt", "zoom_fft", "czt_points",
-    "ShortTimeFFT",
+    "ShortTimeFFT", "closest_STFT_dual_window",
     "stft", "istft", "spectrogram", "periodogram", "welch", "csd",
     "coherence", "get_window", "check_NOLA", "check_COLA",
     "lombscargle",
@@ -81,14 +91,21 @@ __all__ = [
     "kaiser_beta", "kaiser_atten", "kaiserord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
+    "lp2lp", "lp2hp", "lp2bp", "lp2bs",
     "bilinear", "bilinear_zpk",
     "iirfilter", "butter", "cheby1", "cheby2", "ellip", "bessel",
-    "buttord", "cheb1ord", "cheb2ord", "ellipord",
+    "iirnotch", "iirpeak", "iircomb", "iirdesign",
+    "buttord", "cheb1ord", "cheb2ord", "ellipord", "band_stop_obj",
     "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf", "sos2zpk",
-    "normalize", "freqz", "freqz_zpk", "sosfreqz", "group_delay",
+    "normalize", "freqz", "freqz_zpk", "sosfreqz", "freqz_sos",
+    "group_delay", "freqs", "freqs_zpk", "findfreqs",
+    "residue", "residuez", "invres", "invresz", "unique_roots",
+    "lfiltic", "order_filter", "medfilt", "medfilt2d", "vectorstrength",
     "lfilter_zi", "sosfilt_zi",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
-    "set_workers", "get_workers", "scipy_backend", "ndimage",
+    "chirp", "sweep_poly", "gausspulse", "square", "sawtooth",
+    "unit_impulse", "max_len_seq",
+    "set_workers", "get_workers", "scipy_backend", "ndimage", "windows",
     "default_bases", "digit_reverse", "factorize", "next_fast_len",
     "prev_fast_len", "stage_schedule",
     "__version__",

@@ -49,13 +49,17 @@ __all__ = [
     "kaiser_beta", "kaiser_atten", "kaiserord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
+    "lp2lp", "lp2hp", "lp2bp", "lp2bs",
     "bilinear", "bilinear_zpk",
     "iirfilter", "butter", "cheby1", "cheby2", "ellip", "bessel",
-    "buttord", "cheb1ord", "cheb2ord", "ellipord",
+    "iirnotch", "iirpeak", "iircomb", "iirdesign",
+    "buttord", "cheb1ord", "cheb2ord", "ellipord", "band_stop_obj",
     "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf", "sos2zpk",
     "normalize",
-    "freqz", "freqz_zpk", "sosfreqz", "group_delay",
-    "lfilter_zi", "sosfilt_zi",
+    "freqz", "freqz_zpk", "sosfreqz", "freqz_sos", "group_delay",
+    "freqs", "freqs_zpk", "findfreqs",
+    "residue", "residuez", "invres", "invresz", "unique_roots",
+    "lfilter_zi", "sosfilt_zi", "lfiltic",
 ]
 
 _EPS = np.finfo(np.float64).eps
@@ -1608,3 +1612,585 @@ def firls(numtaps, bands, desired, *, weight=None, fs=None):
     h[M + 1:] = 0.5 * c[1:]
     h[:M] = h[M + 1:][::-1]
     return h
+
+
+# ---------------------------------------------------------------------------
+# Analog-prototype transforms in transfer-function form, analog response
+# evaluation, and second-order notch/peak/comb designs
+# (scipy parity targets: scipy/signal/_filter_design.py lp2lp/lp2hp/
+# lp2bp/lp2bs, freqs, freqs_zpk, findfreqs, band_stop_obj and
+# scipy/signal/_filter_design.py iirnotch/iirpeak/iircomb, iirdesign.
+# The biquad notch/peak/comb formulas are the classical Orfanidis
+# designs — "Introduction to Signal Processing", ch. 11 — which is also
+# the derivation scipy documents.)
+# ---------------------------------------------------------------------------
+
+
+def _tf_arrays(b, a):
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if b.ndim != 1 or a.ndim != 1:
+        raise ValueError("b and a must be 1-D coefficient arrays")
+    return b, a
+
+
+def lp2lp(b, a, wo: float = 1.0):
+    """Lowpass prototype -> lowpass at cutoff ``wo`` (s -> s/wo),
+    transfer-function form.
+
+    Substituting s/wo into ``sum c_k s^k`` and clearing the common
+    ``wo**d`` factor multiplies the coefficient of ``s^k`` by
+    ``wo**(d-k)`` (d = max polynomial degree), which keeps the leading
+    denominator coefficient's scale."""
+    b, a = _tf_arrays(b, a)
+    wo = float(wo)
+    d = max(len(a), len(b)) - 1
+    # highest power first: coefficient j corresponds to s**(len-1-j)
+    pwo_b = wo ** (d - (len(b) - 1) + np.arange(len(b)))
+    pwo_a = wo ** (d - (len(a) - 1) + np.arange(len(a)))
+    start = min(pwo_a[0], pwo_b[0])
+    return b * (pwo_b / start), a * (pwo_a / start)
+
+
+def lp2hp(b, a, wo: float = 1.0):
+    """Lowpass prototype -> highpass at cutoff ``wo`` (s -> wo/s),
+    transfer-function form.
+
+    With highest-power-first coefficients, b[j] is the coefficient of
+    s**(n-1-j); substituting wo/s and clearing the common s**(M-1)
+    turns that term into ``b[j] * wo**(n-1-j) * s**(M-1-(n-1-j))`` —
+    i.e. the coefficient array reverses, each entry scaled by wo**k,
+    and pads with trailing zeros up to the common degree."""
+    b, a = _tf_arrays(b, a)
+    wo = float(wo)
+    d, n = len(a), len(b)
+    M = max(d, n)
+    pwo = wo ** np.arange(M)
+    bh = np.zeros(M)
+    ah = np.zeros(M)
+    bh[:n] = b[::-1] * pwo[:n]
+    ah[:d] = a[::-1] * pwo[:d]
+    return normalize(bh, ah)
+
+
+def lp2bp(b, a, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandpass (s -> (s^2 + wo^2)/(bw*s)),
+    transfer-function form via exact polynomial composition."""
+    b, a = _tf_arrays(b, a)
+    wo, bw = float(wo), float(bw)
+    d = max(len(a), len(b)) - 1
+    num = _compose_tf(b, d, wo, bw, band="pass")
+    den = _compose_tf(a, d, wo, bw, band="pass")
+    return normalize(num, den)
+
+
+def lp2bs(b, a, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandstop (s -> bw*s/(s^2 + wo^2)),
+    transfer-function form via exact polynomial composition."""
+    b, a = _tf_arrays(b, a)
+    wo, bw = float(wo), float(bw)
+    d = max(len(a), len(b)) - 1
+    num = _compose_tf(b, d, wo, bw, band="stop")
+    den = _compose_tf(a, d, wo, bw, band="stop")
+    return normalize(num, den)
+
+
+def _compose_tf(c: np.ndarray, d: int, wo: float, bw: float,
+                band: str) -> np.ndarray:
+    """Compose polynomial ``sum c_k s^k`` (highest first, degree up to d)
+    with the bandpass map s -> (s^2+wo^2)/(bw s) or the bandstop map
+    s -> bw s/(s^2+wo^2), then clear the common denominator so the
+    result is again a polynomial (degree 2d)."""
+    quad = np.array([1.0, 0.0, wo * wo])       # s^2 + wo^2
+    lin = np.array([bw, 0.0])                  # bw * s
+    if band == "pass":
+        top, bot = quad, lin
+    else:
+        top, bot = lin, quad
+    # term k: c_k * top^k * bot^(d-k); k = power of s in the prototype
+    out = np.zeros(1)
+    n = len(c)
+    for j in range(n):
+        k = n - 1 - j
+        term = np.array([c[j]])
+        for _ in range(k):
+            term = np.polymul(term, top)
+        for _ in range(d - k):
+            term = np.polymul(term, bot)
+        out = np.polyadd(out, term)
+    return out
+
+
+def findfreqs(num, den, N: int, kind: str = "ba"):
+    """Log-spaced frequency grid spanning the system's interesting range
+    (scipy.signal.findfreqs-compatible heuristic: roughly half a decade
+    beyond the outermost pole/zero down to a decade below the innermost).
+
+    ``kind='ba'`` treats (num, den) as transfer-function coefficients;
+    ``kind='zp'`` treats them as (zeros, poles) directly."""
+    if kind == "ba":
+        ep = np.atleast_1d(np.roots(np.atleast_1d(den))) + 0j
+        tz = np.atleast_1d(np.roots(np.atleast_1d(num))) + 0j
+    elif kind == "zp":
+        ep = np.atleast_1d(den) + 0j
+        tz = np.atleast_1d(num) + 0j
+    else:
+        raise ValueError(f"invalid kind {kind!r}")
+    if len(ep) == 0:
+        ep = np.atleast_1d(-1000.0) + 0j
+
+    ez = np.concatenate((ep[ep.imag >= 0],
+                         tz[(np.abs(tz) < 1e5) & (tz.imag >= 0)]))
+    integ = np.abs(ez) < 1e-10
+    hfreq = np.round(np.log10(np.max(3.0 * np.abs(ez.real + integ)
+                                     + 1.5 * ez.imag)) + 0.5)
+    lfreq = np.round(np.log10(0.1 * np.min(np.abs((ez + integ).real)
+                                           + 2.0 * ez.imag)) - 0.5)
+    return np.logspace(lfreq, hfreq, N)
+
+
+def freqs(b, a, worN=200, plot=None):
+    """Analog filter frequency response H(jw) = B(jw)/A(jw)
+    (scipy.signal.freqs-compatible)."""
+    b, a = _tf_arrays(b, a)
+    if worN is None:
+        worN = 200
+    if np.ndim(worN) == 0:
+        w = findfreqs(b, a, int(worN))
+    else:
+        w = np.asarray(worN, np.float64)
+    s = 1j * w
+    h = np.polyval(b, s) / np.polyval(a, s)
+    if plot is not None:
+        plot(w, h)
+    return w, h
+
+
+def freqs_zpk(z, p, k, worN=200):
+    """Analog frequency response from zeros/poles/gain
+    (scipy.signal.freqs_zpk-compatible)."""
+    z = np.atleast_1d(np.asarray(z))
+    p = np.atleast_1d(np.asarray(p))
+    if worN is None:
+        worN = 200
+    if np.ndim(worN) == 0:
+        w = findfreqs(z, p, int(worN), kind="zp")
+    else:
+        w = np.asarray(worN, np.float64)
+    s = 1j * w
+    num = k * np.prod(s[:, None] - z[None, :], axis=-1) if z.size else \
+        np.full(w.shape, complex(k))
+    den = np.prod(s[:, None] - p[None, :], axis=-1) if p.size else 1.0
+    return w, num / den
+
+
+def freqz_sos(sos, worN=512, whole: bool = False, fs=2 * math.pi):
+    """Frequency response of cascaded second-order sections
+    (scipy.signal.freqz_sos — the modern name for sosfreqz)."""
+    return sosfreqz(sos, worN=worN, whole=whole, fs=fs)
+
+
+def band_stop_obj(wp, ind: int, passb, stopb, gpass: float,
+                  gstop: float, type: str):
+    """Band-stop order objective for the movable passband edge
+    (scipy.signal.band_stop_obj-compatible public surface over the
+    internal objective the *ord functions minimize)."""
+    kind = {"butter": "butter", "cheby": "cheby", "ellip": "ellip"}.get(type)
+    if kind is None:
+        raise ValueError(f"incorrect type: {type!r}")
+    return _band_stop_obj(wp, ind, np.asarray(passb, np.float64),
+                          np.asarray(stopb, np.float64), gpass, gstop, kind)
+
+
+def _notch_peak(w0: float, Q: float, fs: float, kind: str):
+    fs = float(fs)
+    w0 = 2.0 * float(w0) / fs          # normalized to Nyquist = 1
+    if not 0 < w0 < 1:
+        raise ValueError("w0 must be between 0 and fs/2")
+    bw = w0 / float(Q) * math.pi       # -3 dB bandwidth in rad/sample
+    w0 = w0 * math.pi
+    if not 0 < bw < math.pi:
+        raise ValueError("bandwidth w0/Q out of range")
+    beta = math.tan(bw / 2.0)
+    gain = 1.0 / (1.0 + beta)
+    if kind == "notch":
+        b = gain * np.array([1.0, -2.0 * math.cos(w0), 1.0])
+    else:
+        b = (1.0 - gain) * np.array([1.0, 0.0, -1.0])
+    a = np.array([1.0, -2.0 * gain * math.cos(w0), 2.0 * gain - 1.0])
+    return b, a
+
+
+def iirnotch(w0, Q, fs: float = 2.0):
+    """Second-order IIR notch filter (scipy.signal.iirnotch-compatible):
+    unit gain away from w0, zero at w0, -3 dB band of width w0/Q."""
+    return _notch_peak(w0, Q, fs, "notch")
+
+
+def iirpeak(w0, Q, fs: float = 2.0):
+    """Second-order IIR peak (resonator) filter
+    (scipy.signal.iirpeak-compatible): zero gain away from w0, unit
+    gain at w0, -3 dB band of width w0/Q."""
+    return _notch_peak(w0, Q, fs, "peak")
+
+
+def iircomb(w0, Q, ftype: str = "notch", fs: float = 2.0, *,
+            pass_zero: bool = False):
+    """IIR comb filter with notches/peaks at multiples of w0
+    (scipy.signal.iircomb-compatible).
+
+    ``ftype='notch'`` rejects the harmonics, ``'peak'`` keeps only
+    them; ``pass_zero`` moves the comb teeth from the harmonics of w0
+    (False) to the midpoints between them (True)."""
+    fs = float(fs)
+    w0 = float(w0)
+    if not 0 < w0 < fs / 2:
+        raise ValueError("w0 must be between 0 and fs/2")
+    if ftype not in ("notch", "peak"):
+        raise ValueError(f"invalid ftype {ftype!r}")
+    # the comb period must divide the sampling rate so the teeth land
+    # exactly on the harmonics
+    N = fs / w0
+    if abs(N - round(N)) > 1e-9 * N:
+        raise ValueError("fs must be divisible by w0")
+    N = int(round(N))
+    w_delta = 2.0 * math.pi * w0 / (float(Q) * fs)   # -3 dB width, rad
+    beta = math.tan(N * w_delta / 4.0)
+    # Orfanidis comb: G0 = passband gain, G = gain at the teeth
+    if ftype == "notch":
+        G0, G = 1.0, 0.0
+    else:
+        G0, G = 0.0, 1.0
+    ax = 1.0 / (1.0 + beta)            # pole radius factor
+    # teeth at harmonics of w0 (z^N = 1) unless pass_zero, which shifts
+    # them to the anti-harmonics (z^N = -1)
+    sign = -1.0 if not pass_zero else 1.0
+    b = np.zeros(N + 1)
+    a = np.zeros(N + 1)
+    if ftype == "notch":
+        b[0] = ax
+        b[N] = sign * ax
+        a[0] = 1.0
+        a[N] = sign * (2.0 * ax - 1.0)
+    else:
+        b[0] = 1.0 - ax
+        b[N] = sign * (1.0 - ax)
+        a[0] = 1.0
+        a[N] = -sign * (2.0 * ax - 1.0)
+    return b, a
+
+
+def iirdesign(wp, ws, gpass: float, gstop: float, analog: bool = False,
+              ftype: str = "ellip", output: str = "ba", fs=None):
+    """Complete IIR design from band-edge specs
+    (scipy.signal.iirdesign-compatible): pick the minimum order with the
+    matching *ord function, then design with :func:`iirfilter`."""
+    try:
+        ordfun = {"butter": buttord, "cheby1": cheb1ord,
+                  "cheby2": cheb2ord, "ellip": ellipord}[
+                      _FTYPES.get(ftype.lower(), ftype.lower())]
+    except KeyError:
+        raise ValueError(
+            f"invalid ftype {ftype!r} for iirdesign (needs an order "
+            "prediction rule: butter/cheby1/cheby2/ellip)") from None
+    wp_arr = np.atleast_1d(np.asarray(wp, np.float64))
+    ws_arr = np.atleast_1d(np.asarray(ws, np.float64))
+    if wp_arr.shape != ws_arr.shape or wp_arr.size not in (1, 2):
+        raise ValueError("wp and ws must both be scalars or both pairs")
+    band = 2.0 * wp_arr / fs if fs is not None else wp_arr
+    sband = 2.0 * ws_arr / fs if fs is not None else ws_arr
+    if not analog:
+        if np.any(band <= 0) or np.any(band >= 1) or \
+                np.any(sband <= 0) or np.any(sband >= 1):
+            raise ValueError("digital band edges must be 0 < w < fs/2")
+    btype = _ord_btype(wp_arr, ws_arr)
+    N, Wn = ordfun(wp, ws, gpass, gstop, analog=analog, fs=fs)
+    return iirfilter(N, Wn, rp=gpass, rs=gstop, btype=btype,
+                     analog=analog, ftype=ftype, output=output, fs=fs)
+
+
+def _ord_btype(wp: np.ndarray, ws: np.ndarray) -> str:
+    if wp.size == 1:
+        return "lowpass" if wp[0] < ws[0] else "highpass"
+    if wp[0] < ws[0] < ws[1] < wp[1]:
+        return "bandstop"
+    if ws[0] < wp[0] < wp[1] < ws[1]:
+        return "bandpass"
+    raise ValueError("passband and stopband edges must nest for a "
+                     "band filter (wp inside ws or ws inside wp)")
+
+
+# ---------------------------------------------------------------------------
+# Partial-fraction expansion (scipy parity target:
+# scipy/signal/_filter_design.py residue/residuez/invres/invresz/
+# unique_roots). Residues at an m-fold pole come from the truncated
+# power series of the deflated rational function about the pole — the
+# Taylor/Laurent definition, computed by series division in f64.
+# ---------------------------------------------------------------------------
+
+
+def unique_roots(p, tol: float = 1e-3, rtype: str = "min"):
+    """Cluster near-identical roots (scipy.signal.unique_roots-
+    compatible): roots within ``tol`` of an existing group join it; the
+    group is represented by its max/min/mean per ``rtype``."""
+    if rtype in ("max", "maximum"):
+        pick = np.max
+    elif rtype in ("min", "minimum"):
+        pick = np.min
+    elif rtype in ("avg", "mean"):
+        pick = np.mean
+    else:
+        raise ValueError(f"invalid rtype {rtype!r}")
+    p = np.atleast_1d(np.asarray(p))
+    groups: list[list] = []
+    for root in p:
+        for g in groups:
+            if np.min(np.abs(np.asarray(g) - root)) < tol:
+                g.append(root)
+                break
+        else:
+            groups.append([root])
+    uniq = np.array([pick(np.asarray(g)) for g in groups])
+    mult = np.array([len(g) for g in groups])
+    return uniq, mult
+
+
+def _series_div(num: np.ndarray, den: np.ndarray, nterms: int) -> np.ndarray:
+    """First nterms coefficients (lowest power first) of num/den as a
+    power series; den[0] must be nonzero."""
+    out = np.empty(nterms, np.result_type(num.dtype, den.dtype,
+                                          np.complex128))
+    num = np.concatenate([num, np.zeros(max(0, nterms - len(num)),
+                                        num.dtype)])
+    rem = num[:nterms].astype(out.dtype).copy()
+    for i in range(nterms):
+        c = rem[i] / den[0]
+        out[i] = c
+        take = min(nterms - i, len(den))
+        rem[i:i + take] -= c * den[:take]
+    return out
+
+
+def _shifted(poly: np.ndarray, x0) -> np.ndarray:
+    """Coefficients of P(x0 + u) in u, LOWEST power first (Taylor shift
+    by synthetic division)."""
+    c = np.asarray(poly, np.result_type(poly.dtype, type(x0),
+                                        np.complex128)).copy()
+    n = len(c)
+    out = np.empty(n, c.dtype)
+    for i in range(n):
+        # one synthetic division by (x - x0): remainder = P_i(x0)
+        for j in range(1, n - i):
+            c[j] = c[j] + x0 * c[j - 1]
+        out[i] = c[n - 1 - i]
+        c = c[:n - 1 - i]
+    return out
+
+
+def _residues_at(num: np.ndarray, den_deflated: np.ndarray, pole,
+                 mult: int) -> np.ndarray:
+    """Residues [r_1, ..., r_mult] of num/(den_deflated*(x-pole)^mult)
+    for terms 1/(x-pole)^1 ... ^mult: the series of num/den_deflated
+    about the pole read in reverse."""
+    ser = _series_div(_shifted(num, pole), _shifted(den_deflated, pole),
+                      mult)
+    return ser[::-1]
+
+
+def _deflate(poly: np.ndarray, pole, mult: int) -> np.ndarray:
+    """poly / (x - pole)^mult by synthetic division (exact root
+    assumed; the remainder is dropped)."""
+    c = np.asarray(poly, np.result_type(poly.dtype, type(pole),
+                                        np.complex128))
+    for _ in range(mult):
+        q = np.empty(len(c) - 1, c.dtype)
+        acc = 0.0 + 0.0j
+        for i in range(len(c) - 1):
+            acc = c[i] + pole * acc
+            q[i] = acc
+        c = q
+    return c
+
+
+def residue(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial-fraction expansion of B(s)/A(s)
+    (scipy.signal.residue-compatible): returns (r, p, k) with repeated
+    poles carrying consecutive residues for powers 1..m."""
+    b = np.atleast_1d(np.asarray(b, np.result_type(np.asarray(b).dtype,
+                                                   np.float64)))
+    a = np.atleast_1d(np.asarray(a, np.result_type(np.asarray(a).dtype,
+                                                   np.float64)))
+    if np.all(b == 0) or b.size == 0:
+        return (np.array([], complex), np.array([], complex),
+                np.array([], np.float64))
+    if a.size < 2:
+        raise ValueError("denominator must have at least one root")
+    # strip leading zeros; direct polynomial part by long division
+    a = np.trim_zeros(a, "f")
+    b = np.trim_zeros(b, "f")
+    if len(b) >= len(a):
+        k, b = np.polydiv(b, a)
+    else:
+        k = np.array([], np.result_type(b.dtype, a.dtype))
+    poles = np.roots(a)
+    uniq, mult = unique_roots(poles, tol=tol, rtype=rtype)
+    r_all = []
+    p_all = []
+    for pj, m in zip(uniq, mult):
+        den_rest = _deflate(a, pj, int(m))
+        r_all.extend(_residues_at(b, den_rest, pj, int(m)))
+        p_all.extend([pj] * int(m))
+    return np.asarray(r_all), np.asarray(p_all), np.asarray(k)
+
+
+def invres(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Inverse of :func:`residue` (scipy.signal.invres-compatible)."""
+    r = np.atleast_1d(np.asarray(r))
+    p = np.atleast_1d(np.asarray(p))
+    k = np.atleast_1d(np.asarray(k)) if np.size(k) else np.array([])
+    uniq, mult = unique_roots(p, tol=tol, rtype=rtype)
+    a = np.array([1.0 + 0.0j])
+    for pj, m in zip(uniq, mult):
+        for _ in range(int(m)):
+            a = np.polymul(a, np.array([1.0, -pj]))
+    b = np.zeros(1, complex)
+    idx = 0
+    for pj, m in zip(uniq, mult):
+        m = int(m)
+        # a / (x-pj)^m, then multiply back (x-pj)^(m-j) per power j
+        base = _deflate(a, pj, m)
+        factor = np.array([1.0 + 0.0j])
+        for j in range(m, 0, -1):
+            # term r_idx(for power j) * base * (x-pj)^(m-j)
+            b = np.polyadd(b, r[idx + j - 1] * np.polymul(base, factor))
+            factor = np.polymul(factor, np.array([1.0, -pj]))
+        idx += m
+    if k.size:
+        b = np.polyadd(b, np.polymul(k, a))
+    b, a = _real_if_close(b), _real_if_close(a)
+    return np.trim_zeros(np.atleast_1d(b), "f"), a
+
+
+def residuez(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial-fraction expansion of B(z^-1)/A(z^-1) in terms of
+    ``r / (1 - p z^-1)^j`` (scipy.signal.residuez-compatible).
+
+    Derivation: with w = z^-1 the transfer function is a rational
+    function of w whose poles sit at w_i = 1/p_i; expanding in w and
+    rewriting ``1/(w - w_i)^j = (-p_i)^j / (1 - p_i w)^j`` maps the
+    w-residues onto the z^-1 convention."""
+    b = np.atleast_1d(np.asarray(b)).astype(
+        np.result_type(np.asarray(b).dtype, np.float64))
+    a = np.atleast_1d(np.asarray(a)).astype(
+        np.result_type(np.asarray(a).dtype, np.float64))
+    if a[0] == 0:
+        raise ValueError("a[0] (the z^0 denominator coefficient) must "
+                         "be nonzero")
+    # polynomials in w = z^-1, coefficient i = power i (lowest first)
+    bw = b[::-1]
+    aw = a[::-1]
+    bw = np.trim_zeros(bw, "f")
+    aw = np.trim_zeros(aw, "f")
+    if len(bw) >= len(aw):
+        # direct part: division must produce the LOW-order tail in w;
+        # scipy's k(z^-1) are the high powers of z^-1 — divide from the
+        # high end in w, remainder keeps degree < deg(aw)
+        kq, bw = np.polydiv(bw, aw)
+        k = kq[::-1]
+    else:
+        k = np.array([])
+    # poles in w (= 1/p); aw highest-first already
+    wroots = np.roots(aw)
+    uniq_w, mult = unique_roots(wroots, tol=tol, rtype=rtype)
+    r_all = []
+    p_all = []
+    for wj, m in zip(uniq_w, mult):
+        m = int(m)
+        pj = 1.0 / wj
+        den_rest = _deflate(aw, wj, m)
+        cw = _residues_at(bw, den_rest, wj, m)   # powers 1..m in (w-wj)
+        for j in range(1, m + 1):
+            r_all.append(cw[j - 1] * (-pj) ** j)
+            p_all.append(pj)
+    return np.asarray(r_all), np.asarray(p_all), np.asarray(k)
+
+
+def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Inverse of :func:`residuez` (scipy.signal.invresz-compatible)."""
+    r = np.atleast_1d(np.asarray(r))
+    p = np.atleast_1d(np.asarray(p))
+    k = np.atleast_1d(np.asarray(k)) if np.size(k) else np.array([])
+    uniq, mult = unique_roots(p, tol=tol, rtype=rtype)
+    # denominator prod (1 - p z^-1)^m, stored lowest power of z^-1 first
+    a = np.array([1.0 + 0.0j])
+    for pj, m in zip(uniq, mult):
+        for _ in range(int(m)):
+            # (1 - pj*w), coefficients lowest power of w = z^-1 first
+            a = np.convolve(a, np.array([1.0, -pj]))
+    b = np.zeros(1, complex)
+    idx = 0
+    for pj, m in zip(uniq, mult):
+        m = int(m)
+        # a(w) / (1 - pj w)^j  (series in w, exact division)
+        for j in range(1, m + 1):
+            term = a
+            for _ in range(j):
+                term = np.polydiv(term[::-1], np.array([-pj, 1.0]))[0][::-1]
+            b = _polyadd_low(b, r[idx + j - 1] * term)
+        idx += m
+    k = np.trim_zeros(k, "b") if k.size else k   # drop zero high powers
+    if k.size:
+        b = _polyadd_low(b, np.convolve(k, a))
+    b, a = _real_if_close(b), _real_if_close(a)
+    return b, a
+
+
+def _polyadd_low(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Add coefficient arrays stored lowest-power-first."""
+    n = max(len(x), len(y))
+    out = np.zeros(n, np.result_type(x.dtype, y.dtype))
+    out[:len(x)] += x
+    out[:len(y)] += y
+    return out
+
+
+def lfiltic(b, a, y, x=None):
+    """Initial lfilter state reproducing a given past output/input
+    history (scipy.signal.lfiltic-compatible).
+
+    Derivation: unrolling the direct-form-II-transposed recurrence
+    ``z_i[n] = b[i+1] x[n] - a[i+1] y[n] + z_{i+1}[n]`` backwards over
+    the provided history gives
+    ``zi[i] = sum_{k>=1} (b[i+k] x[-k] - a[i+k] y[-k])`` (a[0]-
+    normalized; missing history is zero)."""
+    b = np.atleast_1d(np.asarray(b, np.result_type(np.asarray(b).dtype,
+                                                   np.float64)))
+    a = np.atleast_1d(np.asarray(a, np.result_type(np.asarray(a).dtype,
+                                                   np.float64)))
+    while a.size > 1 and a[0] == 0.0:
+        a = a[1:]
+    if a.size < 1 or a[0] == 0.0:
+        raise ValueError("the leading denominator coefficient must be "
+                         "nonzero")
+    if a[0] != 1.0:
+        b = b / a[0]
+        a = a / a[0]
+    N = a.size - 1
+    M = b.size - 1
+    K = max(M, N)
+    y = np.atleast_1d(np.asarray(y))
+    x = (np.zeros(0, y.dtype) if x is None
+         else np.atleast_1d(np.asarray(x)))
+    rt = np.result_type(b.dtype, a.dtype, y.dtype,
+                        x.dtype if x.size else np.float64)
+    zi = np.zeros(K, rt)
+    # y[-k] is y[k-1] in scipy's argument convention (most recent first)
+    for i in range(K):
+        acc = rt.type(0)
+        for k in range(1, K - i + 1):
+            if i + k <= M and k - 1 < x.shape[0]:
+                acc = acc + b[i + k] * x[k - 1]
+            if i + k <= N and k - 1 < y.shape[0]:
+                acc = acc - a[i + k] * y[k - 1]
+        zi[i] = acc
+    return zi

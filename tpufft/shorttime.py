@@ -51,7 +51,7 @@ import numpy as np
 from . import api
 from .core import SplitComplex, backend_supports_complex
 
-__all__ = ["ShortTimeFFT"]
+__all__ = ["ShortTimeFFT", "closest_STFT_dual_window"]
 
 _FFT_MODES = ("twosided", "centered", "onesided", "onesided2X")
 _PAD_KIND = {"zeros": "constant", "edge": "edge", "even": "reflect",
@@ -80,6 +80,72 @@ def _canonical_dual(win: np.ndarray, hop: int) -> np.ndarray:
         raise ValueError("short-time FFT is not invertible: the window "
                          "overlap-add has (near-)zeros")
     return win / DD
+
+
+def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
+                             scaled: bool = True):
+    """Dual window of ``alpha*win`` closest to ``desired_dual``
+    (scipy.signal.closest_STFT_dual_window-compatible; scipy
+    _short_time_fft.py is the parity target).
+
+    Derivation (independent of scipy's implementation): a window system
+    shifted by ``hop`` has a diagonal frame operator, so "d is a dual of
+    w" decouples into one linear constraint per residue class
+    ``r = k mod hop``: ``<w_r, d_r> = 1``. The closest d to a desired u
+    under one inner-product constraint per class is the affine
+    projection ``d_r = u_r + (1 - c_r) / n_r * w_r`` with
+    ``c_r = <w_r, u_r>`` and ``n_r = ||w_r||^2``. With ``scaled=True``
+    the target is ``alpha*u`` with alpha free; the residual is then
+    exactly ``sum_r |1 - alpha*c_r|^2 / n_r`` (the mismatch lives
+    entirely along w within each class), minimized by
+    ``alpha = (sum conj(c_r)/n_r) / (sum |c_r|^2/n_r)``.
+    """
+    win = np.atleast_1d(np.asarray(win))
+    if win.ndim != 1 or win.size == 0:
+        raise ValueError("win must be a non-empty 1-D array")
+    if not (np.issubdtype(win.dtype, np.floating)
+            or np.issubdtype(win.dtype, np.complexfloating)):
+        win = win.astype(np.float64)
+    m = win.shape[0]
+    hop = int(hop)
+    if not 1 <= hop <= m:
+        raise ValueError(f"hop={hop} must be in [1, len(win)={m}]")
+    if desired_dual is None:
+        u = np.ones(m, dtype=win.dtype)
+    else:
+        u = np.atleast_1d(np.asarray(desired_dual))
+        if u.shape != win.shape:
+            raise ValueError("desired_dual must be 1-D of the same "
+                             "length as win")
+    cdtype = np.result_type(win.dtype, u.dtype, np.float64)
+    w = win.astype(cdtype)
+    u = u.astype(cdtype)
+
+    cls = np.arange(m) % hop
+    n_r = np.zeros(hop, np.float64)           # ||w_r||^2 per class
+    np.add.at(n_r, cls, (w.real ** 2 + w.imag ** 2)
+              if np.iscomplexobj(w) else w ** 2)
+    c_r = np.zeros(hop, cdtype)               # <w_r, u_r> per class
+    np.add.at(c_r, cls, np.conj(w) * u)
+
+    # a residue class with zero window energy admits no dual at all
+    if not np.all(n_r > np.finfo(np.float64).tiny):
+        raise ValueError("closest dual window is undefined: the window "
+                         "has a hop-residue class with zero energy")
+    if scaled:
+        denom = np.sum((c_r.real ** 2 + c_r.imag ** 2) / n_r)
+        if denom < np.finfo(np.float64).tiny:
+            raise ValueError("closest dual window is undefined: "
+                             "desired_dual is orthogonal to the window "
+                             "in every hop-residue class")
+        alpha = np.sum(np.conj(c_r) / n_r) / denom
+    else:
+        alpha = 1.0
+    d = alpha * u + ((1.0 - alpha * c_r) / n_r)[cls] * w
+    if not np.iscomplexobj(win) and not np.iscomplexobj(u):
+        alpha = float(np.real(alpha))
+        d = np.real(d) if np.iscomplexobj(d) else d
+    return d, alpha
 
 
 def _is_jax(x) -> bool:

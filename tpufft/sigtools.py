@@ -30,7 +30,9 @@ import numpy as np
 from .config import PlanConfig
 
 __all__ = ["detrend", "deconvolve", "wiener", "correlation_lags",
-           "choose_conv_method", "savgol_filter", "savgol_coeffs"]
+           "choose_conv_method", "savgol_filter", "savgol_coeffs",
+           "convolve", "convolve2d", "correlate2d",
+           "order_filter", "medfilt", "medfilt2d", "vectorstrength"]
 
 
 def detrend(data, axis: int = -1, type: str = "linear", bp=0,
@@ -361,3 +363,243 @@ def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
     y[int(deriv)] = _math.factorial(int(deriv)) / (float(delta) ** int(deriv))
     coeffs, _, _, _ = np.linalg.lstsq(A, y, rcond=None)
     return coeffs
+
+
+# ---------------------------------------------------------------------------
+# General convolution dispatchers (scipy parity target:
+# scipy/signal/_signaltools.py convolve / convolve2d / correlate2d).
+# TPU-native note: the fft method rides this package's fused padded-plan
+# FFT convolution (signal.fftconvolve) — on device input that is the
+# fast path; the direct method is an exact host computation (integer
+# inputs stay integers) via a zero-copy sliding-window view.
+
+
+def _direct_convolve_nd(vol: np.ndarray, ker: np.ndarray,
+                        mode: str) -> np.ndarray:
+    """Exact direct N-D convolution: one tensordot over a zero-copy
+    sliding-window view (memory transient is out_size x kernel_size, so
+    the auto dispatcher only routes small operands here — same contract
+    as scipy's direct method)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    nd = vol.ndim
+    flip = ker[(slice(None, None, -1),) * nd]
+    if mode == "valid":
+        win = sliding_window_view(vol, ker.shape)
+        return np.tensordot(win, flip, axes=nd)
+    pad = [(k - 1, k - 1) for k in ker.shape]
+    full = np.tensordot(
+        sliding_window_view(np.pad(vol, pad), ker.shape), flip, axes=nd)
+    if mode == "full":
+        return full
+    # mode == "same": centered crop to vol's shape (np.convolve contract)
+    sl = tuple(slice((k - 1) // 2, (k - 1) // 2 + n)
+               for n, k in zip(vol.shape, ker.shape))
+    return full[sl]
+
+
+def _valid_swap(mode: str, s1, s2):
+    """scipy's operand-swap rule: 'valid' needs one operand to dominate
+    the other in every dimension; convolution commutes, so the bigger
+    one leads."""
+    if mode != "valid":
+        return False
+    ok1 = all(a >= b for a, b in zip(s1, s2))
+    ok2 = all(b >= a for a, b in zip(s1, s2))
+    if not (ok1 or ok2):
+        raise ValueError("For 'valid' mode, one input must be at least "
+                         "as large as the other in every dimension")
+    return ok2 and not ok1
+
+
+def convolve(in1, in2, mode: str = "full", method: str = "auto"):
+    """N-D convolution (scipy.signal.convolve-compatible).
+
+    ``method='auto'`` picks via :func:`choose_conv_method` (exact-integer
+    inputs go direct unless the FFT stays exact); ``'fft'`` runs this
+    package's fused FFT convolution — the device path for jax input —
+    with integer/bool results rounded back like scipy; ``'direct'`` is
+    an exact host computation."""
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"invalid mode {mode!r}")
+    if method not in ("auto", "fft", "direct"):
+        raise ValueError(f"invalid method {method!r}")
+    is_jax = isinstance(in1, jax.Array) or isinstance(in2, jax.Array)
+    a = np.asarray(in1) if not isinstance(in1, jax.Array) else in1
+    b = np.asarray(in2) if not isinstance(in2, jax.Array) else in2
+    if a.ndim != b.ndim:
+        raise ValueError("in1 and in2 must have the same dimensionality")
+    if a.size == 0 or b.size == 0:
+        raise ValueError("empty inputs are not supported")
+    if method == "auto":
+        method = choose_conv_method(np.asarray(a), np.asarray(b), mode)
+    if method == "direct":
+        vol = np.asarray(a)
+        ker = np.asarray(b)
+        if _valid_swap(mode, vol.shape, ker.shape):
+            vol, ker = ker, vol
+        out = _direct_convolve_nd(vol, ker, mode)
+        return jnp.asarray(out) if is_jax else out
+    from .signal import fftconvolve
+    if mode == "valid":
+        _valid_swap(mode, np.shape(a), np.shape(b))  # validate only
+    if is_jax:
+        return fftconvolve(a, b, mode=mode)
+    rt = np.result_type(a, b)
+    if rt.kind in "uib":
+        # exact-count semantics: round the FFT result back to the
+        # integer lattice (for bool that is the OR-convolution, which is
+        # what scipy's direct method computes; scipy's bool-fft output
+        # is an unrounded cast and therefore FP-noise-dependent)
+        out = fftconvolve(np.asarray(a, np.float64),
+                          np.asarray(b, np.float64), mode=mode)
+        return np.around(out).astype(rt)
+    return np.asarray(fftconvolve(a, b, mode=mode)).astype(rt, copy=False)
+
+
+_BOUNDARY_PAD = {"fill": "constant", "wrap": "wrap", "symm": "symmetric"}
+
+
+def _conv2d_args(in1, in2, mode: str, boundary: str):
+    a = np.asarray(in1)
+    k = np.asarray(in2)
+    if a.ndim != 2 or k.ndim != 2:
+        raise ValueError("convolve2d/correlate2d inputs must be 2-D")
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"invalid mode {mode!r}")
+    if boundary not in _BOUNDARY_PAD:
+        raise ValueError(f"invalid boundary {boundary!r}")
+    return a, k
+
+
+def convolve2d(in1, in2, mode: str = "full", boundary: str = "fill",
+               fillvalue=0):
+    """2-D convolution with boundary handling
+    (scipy.signal.convolve2d-compatible).
+
+    Non-zero boundaries extend the INPUT by kernel-1 samples with the
+    boundary rule (constant fill / periodic wrap / symmetric
+    reflection), so the window math is identical to the zero-pad case;
+    'valid' mode never reaches the boundary and skips the extension."""
+    a, k = _conv2d_args(in1, in2, mode, boundary)
+    if (boundary == "fill" and fillvalue == 0) or mode == "valid":
+        return convolve(a, k, mode=mode)
+    if boundary in ("wrap", "symm") and any(
+            p > s for p, s in zip((k.shape[0] - 1, k.shape[1] - 1), a.shape)):
+        raise ValueError("kernel must not be larger than the input for "
+                         "wrap/symm boundaries")
+    pad = [(k.shape[0] - 1,) * 2, (k.shape[1] - 1,) * 2]
+    kwargs = {"constant_values": fillvalue} if boundary == "fill" else {}
+    ext = np.pad(a, pad, mode=_BOUNDARY_PAD[boundary], **kwargs)
+    full = convolve(ext, k, mode="valid")
+    if mode == "full":
+        return full
+    sl = tuple(slice((kk - 1) // 2, (kk - 1) // 2 + n)
+               for n, kk in zip(a.shape, k.shape))
+    return full[sl]
+
+
+def correlate2d(in1, in2, mode: str = "full", boundary: str = "fill",
+                fillvalue=0):
+    """2-D cross-correlation with boundary handling
+    (scipy.signal.correlate2d-compatible):
+    correlate2d(a, k) = convolve2d(a, conj(k[::-1, ::-1])).
+
+    'same' mode crops the full correlation starting at K//2 per axis —
+    scipy's correlate2d centering, which differs from the 1-D
+    correlate's (K-1)//2 for even kernel lengths."""
+    a, k = _conv2d_args(in1, in2, mode, boundary)
+    kf = k[::-1, ::-1]
+    if np.issubdtype(kf.dtype, np.complexfloating):
+        kf = np.conj(kf)
+    kf = np.ascontiguousarray(kf)
+    if mode == "same":
+        full = convolve2d(a, kf, mode="full", boundary=boundary,
+                          fillvalue=fillvalue)
+        sl = tuple(slice(kk // 2, kk // 2 + n)
+                   for n, kk in zip(a.shape, k.shape))
+        return full[sl]
+    return convolve2d(a, kf, mode=mode, boundary=boundary,
+                      fillvalue=fillvalue)
+
+
+# ---------------------------------------------------------------------------
+# Rank-order filters and event-phase statistics (scipy parity targets:
+# scipy/signal/_signaltools.py medfilt/medfilt2d/order_filter and
+# vectorstrength). Rank filters are exact host computations over a
+# zero-copy sliding-window view (zero-padded borders, scipy semantics).
+
+
+def _rank_filter(a: np.ndarray, domain: np.ndarray, rank: int) -> np.ndarray:
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pad = [((k - 1) // 2, k - 1 - (k - 1) // 2) for k in domain.shape]
+    win = sliding_window_view(np.pad(a, pad), domain.shape)
+    sel = win.reshape(a.shape + (-1,))[..., domain.ravel() != 0]
+    part = np.partition(sel, rank, axis=-1)
+    return part[..., rank]
+
+
+def order_filter(a, domain, rank: int):
+    """Rank-order filter (scipy.signal.order_filter-compatible): sort
+    the neighborhood selected by the nonzero cells of ``domain`` and
+    keep element ``rank``; borders are zero-padded."""
+    a = np.asarray(a)
+    domain = np.asarray(domain)
+    if a.ndim != domain.ndim:
+        raise ValueError("domain must have the same rank as the input")
+    if any(k % 2 != 1 for k in domain.shape):
+        raise ValueError("every domain dimension must be odd")
+    size = int(np.count_nonzero(domain))
+    if not 0 <= rank < size:
+        raise ValueError(f"rank must be in [0, {size})")
+    return _rank_filter(a, domain, rank)
+
+
+def medfilt(volume, kernel_size=None):
+    """Median filter (scipy.signal.medfilt-compatible): the median over
+    an odd kernel window per axis, zero-padded borders."""
+    a = np.asarray(volume)
+    if kernel_size is None:
+        kernel_size = [3] * a.ndim
+    ks = np.atleast_1d(np.asarray(kernel_size, np.intp))
+    if ks.size == 1:
+        ks = np.full(a.ndim, ks[0])
+    if ks.size != a.ndim:
+        raise ValueError("kernel_size must match the input rank")
+    if np.any(ks % 2 != 1):
+        raise ValueError("every kernel_size must be odd")
+    domain = np.ones(tuple(ks), np.int8)
+    return _rank_filter(a, domain, int(np.prod(ks)) // 2)
+
+
+def medfilt2d(input, kernel_size=3):
+    """2-D median filter (scipy.signal.medfilt2d-compatible)."""
+    a = np.asarray(input)
+    if a.ndim != 2:
+        raise ValueError("medfilt2d needs a 2-D input")
+    return medfilt(a, kernel_size)
+
+
+def vectorstrength(events, period):
+    """Vector strength and mean phase of events against a period
+    (scipy.signal.vectorstrength-compatible): magnitude and angle of
+    the mean unit phasor exp(2*pi*j*events/period); an array of periods
+    returns one row per period."""
+    events = np.asarray(events)
+    period = np.asarray(period)
+    if events.ndim > 1:
+        raise ValueError("events must be a 1-D array")
+    if period.ndim > 1:
+        raise ValueError("period must be a scalar or 1-D array")
+    if np.any(period <= 0):
+        raise ValueError("periods must be positive")
+    scalar = period.ndim == 0
+    p = np.atleast_1d(period).astype(np.float64)
+    ang = 2 * np.pi * events[None, :] / p[:, None]
+    ph = np.exp(1j * ang).mean(axis=-1)
+    strength = np.abs(ph)
+    phase = np.angle(ph)
+    if scalar:
+        return float(strength[0]), float(phase[0])
+    return strength, phase

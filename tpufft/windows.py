@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["get_window"]
+__all__ = ["get_window", "boxcar", "triang", "bartlett", "hann",
+           "hamming", "blackman", "blackmanharris", "nuttall", "flattop",
+           "barthann", "cosine", "bohman", "parzen", "lanczos", "kaiser",
+           "gaussian", "general_gaussian", "general_hamming",
+           "general_cosine", "tukey", "exponential", "chebwin", "taylor",
+           "kaiser_bessel_derived", "dpss"]
 
 
 def _len_guard(M: int) -> bool:
@@ -225,6 +230,196 @@ def exponential(M: int, center=None, tau: float = 1.0,
     return _trunc(w, trunc)
 
 
+def chebwin(M: int, at: float, sym: bool = True) -> np.ndarray:
+    """Dolph-Chebyshev window: minimum main-lobe width for a given
+    sidelobe attenuation ``at`` (dB). Classical construction: the
+    frequency response is the order-(M-1) Chebyshev polynomial evaluated
+    on a cosine grid; the window is its inverse DFT."""
+    import warnings as _warnings
+    if abs(at) < 45:
+        _warnings.warn("This window is not suitable for spectral analysis "
+                       "for attenuation levels below about 45dB because "
+                       "the equivalent noise bandwidth of a Chebyshev "
+                       "window does not grow monotonically.")
+    if _len_guard(M):
+        return np.ones(M)
+    M, trunc = _extend(M, sym)
+    order = M - 1.0
+    beta = np.cosh(1.0 / order * np.arccosh(10 ** (abs(at) / 20.0)))
+    k = np.arange(M, dtype=np.float64)
+    x = beta * np.cos(np.pi * k / M)
+    # T_order(x), evaluated stably on all three branches
+    p = np.zeros(M)
+    inside = np.abs(x) <= 1
+    p[inside] = np.cos(order * np.arccos(x[inside]))
+    above = x > 1
+    p[above] = np.cosh(order * np.arccosh(x[above]))
+    below = x < -1
+    p[below] = (2 * (M % 2) - 1) * np.cosh(order * np.arccosh(-x[below]))
+    if M % 2:
+        w = np.real(np.fft.fft(p))
+        n = (M + 1) // 2
+        w = w[:n]
+        w = np.concatenate((w[n - 1:0:-1], w))
+    else:
+        # even length: half-sample phase shift before the DFT
+        p = p * np.exp(1j * np.pi / M * np.arange(M))
+        w = np.real(np.fft.fft(p))
+        n = M // 2 + 1
+        w = np.concatenate((w[n - 1:0:-1], w[1:n]))
+    w = w / np.max(w)
+    return _trunc(w, trunc)
+
+
+def taylor(M: int, nbar: int = 4, sll: float = 30, norm: bool = True,
+           sym: bool = True) -> np.ndarray:
+    """Taylor window (SAR standard): near-Chebyshev sidelobe level
+    ``sll`` dB with the ``nbar`` nearest sidelobes constrained; the
+    classical F_m cosine-series coefficients."""
+    if _len_guard(M):
+        return np.ones(M)
+    M, trunc = _extend(M, sym)
+    B = 10.0 ** (float(sll) / 20.0)
+    A = np.arccosh(B) / np.pi
+    s2 = nbar ** 2 / (A ** 2 + (nbar - 0.5) ** 2)
+    ma = np.arange(1, nbar, dtype=np.float64)
+    Fm = np.empty(nbar - 1)
+    signs = np.empty_like(Fm)
+    signs[::2] = 1.0
+    signs[1::2] = -1.0
+    m2 = ma * ma
+    for mi, m in enumerate(ma):
+        numer = signs[mi] * np.prod(
+            1 - m2[mi] / (s2 * (A ** 2 + (ma - 0.5) ** 2)))
+        denom = 2 * np.prod(1 - m2[mi] / m2[:mi]) * np.prod(
+            1 - m2[mi] / m2[mi + 1:])
+        Fm[mi] = numer / denom
+    n = np.arange(M, dtype=np.float64)
+    w = np.ones(M)
+    for mi, m in enumerate(ma):
+        w += 2 * Fm[mi] * np.cos(2 * np.pi * m * (n - M / 2.0 + 0.5) / M)
+    if norm:
+        # unit gain at the window center (continuous-index midpoint)
+        scale = 1.0 / (1.0 + 2 * np.sum(
+            Fm * np.cos(2 * np.pi * ma * ((M - 1) / 2.0 - M / 2.0 + 0.5)
+                        / M)))
+        w = w * scale
+    return _trunc(w, trunc)
+
+
+def kaiser_bessel_derived(M: int, beta: float,
+                          sym: bool = True) -> np.ndarray:
+    """Kaiser-Bessel derived (KBD) window: square-root of the normalized
+    Kaiser cumulative sum, mirrored — satisfies the Princen-Bradley
+    condition for MDCT filterbanks."""
+    if not sym:
+        raise ValueError("Kaiser-Bessel Derived windows are only defined "
+                         "for symmetric shapes")
+    if M < 1:
+        return np.array([])
+    if M % 2:
+        raise ValueError("Kaiser-Bessel Derived windows are only defined "
+                         "for even number of points")
+    kw = kaiser(M // 2 + 1, beta, sym=True)
+    csum = np.cumsum(kw)
+    half = np.sqrt(csum[:-1] / csum[-1])
+    return np.concatenate((half, half[::-1]))
+
+
+def dpss(M: int, NW: float, Kmax=None, sym: bool = True, norm=None,
+         return_ratios: bool = False):
+    """Discrete prolate spheroidal (Slepian) sequences.
+
+    The k-th DPSS is the k-th eigenvector of the tridiagonal
+    spectral-concentration operator (Slepian 1978, eq. 14 — diagonal
+    ((M-1-2t)/2)^2 cos(2 pi W), off-diagonal t(M-t)/2); concentration
+    ratios come from the Toeplitz sinc quadratic form. Uses
+    scipy.linalg.eigh_tridiagonal when available, dense eigh otherwise
+    (host f64 plan-time math either way)."""
+    if _len_guard(M):
+        out = np.ones((1, M)) if Kmax is not None else np.ones(M)
+        return (out, np.ones(1)) if return_ratios else out
+    singleton = Kmax is None
+    Kmax = 1 if singleton else int(Kmax)
+    if not 0 < Kmax <= M:
+        raise ValueError("Kmax must be in [1, M]")
+    if not 0 < NW < M / 2.0:
+        raise ValueError("NW must be in (0, M/2)")
+    if norm is None:
+        norm = "approximate" if singleton else 2
+    if norm not in (2, "approximate", "subsample"):
+        raise ValueError(f"invalid norm {norm!r}")
+    M, trunc = _extend(M, sym)
+    W = float(NW) / M
+    t = np.arange(M, dtype=np.float64)
+    diag = ((M - 1 - 2 * t) / 2.0) ** 2 * np.cos(2 * np.pi * W)
+    off = t[1:] * (M - t[1:]) / 2.0
+    try:
+        from scipy.linalg import eigh_tridiagonal
+        _, wins = eigh_tridiagonal(diag, off,
+                                   select="i",
+                                   select_range=(M - Kmax, M - 1))
+        wins = wins[:, ::-1].T
+    except ImportError:
+        A = np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)
+        _, vec = np.linalg.eigh(A)
+        wins = vec[:, -Kmax:][:, ::-1].T
+    # sign conventions (scipy's): symmetric sequences have positive
+    # mean; antisymmetric ones start with a positive slope
+    fix = wins[::2].sum(axis=1) < 0
+    wins[::2][fix] *= -1
+    thresh = max(1e-7, 1.0 / M)
+    for i in range(1, Kmax, 2):
+        first = wins[i][np.abs(wins[i]) > thresh][0]
+        if first < 0:
+            wins[i] *= -1
+    if return_ratios or True:
+        # concentration ratios via the Toeplitz sinc quadratic form,
+        # evaluated as one correlation per sequence
+        n = np.arange(1, M, dtype=np.float64)
+        r = np.empty(M)
+        r[0] = 2 * W
+        r[1:] = np.sin(2 * np.pi * W * n) / (np.pi * n)
+        ratios = np.empty(Kmax)
+        for i in range(Kmax):
+            v = wins[i]
+            # (T v)_j = sum_k r[|j-k|] v_k = full correlation center part
+            c = np.convolve(v, r[::-1], mode="full")
+            Tv = c[M - 1:] .copy()
+            c2 = np.convolve(v, r[1:], mode="full")
+            Tv[:] = Tv + np.concatenate(([0.0], c2[:M - 1][::-1]))[:M]                 if False else Tv
+            # simpler exact form: dense matvec on the symmetric Toeplitz
+            idx = np.abs(np.subtract.outer(np.arange(M), np.arange(M)))
+            Tv = (r[idx] @ v)
+            ratios[i] = v @ Tv / (v @ v)
+    if norm == 2:
+        wins /= np.sqrt(np.sum(wins ** 2, axis=1, keepdims=True))
+    else:
+        # one GLOBAL scale: the k=0 window's peak (so higher orders keep
+        # their relative amplitude), then an even-length correction for
+        # the peak falling between samples — both from window 0
+        wins /= wins.max()
+        if M % 2 == 0:
+            if norm == "approximate":
+                correction = M * M / float(M * M + NW)
+            else:
+                # evaluate window 0 at the inter-sample midpoint
+                # t = (M-1)/2 through its rfft (trigonometric
+                # interpolation; every m >= 1 bin doubled)
+                s = np.fft.rfft(wins[0])
+                shift = -(1 - 1.0 / M) * np.arange(1, M // 2 + 1)
+                s[1:] *= 2 * np.exp(-1j * np.pi * shift)
+                correction = M / s.real.sum()
+            wins *= correction
+    if trunc:
+        wins = wins[:, :-1]
+    if singleton:
+        wins = wins[0]
+        ratios = ratios[:1] if singleton else ratios
+        return (wins, ratios[0]) if return_ratios else wins
+    return (wins, ratios) if return_ratios else wins
+
+
 # name -> (function, n_params) with scipy's aliases
 _WINDOWS = {}
 for _names, _fn, _np_ in [
@@ -250,20 +445,21 @@ for _names, _fn, _np_ in [
     (("general cosine", "general_cosine"), general_cosine, 1),
     (("tukey", "tuk"), tukey, -1),          # optional parameter
     (("exponential", "poisson"), exponential, -2),
+    (("chebwin", "cheb"), chebwin, 1),
+    (("taylor", "taylr", "taylor_win"), taylor, -1),
+    (("dpss",), dpss, 1),
+    (("kaiser bessel derived", "kaiser_bessel_derived", "kbd"),
+     kaiser_bessel_derived, 1),
 ]:
     for _n in _names:
         _WINDOWS[_n] = (_fn, _np_)
 
-# windows scipy supports that need special functions we don't carry —
-# resolved through the scipy fallback when it is installed
-_SCIPY_ONLY = ("chebwin", "cheb", "dpss", "taylor", "taylr", "taylor_win",
-               "kaiser bessel derived", "kaiser_bessel_derived", "kbd")
-
 
 def get_window(window, Nx: int, fftbins: bool = True) -> np.ndarray:
     """scipy.signal.get_window-compatible dispatch, natively implemented
-    for the common window set (f64 host plan constants). Exotic windows
-    (chebwin, dpss, taylor, ...) fall back to scipy when available."""
+    for the full scipy window set (f64 host plan constants), including
+    chebwin, taylor, dpss and kaiser_bessel_derived; truly unknown
+    names fall back to scipy when available."""
     sym = not fftbins
     if isinstance(window, str):
         args = ()
