@@ -1,0 +1,118 @@
+"""tpufft.peaks vs scipy.signal: exact index/property parity for the
+peak-finding surface (find_peaks filter chain, prominences, widths,
+argrel family) on adversarial inputs — plateaus, borders, equal
+heights, wlen-restricted windows."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import tpufft
+from tpufft import peaks as pk
+
+
+@pytest.fixture(scope="module")
+def signals():
+    rng = np.random.default_rng(0)
+    return {
+        "noise": rng.standard_normal(500),
+        "walk": np.cumsum(rng.standard_normal(1000)),
+        "sine": np.sin(np.linspace(0, 40, 800))
+        + 0.3 * rng.standard_normal(800),
+        "plateau": np.repeat(rng.integers(0, 8, 120),
+                             rng.integers(1, 5, 120)).astype(float),
+        "edges": np.array([5.0, 1, 2, 1, 3, 3, 3, 1, 4, 4, 1, 6.0]),
+    }
+
+
+def test_local_maxima_and_plateaus(signals):
+    for x in signals.values():
+        np.testing.assert_array_equal(tpufft.find_peaks(x)[0],
+                                      sps.find_peaks(x)[0])
+
+
+@pytest.mark.parametrize("wlen", [None, 31, 10])
+def test_peak_prominences(signals, wlen):
+    for x in signals.values():
+        peaks, _ = sps.find_peaks(x)
+        mine = pk.peak_prominences(x, peaks, wlen)
+        ref = sps.peak_prominences(x, peaks, wlen)
+        for a, b in zip(mine, ref):
+            np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("rel_height", [0.5, 0.75, 1.0])
+def test_peak_widths(signals, rel_height):
+    for x in signals.values():
+        peaks, _ = sps.find_peaks(x)
+        if not len(peaks):
+            continue
+        mine = pk.peak_widths(x, peaks, rel_height)
+        ref = sps.peak_widths(x, peaks, rel_height)
+        for a, b in zip(mine, ref):
+            np.testing.assert_allclose(a, b)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(height=0.5), dict(height=(0.1, 2.0)), dict(threshold=0.2),
+    dict(distance=7), dict(distance=1.5), dict(prominence=0.8),
+    dict(width=3), dict(width=(2, 9), rel_height=0.7),
+    dict(plateau_size=2), dict(plateau_size=(1, 3)),
+    dict(height=0.2, distance=5, prominence=0.5, width=2),
+    dict(prominence=0.5, wlen=25),
+])
+def test_find_peaks_filters(signals, kw):
+    for x in signals.values():
+        p_m, prop_m = tpufft.find_peaks(x, **kw)
+        p_r, prop_r = sps.find_peaks(x, **kw)
+        np.testing.assert_array_equal(p_m, p_r)
+        assert set(prop_m) == set(prop_r)
+        for key in prop_r:
+            np.testing.assert_allclose(prop_m[key], prop_r[key])
+
+
+def test_find_peaks_array_conditions(signals):
+    for x in signals.values():
+        h = np.full(x.shape, 0.3)
+        h[:len(h) // 2] = 1.2
+        p_m, _ = tpufft.find_peaks(x, height=h)
+        p_r, _ = sps.find_peaks(x, height=h)
+        np.testing.assert_array_equal(p_m, p_r)
+
+
+def test_find_peaks_errors():
+    x = np.sin(np.linspace(0, 10, 100))
+    with pytest.raises(ValueError):
+        tpufft.find_peaks(x, distance=0.5)
+    with pytest.raises(ValueError):
+        tpufft.find_peaks(np.ones((3, 3)))
+    with pytest.raises(ValueError):
+        tpufft.find_peaks(x, prominence=1, wlen=1)
+    with pytest.raises(ValueError):
+        tpufft.peak_prominences(x, np.array([1000]))
+    with pytest.raises(TypeError):
+        tpufft.peak_prominences(x, np.array([1.5]))
+
+
+@pytest.mark.parametrize("order", [1, 3])
+@pytest.mark.parametrize("mode", ["clip", "wrap"])
+def test_argrel_family(signals, order, mode):
+    for x in signals.values():
+        np.testing.assert_array_equal(
+            pk.argrelmax(x, order=order, mode=mode)[0],
+            sps.argrelmax(x, order=order, mode=mode)[0])
+        np.testing.assert_array_equal(
+            pk.argrelmin(x, order=order, mode=mode)[0],
+            sps.argrelmin(x, order=order, mode=mode)[0])
+
+
+def test_argrelextrema_2d():
+    rng = np.random.default_rng(1)
+    x2 = rng.standard_normal((40, 30))
+    for ax in (0, 1):
+        mine = pk.argrelextrema(x2, np.greater, axis=ax, order=2)
+        ref = sps.argrelextrema(x2, np.greater, axis=ax, order=2)
+        np.testing.assert_array_equal(mine[0], ref[0])
+        np.testing.assert_array_equal(mine[1], ref[1])
+    with pytest.raises(ValueError):
+        pk.argrelmax(x2, order=0)

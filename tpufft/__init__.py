@@ -58,6 +58,8 @@ from .design import (
     residue, residuez, invres, invresz, unique_roots, lfiltic,
 )
 from .sigtools import savgol_coeffs
+from .peaks import (argrelextrema, argrelmax, argrelmin, find_peaks,
+                    peak_prominences, peak_widths)
 from .waveforms import (chirp, gausspulse, max_len_seq, sawtooth, square,
                         sweep_poly, unit_impulse)
 from . import ndimage
@@ -103,6 +105,8 @@ __all__ = [
     "lfiltic", "order_filter", "medfilt", "medfilt2d", "vectorstrength",
     "lfilter_zi", "sosfilt_zi",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
+    "find_peaks", "peak_prominences", "peak_widths",
+    "argrelmin", "argrelmax", "argrelextrema",
     "chirp", "sweep_poly", "gausspulse", "square", "sawtooth",
     "unit_impulse", "max_len_seq",
     "set_workers", "get_workers", "scipy_backend", "ndimage", "windows",
