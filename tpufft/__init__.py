@@ -58,6 +58,11 @@ from .design import (
     residue, residuez, invres, invresz, unique_roots, lfiltic,
 )
 from .sigtools import savgol_coeffs
+from .ltisys import (lti, dlti, TransferFunction, ZerosPolesGain, StateSpace,
+                  tf2ss, ss2tf, zpk2ss, ss2zpk, abcd_normalize,
+                  cont2discrete, lsim, impulse, step, freqresp, bode,
+                  dlsim, dimpulse, dstep, dfreqresp, dbode,
+                  BadCoefficients)
 from .peaks import (argrelextrema, argrelmax, argrelmin, find_peaks,
                     peak_prominences, peak_widths)
 from .waveforms import (chirp, gausspulse, max_len_seq, sawtooth, square,
@@ -105,6 +110,10 @@ __all__ = [
     "lfiltic", "order_filter", "medfilt", "medfilt2d", "vectorstrength",
     "lfilter_zi", "sosfilt_zi",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
+    "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
+    "tf2ss", "ss2tf", "zpk2ss", "ss2zpk", "abcd_normalize",
+    "cont2discrete", "lsim", "impulse", "step", "freqresp", "bode",
+    "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode", "BadCoefficients",
     "find_peaks", "peak_prominences", "peak_widths",
     "argrelmin", "argrelmax", "argrelextrema",
     "chirp", "sweep_poly", "gausspulse", "square", "sawtooth",

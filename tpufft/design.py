@@ -56,6 +56,7 @@ __all__ = [
     "buttord", "cheb1ord", "cheb2ord", "ellipord", "band_stop_obj",
     "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf", "sos2zpk",
     "normalize",
+    "BadCoefficients",
     "freqz", "freqz_zpk", "sosfreqz", "freqz_sos", "group_delay",
     "freqs", "freqs_zpk", "findfreqs",
     "residue", "residuez", "invres", "invresz", "unique_roots",
@@ -63,6 +64,11 @@ __all__ = [
 ]
 
 _EPS = np.finfo(np.float64).eps
+
+
+class BadCoefficients(UserWarning):
+    """Warning about badly conditioned filter coefficients
+    (scipy.signal.BadCoefficients-compatible)."""
 
 
 # ---------------------------------------------------------------------------
@@ -537,7 +543,8 @@ def normalize(b, a):
         b = b[:1]
     elif nz[0] > 0:
         warnings.warn("badly conditioned transfer function: leading "
-                      "numerator coefficients are zero", stacklevel=2)
+                      "numerator coefficients are zero",
+                      BadCoefficients, stacklevel=2)
         b = b[nz[0]:]
     return b, a
 
