@@ -671,3 +671,24 @@ def test_lfiltic():
     zi = d.lfiltic(b, a, head[::-1], sig[:20][::-1])
     tail, _ = ss.lfilter(b, a, sig[20:], zi=zi)
     np.testing.assert_allclose(tail, full[20:], atol=1e-12)
+
+
+def test_lp2lp_coefficient_scale_small_wo():
+    # scipy convention: the shorter array's leading coefficient keeps
+    # its scale even for wo < 1 (regression: the old common factor was
+    # wrong when wo < 1 and len(b) != len(a))
+    b, a = ss.butter(3, 1, analog=True)
+    for wo in (0.3, 1.0, 2.5):
+        bm, am = d.lp2lp(b, a, wo)
+        br, ar = ss.lp2lp(b, a, wo)
+        np.testing.assert_allclose(bm, br, rtol=1e-12)
+        np.testing.assert_allclose(am, ar, rtol=1e-12)
+
+
+def test_band_stop_obj_infeasible_edge_nan():
+    import warnings as w
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        v = d.band_stop_obj(0.21, 0, np.array([0.2, 0.5]),
+                            np.array([0.1, 0.6]), 1, 30, "cheby")
+    assert np.isnan(v)

@@ -224,3 +224,28 @@ def test_classes(sysc):
         L.dlsim(L.TransferFunction(*sysc), np.zeros(4))
     with pytest.raises(ValueError):
         L.lsim(dsys, np.zeros(4), np.arange(4.0))
+
+
+# Review-pass regressions (round 5)
+
+
+def test_complex_gain_zpk():
+    z = L.ZerosPolesGain([1j, -1j], [-1, -2], 2 + 1j)
+    assert z.gain == 2 + 1j
+    r = sps.ZerosPolesGain([1j, -1j], [-1, -2], 2 + 1j)
+    assert z.gain == r.gain
+
+
+def test_freqresp_rejects_mimo():
+    A, B, C, D = sps.tf2ss(*sps.butter(2, 0.3))
+    C2, D2 = np.vstack([C, C]), np.vstack([D, D])
+    with pytest.raises(ValueError):
+        L.freqresp((A, B, C2, D2), w=np.ones(8))
+    with pytest.raises(ValueError):
+        L.dfreqresp((A, B, C2, D2, 0.5), n=8)
+
+
+def test_ss2tf_input_out_of_range():
+    A, B, C, D = sps.tf2ss(*sps.butter(2, 0.3))
+    with pytest.raises(ValueError, match="input"):
+        L.ss2tf(A, B, C, D, input=5)

@@ -116,3 +116,13 @@ def test_argrelextrema_2d():
         np.testing.assert_array_equal(mine[1], ref[1])
     with pytest.raises(ValueError):
         pk.argrelmax(x2, order=0)
+
+
+def test_wlen_between_one_and_two():
+    # scipy's rule: any wlen > 1 rounds up to 2; only <= 1 is an error
+    x = np.sin(np.linspace(0, 30, 400))
+    np.testing.assert_array_equal(
+        tpufft.find_peaks(x, prominence=0.5, wlen=1.9)[0],
+        sps.find_peaks(x, prominence=0.5, wlen=1.9)[0])
+    with pytest.raises(ValueError):
+        tpufft.find_peaks(x, prominence=0.5, wlen=1)

@@ -378,3 +378,12 @@ def test_vectorstrength(rng):
         tpufft.vectorstrength(ev, -1.0)
     with pytest.raises(ValueError):
         tpufft.vectorstrength(np.ones((2, 2)), 1.0)
+
+
+def test_rank_filter_chunked_path(rng, monkeypatch):
+    # force the block loop to take many iterations and check exactness
+    from tpufft import sigtools as st
+    monkeypatch.setattr(st, "_RANK_CHUNK_BYTES", 1 << 12)
+    a = rng.standard_normal((64, 50))
+    np.testing.assert_allclose(tpufft.medfilt(a, (5, 3)),
+                               sps.medfilt(a, (5, 3)))

@@ -147,3 +147,11 @@ def test_jax_path_traceable(t):
     # differentiable through the sweep
     g = jax.grad(lambda x: wf.chirp(x, 10, 3, 40).sum())(tj[:8])
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sawtooth_array_width(t):
+    warr = np.full_like(t * 5, 0.5)
+    warr[:100] = 1.0
+    warr[100:150] = 0.0
+    np.testing.assert_allclose(wf.sawtooth(t * 5, warr),
+                               sps.sawtooth(t * 5, warr), atol=1e-12)

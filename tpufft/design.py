@@ -1651,12 +1651,16 @@ def lp2lp(b, a, wo: float = 1.0):
     denominator coefficient's scale."""
     b, a = _tf_arrays(b, a)
     wo = float(wo)
-    d = max(len(a), len(b)) - 1
-    # highest power first: coefficient j corresponds to s**(len-1-j)
-    pwo_b = wo ** (d - (len(b) - 1) + np.arange(len(b)))
-    pwo_a = wo ** (d - (len(a) - 1) + np.arange(len(a)))
-    start = min(pwo_a[0], pwo_b[0])
-    return b * (pwo_b / start), a * (pwo_a / start)
+    d, n = len(a), len(b)
+    M = max(d, n)
+    # substituting s/wo multiplies the coefficient of s^k by wo^-k; the
+    # common factor is chosen so the SHORTER array's leading
+    # coefficient keeps its scale (scipy's convention)
+    pwo = wo ** np.arange(M - 1, -1, -1)
+    start1 = max(n - d, 0)
+    start2 = max(d - n, 0)
+    return (b * pwo[start1] / pwo[start2:],
+            a * pwo[start1] / pwo[start1:])
 
 
 def lp2hp(b, a, wo: float = 1.0):
@@ -1805,8 +1809,17 @@ def band_stop_obj(wp, ind: int, passb, stopb, gpass: float,
     kind = {"butter": "butter", "cheby": "cheby", "ellip": "ellip"}.get(type)
     if kind is None:
         raise ValueError(f"incorrect type: {type!r}")
-    return _band_stop_obj(wp, ind, np.asarray(passb, np.float64),
-                          np.asarray(stopb, np.float64), gpass, gstop, kind)
+    try:
+        return _band_stop_obj(wp, ind, np.asarray(passb, np.float64),
+                              np.asarray(stopb, np.float64), gpass,
+                              gstop, kind)
+    except ValueError:
+        # infeasible edge position (acosh/log of an out-of-domain
+        # selectivity): propagate nan like scipy so minimizers probing
+        # the edge keep running
+        warnings.warn("band_stop_obj: infeasible edge position "
+                      "evaluates to nan", RuntimeWarning, stacklevel=2)
+        return np.nan
 
 
 def _notch_peak(w0: float, Q: float, fs: float, kind: str):

@@ -125,6 +125,8 @@ def ss2tf(A, B, C, D, input: int = 0):
     """State space -> transfer function (scipy.signal.ss2tf-compatible:
     den from the characteristic polynomial, num rows per output)."""
     A, B, C, D = abcd_normalize(A, B, C, D)
+    if not 0 <= input < B.shape[1]:
+        raise ValueError("System does not have the input specified")
     B = B[:, input:input + 1]
     D = D[:, input:input + 1]
     den = np.poly(A) if A.size else np.ones(1)
@@ -409,7 +411,9 @@ class ZerosPolesGain(_LTIBase):
             raise ValueError("ZerosPolesGain needs (z, p, k)")
         self.zeros = np.atleast_1d(np.asarray(system[0]))
         self.poles = np.atleast_1d(np.asarray(system[1]))
-        self.gain = float(np.real_if_close(system[2]))
+        # keep complex gains (scipy does); collapse numerically-real
+        # complex to float
+        self.gain = np.real_if_close(np.asarray(system[2])).item()
         self._dt = dt
 
     def _describe(self):
@@ -748,15 +752,27 @@ def freqresp(system, w=None, n: int = 10000):
         num, den = system._as_tf()
     else:
         num, den = _tuple_to_tf(system)
-    num = np.atleast_1d(num)
-    if num.ndim > 1:
-        num = num[0]
+    num = _single_output_num(num)
     if w is not None:
         w = np.asarray(w, np.float64)
         _, h = _design.freqs(num, den, worN=w)
     else:
         w, h = _design.freqs(num, den, worN=int(n))
     return w, h
+
+
+def _single_output_num(num):
+    """Frequency response is defined for single-output systems only
+    (scipy raises for MIMO instead of silently answering for output
+    0)."""
+    num = np.atleast_1d(num)
+    if num.ndim > 1:
+        if num.shape[0] != 1:
+            raise ValueError("frequency response requires a single-"
+                             "output system (num has "
+                             f"{num.shape[0]} rows)")
+        num = num[0]
+    return num
 
 
 def _tuple_to_tf(system):
@@ -791,9 +807,7 @@ def dfreqresp(system, w=None, whole: bool = False, n: int = 10000):
         *sys_, dt = system
         dt = 1.0 if dt is True else float(dt)
         num, den = _tuple_to_tf(tuple(sys_))
-    num = np.atleast_1d(num)
-    if num.ndim > 1:
-        num = num[0]
+    num = _single_output_num(num)
     if w is not None:
         w = np.asarray(w, np.float64)
         wz, h = _design.freqz(num, den, worN=w)

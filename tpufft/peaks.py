@@ -154,9 +154,9 @@ def peak_prominences(x, peaks, wlen=None):
     stretches are the bases; prominence = peak - max(base values)."""
     x, peaks = _arg_x_peaks(x, peaks)
     if wlen is not None:
-        wlen = int(math.ceil(wlen)) if wlen >= 2 else -1
-        if wlen == -1:
-            raise ValueError("wlen must be >= 2")
+        if wlen <= 1:
+            raise ValueError("wlen must be larger than 1")
+        wlen = int(math.ceil(wlen))    # scipy: any value > 1 rounds up
     prominences = np.empty(peaks.shape[0], np.float64)
     left_bases = np.empty(peaks.shape[0], np.intp)
     right_bases = np.empty(peaks.shape[0], np.intp)
@@ -325,12 +325,9 @@ def find_peaks(x, height=None, threshold=None, distance=None,
         properties = {k: v[keep] for k, v in properties.items()}
 
     if prominence is not None or width is not None:
-        wlen_safe = wlen if wlen is not None and wlen >= 2 else None
-        if wlen is not None and wlen < 2:
-            raise ValueError("wlen must be >= 2")
         properties.update(zip(
             ["prominences", "left_bases", "right_bases"],
-            peak_prominences(x, peaks, wlen_safe)))
+            peak_prominences(x, peaks, wlen)))
 
     if prominence is not None:
         pmin, pmax = _unpack_condition_args(prominence, x, peaks)

@@ -530,14 +530,29 @@ def correlate2d(in1, in2, mode: str = "full", boundary: str = "fill",
 # zero-copy sliding-window view (zero-padded borders, scipy semantics).
 
 
+# transient budget for the rank filters: the selected-window copy is
+# out_block_size * kernel_size elements; blocks over the leading axis
+# keep it near this many bytes (the sliding view itself is zero-copy)
+_RANK_CHUNK_BYTES = 64 << 20
+
+
 def _rank_filter(a: np.ndarray, domain: np.ndarray, rank: int) -> np.ndarray:
     from numpy.lib.stride_tricks import sliding_window_view
 
     pad = [((k - 1) // 2, k - 1 - (k - 1) // 2) for k in domain.shape]
-    win = sliding_window_view(np.pad(a, pad), domain.shape)
-    sel = win.reshape(a.shape + (-1,))[..., domain.ravel() != 0]
-    part = np.partition(sel, rank, axis=-1)
-    return part[..., rank]
+    padded = np.pad(a, pad)
+    win = sliding_window_view(padded, domain.shape)
+    mask = domain.ravel() != 0
+    ksel = int(np.count_nonzero(mask))
+    out = np.empty(a.shape, a.dtype)
+    row_bytes = max(1, int(np.prod(a.shape[1:], dtype=np.int64))
+                    * ksel * a.dtype.itemsize)
+    step = max(1, _RANK_CHUNK_BYTES // row_bytes)
+    for lo in range(0, a.shape[0], step):
+        blk = win[lo:lo + step]
+        sel = blk.reshape(blk.shape[:a.ndim] + (-1,))[..., mask]
+        out[lo:lo + step] = np.partition(sel, rank, axis=-1)[..., rank]
+    return out
 
 
 def order_filter(a, domain, rank: int):

@@ -37,16 +37,17 @@ def sawtooth(t, width=1.0):
     triangle. Out-of-range width yields NaN like scipy."""
     xp, is_jax = _xp(t)
     t = xp.asarray(t)
-    w = float(width)
+    w = xp.asarray(width)
     tmod = xp.mod(t, 2 * math.pi)
-    if not 0 <= w <= 1:
-        return xp.full(t.shape, xp.nan,
-                       t.dtype if xp.issubdtype(t.dtype, xp.floating)
-                       else None)
-    rising = tmod / (math.pi * w) - 1.0 if w > 0 else xp.zeros_like(tmod)
-    falling = ((math.pi * (w + 1) - tmod) / (math.pi * (1 - w))
-               if w < 1 else xp.zeros_like(tmod))
-    return xp.where(tmod < w * 2 * math.pi, rising, falling)
+    # broadcast-safe branches (array-valued width broadcasts per
+    # sample, like scipy); guard the w==0 / w==1 divisions
+    w_safe = xp.where(w > 0, w, 1.0)
+    rising = tmod / (math.pi * w_safe) - 1.0
+    wm1 = xp.where(w < 1, 1.0 - w, 1.0)
+    falling = (math.pi * (w + 1) - tmod) / (math.pi * wm1)
+    out = xp.where(tmod < w * 2 * math.pi, rising, falling)
+    bad = (w < 0) | (w > 1)
+    return xp.where(bad, xp.nan, out)
 
 
 def square(t, duty=0.5):

@@ -373,25 +373,22 @@ def dpss(M: int, NW: float, Kmax=None, sym: bool = True, norm=None,
         first = wins[i][np.abs(wins[i]) > thresh][0]
         if first < 0:
             wins[i] *= -1
-    if return_ratios or True:
-        # concentration ratios via the Toeplitz sinc quadratic form,
-        # evaluated as one correlation per sequence
+    ratios = None
+    if return_ratios:
+        # concentration ratios: quadratic form of the symmetric
+        # Toeplitz sinc (ideal-lowpass) matrix T[j,k] = r[|j-k|]. The
+        # matvec is one convolution with the two-sided kernel r[|i|] —
+        # O(M) memory, no dense matrix
         n = np.arange(1, M, dtype=np.float64)
         r = np.empty(M)
         r[0] = 2 * W
         r[1:] = np.sin(2 * np.pi * W * n) / (np.pi * n)
+        r_sym = np.concatenate((r[:0:-1], r))
         ratios = np.empty(Kmax)
         for i in range(Kmax):
             v = wins[i]
-            # (T v)_j = sum_k r[|j-k|] v_k = full correlation center part
-            c = np.convolve(v, r[::-1], mode="full")
-            Tv = c[M - 1:] .copy()
-            c2 = np.convolve(v, r[1:], mode="full")
-            Tv[:] = Tv + np.concatenate(([0.0], c2[:M - 1][::-1]))[:M]                 if False else Tv
-            # simpler exact form: dense matvec on the symmetric Toeplitz
-            idx = np.abs(np.subtract.outer(np.arange(M), np.arange(M)))
-            Tv = (r[idx] @ v)
-            ratios[i] = v @ Tv / (v @ v)
+            Tv = np.convolve(v, r_sym)[M - 1:2 * M - 1]
+            ratios[i] = (v @ Tv) / (v @ v)
     if norm == 2:
         wins /= np.sqrt(np.sum(wins ** 2, axis=1, keepdims=True))
     else:
@@ -415,7 +412,6 @@ def dpss(M: int, NW: float, Kmax=None, sym: bool = True, norm=None,
         wins = wins[:, :-1]
     if singleton:
         wins = wins[0]
-        ratios = ratios[:1] if singleton else ratios
         return (wins, ratios[0]) if return_ratios else wins
     return (wins, ratios) if return_ratios else wins
 
