@@ -65,6 +65,10 @@ from .ltisys import (lti, dlti, TransferFunction, ZerosPolesGain, StateSpace,
                   BadCoefficients)
 from .peaks import (argrelextrema, argrelmax, argrelmin, find_peaks,
                     peak_prominences, peak_widths)
+from .bsplines import (gauss_spline, cspline1d, qspline1d,
+                       cspline1d_eval, qspline1d_eval, cspline2d,
+                       qspline2d, spline_filter, sepfir2d,
+                       symiirorder1, symiirorder2)
 from .waveforms import (chirp, gausspulse, max_len_seq, sawtooth, square,
                         sweep_poly, unit_impulse)
 from . import ndimage
@@ -116,6 +120,9 @@ __all__ = [
     "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode", "BadCoefficients",
     "find_peaks", "peak_prominences", "peak_widths",
     "argrelmin", "argrelmax", "argrelextrema",
+    "gauss_spline", "cspline1d", "qspline1d", "cspline1d_eval",
+    "qspline1d_eval", "cspline2d", "qspline2d", "spline_filter",
+    "sepfir2d", "symiirorder1", "symiirorder2",
     "chirp", "sweep_poly", "gausspulse", "square", "sawtooth",
     "unit_impulse", "max_len_seq",
     "set_workers", "get_workers", "scipy_backend", "ndimage", "windows",
