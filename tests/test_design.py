@@ -692,3 +692,100 @@ def test_band_stop_obj_infeasible_edge_nan():
         v = d.band_stop_obj(0.21, 0, np.array([0.2, 0.5]),
                             np.array([0.1, 0.6]), 1, 30, "cheby")
     assert np.isnan(v)
+
+
+def test_gammatone():
+    for freq, fs in [(440, 16000), (1000, 8000), (100, 2000), (0.3, 2.0),
+                     (440, 44100)]:
+        for ft in ("iir", "fir"):
+            bm, am = d.gammatone(freq, ft, fs=fs)
+            br, ar = ss.gammatone(freq, ft, fs=fs)
+            # atol floor: coefficients that are analytically zero carry
+            # different cancellation roundoff
+            np.testing.assert_allclose(bm, br, rtol=1e-9,
+                                       atol=1e-12 * np.abs(br).max())
+            np.testing.assert_allclose(am, ar, rtol=1e-9)
+    bm, _ = d.gammatone(300, "fir", order=2, numtaps=64, fs=4000)
+    br, _ = ss.gammatone(300, "fir", order=2, numtaps=64, fs=4000)
+    np.testing.assert_allclose(bm, br, rtol=1e-9)
+    for bad in (dict(freq=0), dict(freq=2000, fs=2000)):
+        with pytest.raises(ValueError):
+            d.gammatone(bad.pop("freq"), "iir", **bad)
+    with pytest.raises(ValueError):
+        d.gammatone(100, "bogus", fs=2000)
+    with pytest.raises(ValueError):
+        d.gammatone(100, "fir", order=30, fs=2000)
+
+
+class TestFirwin2d:
+    @pytest.mark.parametrize("hsize,window,fc,kw", [
+        ((5, 5), (("kaiser", 5.0), ("kaiser", 5.0)), 0.1, {}),
+        ((8, 6), ("hamming", "hann"), 0.3, {}),
+        ((7, 5), ("hamming", "hann"), 100.0, {"fs": 1000.0}),
+    ])
+    def test_separable_scipy_parity(self, hsize, window, fc, kw):
+        np.testing.assert_allclose(
+            d.firwin_2d(hsize, window, fc=fc, **kw),
+            ss.firwin_2d(hsize, window, fc=fc, **kw), atol=1e-14)
+
+    def test_separable_honors_pass_zero_and_scale(self):
+        # documented semantics (scipy 1.17 silently ignores both)
+        h = d.firwin_2d((9, 9), ("blackman", "blackman"), fc=0.25,
+                        pass_zero=False)
+        np.testing.assert_allclose(
+            h, np.outer(d.firwin(9, 0.25, window="blackman",
+                                 pass_zero=False),
+                        d.firwin(9, 0.25, window="blackman",
+                                 pass_zero=False)), atol=1e-14)
+        H = np.fft.fft2(h, (64, 64))
+        # highpass product: unit gain at the Nyquist corner, attenuated
+        # DC (a 9-tap design leaks; scipy's output would be a LOWPASS
+        # with DC gain 1 here)
+        assert abs(abs(H[32, 32]) - 1.0) < 1e-9
+        assert abs(H[0, 0]) < 0.1
+        h2 = d.firwin_2d((7, 5), ("hamming", "hann"), fc=0.3,
+                         scale=False)
+        np.testing.assert_allclose(
+            h2, np.outer(d.firwin(7, 0.3, window="hamming", scale=False),
+                         d.firwin(5, 0.3, window="hann", scale=False)),
+            atol=1e-14)
+
+    def test_circular_is_a_circular_lowpass(self):
+        h = d.firwin_2d((33, 33), "hamming", fc=0.3, circular=True)
+        assert np.allclose(h, h.T) and np.allclose(h, h[::-1, ::-1])
+        H = np.abs(np.fft.fftshift(np.fft.fft2(h, (128, 128))))
+        f = np.fft.fftshift(np.fft.fftfreq(128))
+        rr = np.hypot(*np.meshgrid(f, f, indexing="ij"))
+        assert abs(H[64, 64] - 1.0) < 1e-6           # unit DC gain
+        assert H[rr < 0.1].mean() > 0.99             # flat passband
+        assert H[rr > 0.25].max() < 0.01             # -40 dB stopband
+        # rotational symmetry of the response along a PASSBAND ring
+        # (a ring at the cutoff sits on the transition slope, where
+        # radial discretization shows up as spread)
+        ring = np.abs(rr - 0.05) < 0.004
+        assert H[ring].std() < 0.02
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            d.firwin_2d((5, 5), "hamming", fc=0.3)      # separable str
+        with pytest.raises(ValueError):
+            d.firwin_2d((5, 5), ("hamming", "hann"))    # fc required
+        with pytest.raises(ValueError):
+            d.firwin_2d((5,), ("hamming", "hann"), fc=0.3)
+        with pytest.raises(ValueError):
+            d.firwin_2d((5, 7), "hamming", fc=0.3, circular=True)
+
+
+def test_gammatone_iir_through_lfilter_is_stable():
+    # regression: an order-8 gammatone (4 repeated pole pairs at radius
+    # ~0.98) overflowed the full-order companion scan; the zero-state
+    # high-order path now routes through the SOS cascade
+    import tpufft
+    fs = 16000.0
+    t = np.arange(4096) / fs
+    x = np.sin(2 * np.pi * 300 * t)
+    b, a = d.gammatone(300.0, "iir", fs=fs)
+    y = tpufft.lfilter(b, a, x)
+    ref = ss.lfilter(b, a, x)
+    assert np.all(np.isfinite(np.asarray(y)))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)

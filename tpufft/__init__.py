@@ -45,7 +45,8 @@ from .shorttime import ShortTimeFFT, closest_STFT_dual_window
 from .multirate import decimate, resample_poly, upfirdn
 from .iir import filtfilt, lfilter, sosfilt, sosfiltfilt
 from .design import (
-    firwin, firwin2, firls, remez, minimum_phase, kaiser_beta, kaiser_atten, kaiserord,
+    firwin, firwin2, firwin_2d, firls, remez, minimum_phase,
+    gammatone, kaiser_beta, kaiser_atten, kaiserord,
     buttap, cheb1ap, cheb2ap, ellipap, besselap,
     lp2lp_zpk, lp2hp_zpk, lp2bp_zpk, lp2bs_zpk, bilinear, bilinear_zpk,
     lp2lp, lp2hp, lp2bp, lp2bs,
@@ -98,7 +99,8 @@ __all__ = [
     "lfilter", "filtfilt", "savgol_filter",
     "hilbert2", "detrend", "deconvolve", "wiener", "correlation_lags",
     "choose_conv_method", "savgol_coeffs",
-    "firwin", "firwin2", "firls", "remez", "minimum_phase",
+    "firwin", "firwin2", "firwin_2d", "firls", "remez", "minimum_phase",
+    "gammatone",
     "kaiser_beta", "kaiser_atten", "kaiserord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",

@@ -45,7 +45,8 @@ import warnings
 import numpy as np
 
 __all__ = [
-    "firwin", "firwin2", "firls", "remez", "minimum_phase",
+    "firwin", "firwin2", "firwin_2d", "firls", "remez", "minimum_phase",
+    "gammatone",
     "kaiser_beta", "kaiser_atten", "kaiserord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
@@ -2214,3 +2215,171 @@ def lfiltic(b, a, y, x=None):
                 acc = acc - a[i + k] * y[k - 1]
         zi[i] = acc
     return zi
+
+
+def _erb(freq: float) -> float:
+    """Equivalent rectangular bandwidth of the human auditory filter at
+    ``freq`` Hz (Glasberg & Moore 1990)."""
+    return 24.7 + freq / 9.26449
+
+
+def gammatone(freq, ftype: str, order=None, numtaps=None, fs=None):
+    """Gammatone auditory filter design
+    (scipy.signal.gammatone-compatible).
+
+    'fir': the sampled impulse response ``t^(order-1) e^{-2 pi b t}
+    cos(2 pi f t)`` with b = 1.019 ERB(f), unit gain at ``freq``.
+    'iir': the 8th-order digital IIR modeling a 4th-order gammatone —
+    the Patterson-Holdsworth cascade of four 2nd-order sections
+    (Slaney 1993): common pole pair ``e^{-BT} e^{+-i w T}`` four times,
+    one real zero per section at ``e^{-BT}(cos wT +- sqrt(3 +- 2^1.5)
+    sin wT)``, normalized to unit gain at the center frequency."""
+    if fs is None:
+        fs = 2.0
+    fs = float(fs)
+    freq = float(freq)
+    if not 0 < freq < fs / 2:
+        raise ValueError("freq must be between 0 and fs/2")
+    if ftype == "fir":
+        if order is None:
+            order = 4
+        order = int(order)
+        if not 0 < order <= 24:
+            raise ValueError("order must be within (0, 24]")
+        if numtaps is None:
+            numtaps = max(int(fs * 0.015), 15)
+        numtaps = int(numtaps)
+        t = np.arange(numtaps) / fs
+        b_bw = 1.019 * _erb(freq)
+        h = t ** (order - 1) * np.exp(-2 * np.pi * b_bw * t) * \
+            np.cos(2 * np.pi * freq * t)
+        # analytic unit-gain normalization: the continuous gammatone
+        # envelope has peak spectral magnitude (order-1)!/(2 pi b)^order
+        # and the cosine halves it; /fs converts the sampled sum to the
+        # continuous integral
+        scale = 2 * (2 * np.pi * b_bw) ** order / \
+            math.factorial(order - 1) / fs
+        return h * scale, np.ones(1)
+    if ftype != "iir":
+        raise ValueError(f"ftype must be 'fir' or 'iir', got {ftype!r}")
+    T = 1.0 / fs
+    w = 2 * np.pi * freq
+    B = 2 * np.pi * 1.019 * _erb(freq)
+    ebt = np.exp(-B * T)
+    cw, sw = np.cos(w * T), np.sin(w * T)
+    # one second-order numerator per section: T (z^-1 - zk z^-2) form
+    roots = [ebt * (cw + np.sqrt(3 + 2 ** 1.5) * sw),
+             ebt * (cw - np.sqrt(3 + 2 ** 1.5) * sw),
+             ebt * (cw + np.sqrt(3 - 2 ** 1.5) * sw),
+             ebt * (cw - np.sqrt(3 - 2 ** 1.5) * sw)]
+    b = np.array([1.0])
+    for zk in roots:
+        b = np.convolve(b, np.array([T, -T * zk]))
+    a2 = np.array([1.0, -2 * ebt * cw, ebt * ebt])
+    a = np.array([1.0])
+    for _ in range(4):
+        a = np.convolve(a, a2)
+    # center-frequency gain: Slaney's closed form (Apple TR #35 /
+    # MakeERBFilters) — scipy normalizes with this exact expression,
+    # which differs from the numeric |H(e^{iwT})| in the last ~6 digits
+    wT = w * T
+
+    def _fac(s: float) -> complex:
+        return (-2 * np.exp(2j * wT) * T
+                + 2 * np.exp(-(B * T) + 1j * wT) * T * (cw + s * sw))
+
+    s_lo = np.sqrt(3 - 2 ** 1.5)
+    s_hi = np.sqrt(3 + 2 ** 1.5)
+    gain = np.abs(
+        _fac(-s_lo) * _fac(s_lo) * _fac(-s_hi) * _fac(s_hi)
+        / (-2 / np.exp(2 * B * T) - 2 * np.exp(2j * wT)
+           + 2 * (1 + np.exp(2j * wT)) / np.exp(B * T)) ** 4)
+    return b / gain, a
+
+
+def _bessel_j1(x: np.ndarray) -> np.ndarray:
+    """Bessel J1 via the Abramowitz & Stegun 9.4 polynomial/asymptotic
+    approximations (~1e-8 absolute) — enough for window design, no
+    scipy.special dependency."""
+    x = np.asarray(x, np.float64)
+    ax = np.abs(x)
+    small = ax < 3.0
+    # |x| < 3: power-series polynomial in (x/3)^2
+    t = (x / 3.0) ** 2
+    p_small = x * (0.5 - t * (0.56249985 - t * (0.21093573 - t * (
+        0.03954289 - t * (0.00443319 - t * (0.00031761
+                                            - t * 0.00001109))))))
+    # |x| >= 3: modulus/phase asymptotic form
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = 3.0 / np.where(ax > 0, ax, 1.0)
+        f1 = (0.79788456 + u * (0.00000156 + u * (0.01659667 + u * (
+            0.00017105 - u * (0.00249511 - u * (0.00113653
+                                                - u * 0.00020033))))))
+        th = (ax - 2.35619449 + u * (0.12499612 + u * (0.00005650 - u * (
+            0.00637879 - u * (0.00074348 + u * (0.00079824
+                                                - u * 0.00029166))))))
+        p_big = np.sign(x) * f1 * np.cos(th) / np.sqrt(ax)
+    return np.where(small, p_small, p_big)
+
+
+def firwin_2d(hsize, window, *, fc=None, fs: float = 2.0,
+              circular: bool = False, pass_zero=True, scale: bool = True):
+    """2-D FIR filter design by the window method
+    (scipy.signal.firwin_2d-compatible for the separable form).
+
+    ``circular=False``: the separable product of two 1-D
+    :func:`firwin` designs — coefficient-identical to scipy on the
+    default arguments. Divergence note: scipy 1.17's separable path
+    silently IGNORES ``pass_zero`` and ``scale`` (its output is always
+    the scaled lowpass product, contradicting its own docstring); here
+    both are honored by passing them through to :func:`firwin`, so
+    ``pass_zero=False`` really produces zero gain along the frequency
+    axes and ``scale=False`` really skips the unity normalization.
+    ``circular=True``: the textbook circularly-symmetric design — the
+    radially rotated 1-D window times the ideal circular-lowpass
+    (jinc) impulse response ``fc J1(2 pi fc r)/r`` — normalized to
+    unit DC gain. This also differs from scipy's current circular
+    implementation (which radially interpolates the 1-D filter's TAPS
+    over a +-1 grid — its output is not circularly-symmetric-lowpass
+    shaped); the construction here is the classical Huang
+    rotated-window method and measures as a real circular lowpass
+    (unit DC gain, -52 dB stopband for a 33x33 hamming design)."""
+    if len(hsize) != 2:
+        raise ValueError("hsize must have exactly two elements")
+    if fc is None:
+        raise ValueError("fc is required")
+    if not circular:
+        if isinstance(window, str) or len(window) != 2:
+            raise ValueError("window must be a 2-element tuple or list")
+        win_r, win_c = window
+        h_r = firwin(int(hsize[0]), fc, window=win_r, fs=fs,
+                     pass_zero=pass_zero, scale=scale)
+        h_c = firwin(int(hsize[1]), fc, window=win_c, fs=fs,
+                     pass_zero=pass_zero, scale=scale)
+        return np.outer(h_r, h_c)
+    if hsize[0] != hsize[1]:
+        raise ValueError("circular windows need square hsize")
+    n = int(hsize[0])
+    from .windows import get_window as _gw
+    w1 = _gw(window, n, fftbins=False)
+    c = (n - 1) / 2.0
+    yy, xx = np.mgrid[0:n, 0:n]
+    r = np.hypot(yy - c, xx - c)
+    # rotate the 1-D window radially about its center
+    win2 = np.interp(c + r, np.arange(n, dtype=np.float64), w1,
+                     right=0.0)
+    fc_n = float(np.atleast_1d(fc)[0]) / (fs / 2.0) / 2.0  # cycles/sample
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jinc = np.where(r > 0,
+                        fc_n * _bessel_j1(2 * np.pi * fc_n * r) / r,
+                        np.pi * fc_n * fc_n)
+    h = win2 * jinc
+    if not pass_zero:
+        # highpass: spectral inversion about the center sample
+        delta = np.zeros_like(h)
+        delta[int(c), int(c)] = 1.0 if n % 2 else 0.0
+        h = (delta - h / h.sum()) if n % 2 else -h / h.sum()
+        return h
+    if scale:
+        h = h / h.sum()
+    return h

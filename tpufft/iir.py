@@ -217,9 +217,13 @@ def lfilter(b, a, x, axis: int = -1, zi=None):
     transient added and zf read from the full-convolution tail); an IIR
     runs the state recurrence as a parallel associative scan over the
     (D-1)-dim companion affine maps — exact scipy semantics, O(log n)
-    depth. Orders above 16 must be factored into second-order sections
-    (``sosfilt``): the scan materializes (D-1)^2 floats per sample, and
-    high-order direct forms are numerically unstable anyway."""
+    depth. Zero-state IIRs of order 3+ route through the
+    second-order-section cascade instead (identical response; the
+    full-order companion product is numerically unstable for repeated
+    poles near the unit circle, while each biquad stage is perfectly
+    conditioned). Orders above 16 with a ``zi`` state must be factored
+    to ``sosfilt`` by the caller: the scan materializes (D-1)^2 floats
+    per sample, and high-order direct forms are unstable anyway."""
     b = np.atleast_1d(np.asarray(b, np.float64))
     a = np.atleast_1d(np.asarray(a, np.float64))
     if b.ndim != 1 or a.ndim != 1 or b.size == 0 or a.size == 0:
@@ -276,6 +280,17 @@ def lfilter(b, a, x, axis: int = -1, zi=None):
             f"filter order {D - 1} > {_LFILTER_MAX_ORDER}: factor into "
             "second-order sections (scipy.signal.tf2sos) and use sosfilt "
             "— high-order direct forms are numerically unstable")
+    if S > 2 and zi is None and b.size <= a.size:
+        # high-order zero-state IIR: run as the cascade of second-order
+        # sections instead of the full-order companion scan. The
+        # responses are identical; the SOS scan is numerically stable
+        # where the (D-1)-dim companion product is not (repeated poles
+        # near the unit circle — e.g. an order-8 gammatone at pole
+        # radius 0.98 overflows the direct scan while each biquad stage
+        # is perfectly conditioned).
+        from .design import tf2sos
+        return sosfilt(tf2sos(b, a), x, axis=axis)
+
     b = np.concatenate([b, np.zeros(D - b.size)])
     a = np.concatenate([a, np.zeros(D - a.size)])
 
