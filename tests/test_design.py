@@ -789,3 +789,30 @@ def test_gammatone_iir_through_lfilter_is_stable():
     ref = ss.lfilter(b, a, x)
     assert np.all(np.isfinite(np.asarray(y)))
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_firwin_2d_circular_rejections():
+    with pytest.raises(ValueError):
+        d.firwin_2d((9, 9), "hamming", fc=[0.2, 0.4], circular=True)
+    with pytest.raises(ValueError):
+        d.firwin_2d((9, 9), "hamming", fc=0.3, circular=True,
+                    pass_zero="highpass")
+
+
+def test_filtfilt_high_order_stable_and_b_longer_lfilter():
+    import tpufft
+    fs = 16000.0
+    t = np.arange(2048) / fs
+    x = np.sin(2 * np.pi * 300 * t) + np.sin(2 * np.pi * 2000 * t)
+    b, a = d.gammatone(300.0, "iir", fs=fs)
+    y = tpufft.filtfilt(b, a, x)
+    ref = ss.filtfilt(b, a, x)
+    assert np.all(np.isfinite(np.asarray(y)))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+    # zero-state lfilter with numerator longer than denominator and
+    # clustered near-unit poles takes the FIR o AR + SOS route
+    bb = np.convolve(b, [1.0, 0.5, 0.25, 0.1, 0.05, 0.02])
+    ym = tpufft.lfilter(bb, a, x)
+    yr = ss.lfilter(bb, a, x)
+    assert np.all(np.isfinite(np.asarray(ym)))
+    np.testing.assert_allclose(np.asarray(ym), yr, atol=1e-4)

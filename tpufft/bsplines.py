@@ -26,6 +26,14 @@ substituted with numpy ops vectorized across rows. Consequences:
 
 The ``precision`` parameters are accepted for API compatibility and
 ignored (the solve is always exact).
+
+Cost note: the LU substitutions run one (vectorized-across-columns)
+numpy step per sample, so a single long 1-D signal pays Python-loop
+overhead (~2 s at 100k samples; scipy's C recursion is ~20 ms). 2-D
+use — where these filters actually appear in pipelines — amortizes the
+loop across all rows/columns. LU factors are cached only for signals
+up to 64k samples (above that the factor pair would hold tens of MB
+per cache entry).
 """
 
 from __future__ import annotations
@@ -96,7 +104,8 @@ def _solve_folded(taps: dict, b: np.ndarray) -> np.ndarray:
     N = b.shape[0]
     complex_ = np.iscomplexobj(b) or any(
         isinstance(v, complex) for v in taps.values())
-    A, L, p = _folded_lu(tuple(sorted(taps.items())), N, complex_)
+    factor = _folded_lu if N <= 65536 else _folded_lu.__wrapped__
+    A, L, p = factor(tuple(sorted(taps.items())), N, complex_)
     shp = b.shape
     y = np.array(b, np.complex128 if complex_ else np.float64,
                  copy=True).reshape(N, -1)

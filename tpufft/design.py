@@ -2359,6 +2359,12 @@ def firwin_2d(hsize, window, *, fc=None, fs: float = 2.0,
         return np.outer(h_r, h_c)
     if hsize[0] != hsize[1]:
         raise ValueError("circular windows need square hsize")
+    if np.ndim(fc) != 0 and np.size(fc) != 1:
+        raise ValueError("circular firwin_2d needs a scalar fc "
+                         "(multi-band radial designs are not defined)")
+    if not isinstance(pass_zero, (bool, np.bool_)):
+        raise ValueError("circular firwin_2d accepts only boolean "
+                         "pass_zero")
     n = int(hsize[0])
     from .windows import get_window as _gw
     w1 = _gw(window, n, fftbins=False)

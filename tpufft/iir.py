@@ -280,14 +280,21 @@ def lfilter(b, a, x, axis: int = -1, zi=None):
             f"filter order {D - 1} > {_LFILTER_MAX_ORDER}: factor into "
             "second-order sections (scipy.signal.tf2sos) and use sosfilt "
             "— high-order direct forms are numerically unstable")
-    if S > 2 and zi is None and b.size <= a.size:
+    if S > 2 and zi is None:
         # high-order zero-state IIR: run as the cascade of second-order
         # sections instead of the full-order companion scan. The
         # responses are identical; the SOS scan is numerically stable
         # where the (D-1)-dim companion product is not (repeated poles
         # near the unit circle — e.g. an order-8 gammatone at pole
         # radius 0.98 overflows the direct scan while each biquad stage
-        # is perfectly conditioned).
+        # is perfectly conditioned). A numerator longer than the
+        # denominator first splits into FIR o AR (transfer functions
+        # commute at zero initial state), so the AR part takes the same
+        # stable route.
+        if b.size > a.size:
+            y = _lfilter_fir(b, x, axis, None, b.size - 1, xp, is_np,
+                             False)
+            return lfilter(np.ones(1), a, y, axis=axis)
         from .design import tf2sos
         return sosfilt(tf2sos(b, a), x, axis=axis)
 
@@ -375,6 +382,17 @@ def filtfilt(b, a, x, axis: int = -1, padtype: str = "odd",
         raise ValueError(
             f"Unknown value '{padtype}' given to padtype. padtype must "
             "be 'even', 'odd', 'constant', or None.")
+    if len(a) > 3 and len(b) <= len(a):
+        # high-order IIR: the lfilter-with-zi dance below would run the
+        # full-order companion scan, which overflows for repeated poles
+        # near the unit circle (e.g. the order-8 gammatone). Run the
+        # zero-phase pass through the SOS cascade instead, preserving
+        # filtfilt's default padlen (sosfiltfilt's default differs).
+        from .design import tf2sos
+        eff_padlen = padlen if padtype is None or padlen is not None \
+            else 3 * max(len(a), len(b))
+        return sosfiltfilt(tf2sos(b, a), x, axis=axis, padtype=padtype,
+                           padlen=eff_padlen)
     is_np = not isinstance(x, jax.Array)
     xp = np if is_np else jnp
     x = xp.asarray(x)
