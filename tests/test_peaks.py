@@ -126,3 +126,60 @@ def test_wlen_between_one_and_two():
         sps.find_peaks(x, prominence=0.5, wlen=1.9)[0])
     with pytest.raises(ValueError):
         tpufft.find_peaks(x, prominence=0.5, wlen=1)
+
+
+# find_peaks_cwt (round 5): bit-exact index parity incl. the signed-
+# percentile noise convention
+
+
+class TestFindPeaksCwt:
+    @pytest.fixture(scope="class")
+    def cwt_signals(self):
+        rng = np.random.default_rng(0)
+        t = np.linspace(0, 10, 500)
+        return {
+            "gausses": (np.exp(-((t - 2) / 0.3) ** 2)
+                        + 0.7 * np.exp(-((t - 6) / 0.5) ** 2)
+                        + 0.03 * rng.standard_normal(500)),
+            "sine": np.sin(np.linspace(0, 30, 600))
+            + 0.1 * rng.standard_normal(600),
+            "noise": rng.standard_normal(400),
+            "walk": np.cumsum(rng.standard_normal(700)),
+        }
+
+    @pytest.mark.parametrize("widths", [np.arange(1, 20),
+                                        np.arange(3, 40, 2),
+                                        [5, 10, 15]])
+    def test_default_parity(self, cwt_signals, widths):
+        for x in cwt_signals.values():
+            np.testing.assert_array_equal(
+                tpufft.find_peaks_cwt(x, widths),
+                sps.find_peaks_cwt(x, widths))
+
+    @pytest.mark.parametrize("kw", [
+        dict(min_snr=2), dict(noise_perc=20), dict(min_length=6),
+        dict(gap_thresh=1), dict(window_size=41),
+        dict(max_distances=np.full(19, 3.0)),
+    ])
+    def test_kwargs_parity(self, cwt_signals, kw):
+        x = cwt_signals["gausses"]
+        np.testing.assert_array_equal(
+            tpufft.find_peaks_cwt(x, np.arange(1, 20), **kw),
+            sps.find_peaks_cwt(x, np.arange(1, 20), **kw))
+
+    def test_custom_wavelet_and_edge_cases(self, cwt_signals):
+        def gauss_wav(points, a):
+            tt = np.arange(points) - (points - 1) / 2
+            return np.exp(-(tt / a) ** 2)
+        x = cwt_signals["gausses"]
+        np.testing.assert_array_equal(
+            tpufft.find_peaks_cwt(x, np.arange(2, 15),
+                                  wavelet=gauss_wav),
+            sps.find_peaks_cwt(x, np.arange(2, 15), wavelet=gauss_wav))
+        np.testing.assert_array_equal(
+            tpufft.find_peaks_cwt(np.zeros(100), np.arange(1, 10)),
+            sps.find_peaks_cwt(np.zeros(100), np.arange(1, 10)))
+        # it actually finds the two Gaussian bumps
+        locs = tpufft.find_peaks_cwt(x, np.arange(3, 20))
+        assert any(abs(l - 100) < 6 for l in locs)    # t=2 -> idx ~100
+        assert any(abs(l - 300) < 6 for l in locs)    # t=6 -> idx ~300

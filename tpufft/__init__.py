@@ -65,7 +65,7 @@ from .ltisys import (lti, dlti, TransferFunction, ZerosPolesGain, StateSpace,
                   dlsim, dimpulse, dstep, dfreqresp, dbode,
                   BadCoefficients)
 from .peaks import (argrelextrema, argrelmax, argrelmin, find_peaks,
-                    peak_prominences, peak_widths)
+                    find_peaks_cwt, peak_prominences, peak_widths)
 from .bsplines import (gauss_spline, cspline1d, qspline1d,
                        cspline1d_eval, qspline1d_eval, cspline2d,
                        qspline2d, spline_filter, sepfir2d,
@@ -75,7 +75,7 @@ from .waveforms import (chirp, gausspulse, max_len_seq, sawtooth, square,
 from . import ndimage
 from . import windows
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "PlanConfig", "Plan", "PrecisionDowngradeWarning", "SplitComplex",
@@ -120,7 +120,7 @@ __all__ = [
     "tf2ss", "ss2tf", "zpk2ss", "ss2zpk", "abcd_normalize",
     "cont2discrete", "lsim", "impulse", "step", "freqresp", "bode",
     "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode", "BadCoefficients",
-    "find_peaks", "peak_prominences", "peak_widths",
+    "find_peaks", "find_peaks_cwt", "peak_prominences", "peak_widths",
     "argrelmin", "argrelmax", "argrelextrema",
     "gauss_spline", "cspline1d", "qspline1d", "cspline1d_eval",
     "qspline1d_eval", "cspline2d", "qspline2d", "spline_filter",

@@ -20,8 +20,8 @@ import math
 
 import numpy as np
 
-__all__ = ["find_peaks", "peak_prominences", "peak_widths",
-           "argrelmin", "argrelmax", "argrelextrema"]
+__all__ = ["find_peaks", "find_peaks_cwt", "peak_prominences",
+           "peak_widths", "argrelmin", "argrelmax", "argrelextrema"]
 
 
 # ---------------------------------------------------------------------------
@@ -348,3 +348,145 @@ def find_peaks(x, height=None, threshold=None, distance=None,
         properties = {k: v[keep] for k, v in properties.items()}
 
     return peaks, properties
+
+
+# ---------------------------------------------------------------------------
+# Wavelet-based peak finding (scipy parity target:
+# scipy/signal/_peak_finding.py find_peaks_cwt + the ricker wavelet
+# scipy removed from its public namespace in 1.15)
+
+
+def _ricker(points: int, a: float) -> np.ndarray:
+    """Ricker (Mexican-hat) wavelet: the classical
+    2 / (sqrt(3a) pi^(1/4)) (1 - (t/a)^2) exp(-t^2 / (2 a^2))."""
+    A = 2 / (np.sqrt(3 * a) * np.pi ** 0.25)
+    t = np.arange(0, points) - (points - 1.0) / 2
+    return A * (1 - (t / a) ** 2) * np.exp(-(t ** 2) / (2 * a ** 2))
+
+
+def _cwt(data: np.ndarray, wavelet, widths) -> np.ndarray:
+    """Continuous wavelet transform rows: same-mode convolution of the
+    signal with each scaled wavelet (window capped at 10 widths)."""
+    out = np.empty((len(widths), len(data)))
+    for i, w in enumerate(widths):
+        npts = np.min([10 * w, len(data)])
+        out[i] = np.convolve(data, wavelet(int(npts), w), mode="same")
+    return out
+
+
+def _identify_ridge_lines(matr: np.ndarray, max_distances, gap_thresh):
+    """Connect per-row relative maxima of the CWT into ridge lines,
+    walking from the largest scale down; a line tolerates up to
+    ``gap_thresh`` consecutive rows without a connected maximum
+    (Du, Kibbe, Lin 2006 — the algorithm scipy implements)."""
+    if len(max_distances) < matr.shape[0]:
+        raise ValueError("max_distances must have at least as many "
+                         "rows as matr")
+    all_max_cols = _boolrelextrema(matr, np.greater, axis=1, order=1)
+    has_relmax = np.nonzero(all_max_cols.any(axis=1))[0]
+    if len(has_relmax) == 0:
+        return []
+    start_row = has_relmax[-1]
+    # each line: [rows, cols, gap_number]
+    ridge_lines = [[[start_row], [col], 0]
+                   for col in np.nonzero(all_max_cols[start_row])[0]]
+    final_lines = []
+    rows = np.arange(start_row - 1, -1, -1)
+    cols = np.arange(matr.shape[1])
+    for row in rows:
+        this_max_cols = cols[all_max_cols[row]]
+        # increment all gaps; connections below reset them
+        for line in ridge_lines:
+            line[2] += 1
+        prev_ridge_cols = np.array([line[1][-1] for line in ridge_lines])
+        for col in this_max_cols:
+            # attach to the closest previous ridge column within range,
+            # else start a new line
+            if len(prev_ridge_cols) > 0:
+                diffs = np.abs(col - prev_ridge_cols)
+                closest = np.argmin(diffs)
+            else:
+                diffs = None
+            if diffs is not None and diffs[closest] <= \
+                    max_distances[row]:
+                line = ridge_lines[closest]
+                line[1].append(col)
+                line[0].append(row)
+                line[2] = 0
+            else:
+                ridge_lines.append([[row], [col], 0])
+        # retire lines whose gap exceeded the threshold
+        for ind in range(len(ridge_lines) - 1, -1, -1):
+            line = ridge_lines[ind]
+            if line[2] > gap_thresh:
+                final_lines.append(line)
+                del ridge_lines[ind]
+    out_lines = []
+    for line in final_lines + ridge_lines:
+        sortargs = np.array(np.argsort(line[0]))
+        rows_l = np.zeros_like(sortargs)
+        cols_l = np.zeros_like(sortargs)
+        rows_l[sortargs] = line[0]
+        cols_l[sortargs] = line[1]
+        out_lines.append([rows_l, cols_l])
+    return out_lines
+
+
+def _filter_ridge_lines(cwt_mat, ridge_lines, window_size=None,
+                        min_length=None, min_snr=1, noise_perc=10):
+    num_points = cwt_mat.shape[1]
+    if min_length is None:
+        min_length = np.ceil(cwt_mat.shape[0] / 4)
+    if window_size is None:
+        window_size = np.ceil(num_points / 20)
+    window_size = int(window_size)
+    hf_window, odd = divmod(window_size, 2)
+    # noise level: percentile of |smallest-scale row| in a window
+    # NOTE: the percentile runs over the SIGNED smallest-scale row
+    # (scipy's convention) — the low percentile of an oscillating row
+    # is typically a NEGATIVE trough, and the abs() wraps the whole
+    # SNR ratio below, so the effective noise level is that trough's
+    # magnitude, not the small-|value| floor
+    row_one = cwt_mat[0, :]
+    noises = np.empty_like(row_one)
+    for ind in range(num_points):
+        window_start = max(ind - hf_window, 0)
+        window_end = min(ind + hf_window + odd, num_points)
+        noises[ind] = np.percentile(row_one[window_start:window_end],
+                                    noise_perc)
+
+    def filt_func(line):
+        if len(line[0]) < min_length:
+            return False
+        snr = abs(cwt_mat[line[0][0], line[1][0]] / noises[line[1][0]])
+        return snr >= min_snr
+
+    return list(filter(filt_func, ridge_lines))
+
+
+def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
+                   gap_thresh=None, min_length=None, min_snr: float = 1,
+                   noise_perc: float = 10, window_size=None):
+    """Wavelet-ridge peak detection (scipy.signal.find_peaks_cwt-
+    compatible): CWT against Ricker wavelets over ``widths``, connect
+    per-scale maxima into ridge lines, keep lines that are long enough
+    and whose smallest-scale SNR clears ``min_snr``."""
+    widths = np.atleast_1d(np.asarray(widths))
+    if gap_thresh is None:
+        gap_thresh = np.ceil(widths[0])
+    if max_distances is None:
+        max_distances = widths / 4.0
+    if wavelet is None:
+        wavelet = _ricker
+    vector = np.asarray(vector)
+    cwt_dat = _cwt(vector, wavelet, widths)
+    ridge_lines = _identify_ridge_lines(cwt_dat, max_distances,
+                                        gap_thresh)
+    filtered = _filter_ridge_lines(cwt_dat, ridge_lines,
+                                   window_size=window_size,
+                                   min_length=min_length,
+                                   min_snr=min_snr,
+                                   noise_perc=noise_perc)
+    max_locs = np.asarray([x[1][0] for x in filtered])
+    max_locs.sort()
+    return max_locs
