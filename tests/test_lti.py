@@ -249,3 +249,61 @@ def test_ss2tf_input_out_of_range():
     A, B, C, D = sps.tf2ss(*sps.butter(2, 0.3))
     with pytest.raises(ValueError, match="input"):
         L.ss2tf(A, B, C, D, input=5)
+
+
+# place_poles (round 5): SISO gains are unique (scipy-exact); MIMO
+# gains are not, so parity is the closed-loop-poles contract
+
+
+class TestPlacePoles:
+    def test_siso_exact(self):
+        A = np.array([[0., 1.], [-2., -3.]])
+        B = np.array([[0.], [1.]])
+        fm = L.place_poles(A, B, [-5., -6.])
+        fr = sps.place_poles(A, B, [-5., -6.])
+        np.testing.assert_allclose(fm.gain_matrix, fr.gain_matrix,
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.sort(np.real(fm.computed_poles)),
+                                   [-6., -5.], atol=1e-9)
+        fm = L.place_poles(A, B, [-2 + 1j, -2 - 1j])
+        cp = np.linalg.eigvals(A - B @ fm.gain_matrix)
+        np.testing.assert_allclose(np.sort_complex(cp),
+                                   np.sort_complex(
+                                       np.array([-2 - 1j, -2 + 1j])),
+                                   atol=1e-9)
+
+    @pytest.mark.parametrize("poles", [
+        [-1., -2., -3., -4.],
+        [-1 + 1j, -1 - 1j, -2., -3.],
+        [-2., -2., -3., -4.],          # repeated up to rank(B)
+    ])
+    def test_mimo_contract(self, poles):
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((4, 4))
+        B = rng.standard_normal((4, 2))
+        fm = L.place_poles(A, B, poles)
+        assert np.isrealobj(fm.gain_matrix)
+        cp = np.linalg.eigvals(A - B @ fm.gain_matrix)
+        np.testing.assert_allclose(
+            np.sort_complex(cp),
+            np.sort_complex(np.asarray(poles, complex)), atol=1e-5)
+        # scipy places the same poles (sanity on the same system)
+        fr = sps.place_poles(A, B, poles)
+        np.testing.assert_allclose(
+            np.sort_complex(np.asarray(fm.computed_poles)),
+            np.sort_complex(np.asarray(fr.computed_poles)), atol=1e-5)
+
+    def test_errors(self):
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((4, 4))
+        B = rng.standard_normal((4, 2))
+        with pytest.raises(ValueError):
+            L.place_poles(A, B, [-1., -1., -1., -2.])   # mult > rank
+        with pytest.raises(ValueError):
+            L.place_poles(A, B, [-1 + 1j, -2., -3., -4.])  # no conj
+        with pytest.raises(ValueError):
+            L.place_poles(A, B, [-1., -2.])
+        with pytest.raises(ValueError):
+            L.place_poles(A, B, [-1., -2., -3., -4.], maxiter=0)
+        with pytest.raises(ValueError):
+            L.place_poles(A, np.zeros((4, 2)), [-1., -2., -3., -4.])

@@ -63,7 +63,7 @@ from .ltisys import (lti, dlti, TransferFunction, ZerosPolesGain, StateSpace,
                   tf2ss, ss2tf, zpk2ss, ss2zpk, abcd_normalize,
                   cont2discrete, lsim, impulse, step, freqresp, bode,
                   dlsim, dimpulse, dstep, dfreqresp, dbode,
-                  BadCoefficients)
+                  place_poles, BadCoefficients)
 from .peaks import (argrelextrema, argrelmax, argrelmin, find_peaks,
                     find_peaks_cwt, peak_prominences, peak_widths)
 from .bsplines import (gauss_spline, cspline1d, qspline1d,
@@ -119,7 +119,8 @@ __all__ = [
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
     "tf2ss", "ss2tf", "zpk2ss", "ss2zpk", "abcd_normalize",
     "cont2discrete", "lsim", "impulse", "step", "freqresp", "bode",
-    "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode", "BadCoefficients",
+    "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode",
+    "place_poles", "BadCoefficients",
     "find_peaks", "find_peaks_cwt", "peak_prominences", "peak_widths",
     "argrelmin", "argrelmax", "argrelextrema",
     "gauss_spline", "cspline1d", "qspline1d", "cspline1d_eval",

@@ -39,7 +39,7 @@ __all__ = [
     "cont2discrete", "expm",
     "lsim", "impulse", "step", "freqresp", "bode",
     "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode",
-    "BadCoefficients",
+    "place_poles", "BadCoefficients",
 ]
 
 
@@ -830,3 +830,163 @@ def dbode(system, w=None, n: int = 100):
     mag = 20.0 * np.log10(np.abs(h))
     phase = np.unwrap(np.angle(h)) * 180.0 / np.pi
     return w_ / dt, mag, phase
+
+
+# ---------------------------------------------------------------------------
+# Pole placement (scipy parity target: scipy/signal/_ltisys.py
+# place_poles). SISO uses Ackermann's closed form (the gain is unique);
+# MIMO uses KNV0-style det-maximizing iterations over the per-pole
+# allowable eigenvector subspaces, with conjugate pairing so the gain
+# stays real. Gains for MIMO systems are NOT unique, so parity with
+# scipy is at the contract level: eig(A - B K) hits the requested
+# poles.
+
+
+class _PlacedPoles:
+    """Result bundle (scipy's Bunch contract): gain_matrix,
+    computed_poles, requested_poles, X, rtol, nb_iter."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def __repr__(self):
+        return (f"PlacedPoles(gain_matrix={self.gain_matrix!r}, "
+                f"computed_poles={self.computed_poles!r}, "
+                f"nb_iter={self.nb_iter})")
+
+
+def _order_complex_poles(poles: np.ndarray) -> np.ndarray:
+    """Sort with reals first (ascending), then conjugate pairs — and
+    validate that every complex pole has its conjugate present."""
+    ordered = np.sort(poles[np.isreal(poles)])
+    im = poles[np.imag(poles) > 0]
+    for p in np.sort_complex(im):
+        if not np.any(np.isclose(np.conj(p), poles)):
+            raise ValueError("complex poles must come in conjugate "
+                             "pairs")
+        ordered = np.concatenate((ordered, [p, np.conj(p)]))
+    if ordered.shape[0] != poles.shape[0]:
+        raise ValueError("complex poles must come in conjugate pairs")
+    return ordered
+
+
+def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
+                maxiter: int = 30):
+    """Closed-loop pole placement: find K with
+    ``eig(A - B K) = poles`` (scipy.signal.place_poles-compatible
+    result contract).
+
+    SISO systems use Ackermann's formula — the unique exact gain.
+    MIMO systems run KNV0-style alternating projections: each pole's
+    eigenvector must lie in the nullspace of ``B_perp^T (A - p I)``;
+    the iteration re-picks each eigenvector inside its subspace to
+    maximize |det X| (eigenvector independence = gain conditioning),
+    pairing conjugates so K is real. ``method`` accepts 'YT'/'KNV0'
+    for API compatibility (both run the same projection iteration
+    here)."""
+    A = np.atleast_2d(np.asarray(A, np.float64))
+    B = np.atleast_2d(np.asarray(B, np.float64))
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("A must be square")
+    n = A.shape[0]
+    if B.shape[0] != n:
+        raise ValueError("A and B must have the same number of rows")
+    m = B.shape[1]
+    poles = np.atleast_1d(np.asarray(poles, np.complex128))
+    if poles.shape[0] != n:
+        raise ValueError("exactly one pole per state is required")
+    if method not in ("YT", "KNV0"):
+        raise ValueError(f"unknown method {method!r}")
+    if maxiter < 1:
+        raise ValueError("maxiter must be at least equal to 1")
+    if rtol > 1.0:
+        raise ValueError("rtol can not be greater than 1")
+    rank_B = np.linalg.matrix_rank(B)
+    if rank_B == 0:
+        raise ValueError("B must not be the zero matrix")
+    poles = _order_complex_poles(poles)
+    vals, mult = np.unique(np.round(poles, 10), return_counts=True)
+    if np.any(mult > rank_B):
+        raise ValueError("at least one of the requested pole is "
+                         "repeated more than rank(B) times")
+
+    if m == 1 or rank_B == 1:
+        # Ackermann: K = e_n^T C^-1 phi(A), with C the controllability
+        # matrix and phi the desired characteristic polynomial
+        bcol = B[:, :1] if m == 1 else B @ np.linalg.svd(B)[2][0:1].T
+        C = np.hstack([np.linalg.matrix_power(A, k) @ bcol
+                       for k in range(n)])
+        if np.linalg.matrix_rank(C) < n:
+            raise ValueError("the system is not controllable from a "
+                             "single input; Ackermann needs full "
+                             "controllability")
+        phi_coef = np.real(np.poly(poles))       # highest first
+        phiA = np.zeros_like(A)
+        for c in phi_coef:
+            phiA = phiA @ A + c * np.eye(n)
+        en = np.zeros((1, n))
+        en[0, -1] = 1.0
+        krow = en @ np.linalg.solve(C, phiA)
+        if m == 1:
+            K = krow
+        else:
+            K = np.linalg.svd(B)[2][0:1].T @ krow
+        X = np.linalg.eig(A - B @ K)[1]
+        computed = np.linalg.eigvals(A - B @ K)
+        return _PlacedPoles(gain_matrix=np.real(K),
+                            computed_poles=_order_complex_poles(
+                                np.round(computed, 12)),
+                            requested_poles=poles, X=X,
+                            rtol=0, nb_iter=0)
+
+    # MIMO KNV0: allowable subspace per pole = null(B_perp^T (A - pI))
+    U, _, _ = np.linalg.svd(B, full_matrices=True)
+    B_perp = U[:, rank_B:]                       # (n, n - rank_B)
+    subspaces = []
+    for p in poles:
+        Mnull = B_perp.T @ (A - p * np.eye(n))
+        _, sv, Vh = np.linalg.svd(Mnull)
+        ker_dim = n - np.sum(sv > max(sv.max(), 1e-300) * n * 1e-13) \
+            if sv.size else n
+        S = Vh.conj().T[:, n - max(ker_dim, rank_B):]
+        subspaces.append(S)
+    # conjugate-pair bookkeeping: poles ordered reals-then-pairs
+    X = np.empty((n, n), np.complex128)
+    for j, S in enumerate(subspaces):
+        X[:, j] = S[:, 0]
+    det_prev = 0.0
+    nb_iter = 0
+    cur_rtol = np.inf
+    for it in range(maxiter):
+        nb_iter = it
+        skip = np.zeros(n, bool)
+        for j in range(n):
+            if skip[j]:
+                continue
+            others = np.delete(X, j, axis=1)
+            Q, _ = np.linalg.qr(others, mode="complete")
+            q = Q[:, -1]                         # orthogonal to others
+            S = subspaces[j]
+            proj = S @ (S.conj().T @ q)
+            nrm = np.linalg.norm(proj)
+            if nrm > 1e-12:
+                X[:, j] = proj / nrm
+            if np.imag(poles[j]) > 0 and j + 1 < n:
+                X[:, j + 1] = np.conj(X[:, j])
+                skip[j + 1] = True
+        det_cur = abs(np.linalg.det(X))
+        if det_prev > 0:
+            cur_rtol = abs(det_cur - det_prev) / det_cur
+            if cur_rtol < rtol:
+                break
+        det_prev = det_cur
+    Lam = np.diag(poles)
+    M = np.linalg.lstsq(B, A @ X - X @ Lam, rcond=None)[0]
+    K = np.real(M @ np.linalg.inv(X))
+    computed = np.linalg.eigvals(A - B @ K)
+    return _PlacedPoles(gain_matrix=K,
+                        computed_poles=_order_complex_poles(
+                            np.round(computed, 12)),
+                        requested_poles=poles, X=X,
+                        rtol=(0 if np.isinf(cur_rtol) else cur_rtol),
+                        nb_iter=nb_iter)
