@@ -307,3 +307,14 @@ class TestPlacePoles:
             L.place_poles(A, B, [-1., -2., -3., -4.], maxiter=0)
         with pytest.raises(ValueError):
             L.place_poles(A, np.zeros((4, 2)), [-1., -2., -3., -4.])
+
+
+def test_place_poles_strict_conjugates_and_warning():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((4, 4))
+    B = rng.standard_normal((4, 2))
+    # an inexact conjugate is an error (scipy), never silently replaced
+    with pytest.raises(ValueError):
+        L.place_poles(A, B, [-2 + 2j, -2 - 2.0000001j, -1., -3.])
+    with pytest.warns(UserWarning, match="Convergence"):
+        L.place_poles(A, B, [-1., -2., -3., -4.], maxiter=1)

@@ -183,3 +183,31 @@ class TestFindPeaksCwt:
         locs = tpufft.find_peaks_cwt(x, np.arange(3, 20))
         assert any(abs(l - 100) < 6 for l in locs)    # t=2 -> idx ~100
         assert any(abs(l - 300) < 6 for l in locs)    # t=6 -> idx ~300
+
+
+def test_find_peaks_cwt_asym_fractional_complex():
+    # regressions: conj-reversed kernel (asymmetric wavelets), float
+    # window sizing (fractional widths), real-part complex handling
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 10, 500)
+    x = (np.exp(-((t - 2) / 0.3) ** 2)
+         + 0.7 * np.exp(-((t - 6) / 0.5) ** 2)
+         + 0.03 * rng.standard_normal(500))
+
+    def asym(n, a):
+        tt = np.arange(n) - (np.asarray(n) - 1) / 2
+        return np.exp(-(tt / a) ** 2) * (1 + 0.5 * np.tanh(tt / a))
+
+    def cplx(n, a):
+        tt = np.arange(n) - (np.asarray(n) - 1) / 2
+        return np.exp(1j * tt / a) * np.exp(-(tt / a) ** 2)
+
+    np.testing.assert_array_equal(
+        tpufft.find_peaks_cwt(x, [3, 5, 8], wavelet=asym),
+        sps.find_peaks_cwt(x, [3, 5, 8], wavelet=asym))
+    np.testing.assert_array_equal(
+        tpufft.find_peaks_cwt(x, [3, 5], wavelet=cplx),
+        sps.find_peaks_cwt(x, [3, 5], wavelet=cplx))
+    np.testing.assert_array_equal(
+        tpufft.find_peaks_cwt(x, [2.55, 3.7, 5.1, 7.77]),
+        sps.find_peaks_cwt(x, [2.55, 3.7, 5.1, 7.77]))

@@ -861,7 +861,9 @@ def _order_complex_poles(poles: np.ndarray) -> np.ndarray:
     ordered = np.sort(poles[np.isreal(poles)])
     im = poles[np.imag(poles) > 0]
     for p in np.sort_complex(im):
-        if not np.any(np.isclose(np.conj(p), poles)):
+        # EXACT conjugate required (scipy raises rather than silently
+        # substituting a nearby conjugate for the user's pole)
+        if not np.any(poles == np.conj(p)):
             raise ValueError("complex poles must come in conjugate "
                              "pairs")
         ordered = np.concatenate((ordered, [p, np.conj(p)]))
@@ -913,7 +915,8 @@ def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
     if m == 1 or rank_B == 1:
         # Ackermann: K = e_n^T C^-1 phi(A), with C the controllability
         # matrix and phi the desired characteristic polynomial
-        bcol = B[:, :1] if m == 1 else B @ np.linalg.svd(B)[2][0:1].T
+        v1 = None if m == 1 else np.linalg.svd(B)[2][0:1].T
+        bcol = B[:, :1] if m == 1 else B @ v1
         C = np.hstack([np.linalg.matrix_power(A, k) @ bcol
                        for k in range(n)])
         if np.linalg.matrix_rank(C) < n:
@@ -927,10 +930,7 @@ def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
         en = np.zeros((1, n))
         en[0, -1] = 1.0
         krow = en @ np.linalg.solve(C, phiA)
-        if m == 1:
-            K = krow
-        else:
-            K = np.linalg.svd(B)[2][0:1].T @ krow
+        K = krow if m == 1 else v1 @ krow
         X = np.linalg.eig(A - B @ K)[1]
         computed = np.linalg.eigvals(A - B @ K)
         return _PlacedPoles(gain_matrix=np.real(K),
@@ -957,6 +957,7 @@ def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
     det_prev = 0.0
     nb_iter = 0
     cur_rtol = np.inf
+    converged = False
     for it in range(maxiter):
         nb_iter = it
         skip = np.zeros(n, bool)
@@ -978,8 +979,14 @@ def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
         if det_prev > 0:
             cur_rtol = abs(det_cur - det_prev) / det_cur
             if cur_rtol < rtol:
+                converged = True
                 break
         det_prev = det_cur
+    if not converged:
+        warnings.warn("Convergence was not reached after maxiter "
+                      "iterations. You should call place_poles with a "
+                      "higher maxiter or looser rtol.", UserWarning,
+                      stacklevel=2)
     Lam = np.diag(poles)
     M = np.linalg.lstsq(B, A @ X - X @ Lam, rcond=None)[0]
     K = np.real(M @ np.linalg.inv(X))

@@ -356,7 +356,7 @@ def find_peaks(x, height=None, threshold=None, distance=None,
 # scipy removed from its public namespace in 1.15)
 
 
-def _ricker(points: int, a: float) -> np.ndarray:
+def _ricker(points, a: float) -> np.ndarray:
     """Ricker (Mexican-hat) wavelet: the classical
     2 / (sqrt(3a) pi^(1/4)) (1 - (t/a)^2) exp(-t^2 / (2 a^2))."""
     A = 2 / (np.sqrt(3 * a) * np.pi ** 0.25)
@@ -366,12 +366,22 @@ def _ricker(points: int, a: float) -> np.ndarray:
 
 def _cwt(data: np.ndarray, wavelet, widths) -> np.ndarray:
     """Continuous wavelet transform rows: same-mode convolution of the
-    signal with each scaled wavelet (window capped at 10 widths)."""
-    out = np.empty((len(widths), len(data)))
-    for i, w in enumerate(widths):
+    signal with the CONJ-REVERSED scaled wavelet (i.e. correlation with
+    the wavelet — scipy's convention, which matters for asymmetric or
+    complex custom wavelets), window capped at 10 widths. The window
+    length is passed to the wavelet as the raw float min(10*w, N),
+    matching scipy's arange-based sizing for fractional widths; the
+    output dtype follows the wavelet's."""
+    rows = []
+    for w in widths:
         npts = np.min([10 * w, len(data)])
-        out[i] = np.convolve(data, wavelet(int(npts), w), mode="same")
-    return out
+        ker = np.conj(wavelet(npts, w)[::-1])
+        row = np.convolve(data, ker, mode="same")
+        # complex wavelets: the ridge/SNR machinery works on the real
+        # part (scipy's behavior — its relextrema/percentile stages
+        # would reject complex rows)
+        rows.append(row.real if np.iscomplexobj(row) else row)
+    return np.asarray(rows)
 
 
 def _identify_ridge_lines(matr: np.ndarray, max_distances, gap_thresh):
