@@ -101,10 +101,17 @@ def test_cont2discrete_flavors(sysc):
     np.testing.assert_allclose(np.sort_complex(np.atleast_1d(mz[1])),
                                np.sort_complex(np.atleast_1d(rz[1])),
                                atol=1e-12)
-    # instance input preserves the representation class
+    # instance input preserves the representation class; the ZOH
+    # discretization of a strictly proper TF has an exact-zero leading
+    # numerator coefficient, and stripping it warns BadCoefficients
+    # (scipy warns identically here)
     s1 = L.TransferFunction(*sysc)
-    dm = L.cont2discrete(s1, 0.05)
-    dr = sps.cont2discrete(sps.TransferFunction(*sysc), 0.05)
+    with pytest.warns(L.BadCoefficients):
+        dm = L.cont2discrete(s1, 0.05)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        dr = sps.cont2discrete(sps.TransferFunction(*sysc), 0.05)
     assert isinstance(dm, L.TransferFunction) and dm.dt == 0.05
     np.testing.assert_allclose(dm.num, dr.num, atol=1e-9)
     np.testing.assert_allclose(dm.den, dr.den, atol=1e-9)
