@@ -561,28 +561,36 @@ def dlsim(system, u, t=None, x0=None):
     nst = A.shape[0]
     if is_jax:
         import jax.numpy as jnp
+        hp = _jax.lax.Precision.HIGHEST
         Aj = jnp.asarray(A, jnp.float32)
         xj0 = jnp.zeros(nst, jnp.float32) if x0 is None \
             else jnp.asarray(x0, jnp.float32).reshape(nst)
         uj = jnp.asarray(u, jnp.float32)
         if nst and n_steps > 1:
             # state map for step k (k = 1..n-1): s -> A s + B u[k-1];
-            # prefix-compose with associative_scan, apply to x0
-            offs = uj[:-1] @ jnp.asarray(B.T, jnp.float32)
+            # prefix-compose with associative_scan, apply to x0. All
+            # dots run at HIGHEST precision: a default f32 dot lowers
+            # to bf16 on the TPU MXU and costs ~1e-2 on the recurrence
+            # (same pitfall tpufft.iir documents for its sosfilt scan)
+            offs = jnp.matmul(uj[:-1], jnp.asarray(B.T, jnp.float32),
+                              precision=hp)
             Ms = jnp.broadcast_to(Aj, (n_steps - 1,) + Aj.shape)
 
             def comb(a, b):
-                return (jnp.matmul(b[0], a[0]),
-                        jnp.einsum("nij,nj->ni", b[0], a[1]) + b[1])
+                return (jnp.matmul(b[0], a[0], precision=hp),
+                        jnp.einsum("nij,nj->ni", b[0], a[1],
+                                   precision=hp) + b[1])
 
             Mc, cc = _jax.lax.associative_scan(comb, (Ms, offs))
             xs = jnp.concatenate(
-                [xj0[None], jnp.einsum("nij,j->ni", Mc, xj0) + cc],
+                [xj0[None],
+                 jnp.einsum("nij,j->ni", Mc, xj0, precision=hp) + cc],
                 axis=0)
         else:
             xs = jnp.broadcast_to(xj0, (n_steps, nst))
-        ys = xs @ jnp.asarray(C.T, jnp.float32) + uj @ jnp.asarray(
-            D.T, jnp.float32)
+        ys = (jnp.matmul(xs, jnp.asarray(C.T, jnp.float32), precision=hp)
+              + jnp.matmul(uj, jnp.asarray(D.T, jnp.float32),
+                           precision=hp))
         if is_ss_input:
             return tout, ys, xs
         return tout, ys
